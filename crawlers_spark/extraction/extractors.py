@@ -1,0 +1,193 @@
+"""Per-source job-offer extraction as vectorized pandas UDFs (O9/O10).
+
+The reference (`pyjobs/crawlers`, public behavior — reference mount
+empty, see SURVEY.md §0) runs one Scrapy spider per job-board site,
+each a declarative map of XPath/CSS selectors (`_crawl_parameters
+['from_page__*']`) plus shared helpers: `_extract_first`, whitespace
+cleanup, and a French-month date parser. Here each site's selector
+program becomes a **vectorized regex program over a pandas Series of
+html strings** — one layout family per group of sources — executed via
+``mapInPandas`` so every Arrow batch is processed column-at-a-time
+(no per-row Python on the hot path beyond pandas' own C regex loop).
+
+Parity contract (BASELINE.json input_hint): ``extracted_text`` must be
+byte-identical per url to the pinned oracle extractor
+(tests/oracle/extract.py). The oracle is scalar/item-at-a-time like
+the reference; this module is independent and vectorized — the golden
+test cross-checks the two.
+
+Scale: extraction is embarrassingly parallel per page — it runs after
+the fetch join, partitioned by (host, salt), and touches only the
+``html`` column of matched pages (Parquet column pruning keeps
+unmatched pages' html unread).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# mirror of the oracle's entity set — fixture contract (FIXTURES.md B1)
+_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&eacute;", "é"), ("&agrave;", "à"),
+    ("&euro;", "€"),
+]
+
+_FR_MONTH = {
+    "janvier": "01", "février": "02", "fevrier": "02", "mars": "03",
+    "avril": "04", "mai": "05", "juin": "06", "juillet": "07",
+    "août": "08", "aout": "08", "septembre": "09", "octobre": "10",
+    "novembre": "11", "décembre": "12", "decembre": "12",
+}
+
+# layout-family selector programs: family = int(source[3:]) % 4
+_FIELD_RES = {
+    0: {
+        "title": r'(?s)<h1 class="title">(.*?)</h1>',
+        "company": r'(?s)<div class="company">(.*?)</div>',
+        "location": r'(?s)<div class="location">(.*?)</div>',
+        "salary": r'(?s)<div class="salary">(.*?)</div>',
+        "date": r'(?s)<div class="pubdate">(.*?)</div>',
+        "description": r'(?s)<div class="description">(.*?)</div>',
+    },
+    1: {
+        "title": r'(?s)<td id="t">(.*?)</td>',
+        "company": r'(?s)<td id="c">(.*?)</td>',
+        "location": r'(?s)<td id="l">(.*?)</td>',
+        "salary": r'(?s)<td id="s">(.*?)</td>',
+        "date": r'(?s)<td id="d">(.*?)</td>',
+        "description": r'(?s)<td id="desc">(.*?)</td>',
+    },
+    2: {
+        "title": r'(?s)<span data-field="title">(.*?)</span>',
+        "company": r'(?s)<span data-field="company">(.*?)</span>',
+        "location": r'(?s)<span data-field="location">(.*?)</span>',
+        "salary": r'(?s)<span data-field="salary">(.*?)</span>',
+        "date": r'(?s)<span data-field="pubdate">(.*?)</span>',
+        "description": r'(?s)<span data-field="description">(.*?)</span>',
+    },
+    3: {
+        "title": r"(?s)<h2>(.*?)</h2>",
+        "meta": r'(?s)<p class="meta">(.*?)</p>',
+        "date": r'(?s)<p class="date">(.*?)</p>',
+        "description": r'(?s)<p class="desc">(.*?)</p>',
+    },
+}
+
+OFFER_SCHEMA = (
+    "url string, source string, title string, company string, location string, "
+    "salary string, description string, publication_ts timestamp, extracted_text string"
+)
+
+
+def _clean(s: pd.Series) -> pd.Series:
+    """Vectorized whitespace collapse + entity decode (reference cleanup)."""
+    s = s.fillna("")
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def _parse_dates(s: pd.Series, family: int) -> pd.Series:
+    s = s.str.strip()
+    if family in (0, 2):  # "12 janvier 2016" → ISO via month map
+        parts = s.str.extract(r"^(\d{1,2}) (\S+) (\d{4})$")
+        iso = parts[2] + "-" + parts[1].str.lower().map(_FR_MONTH) + "-" + parts[0].str.zfill(2)
+        return pd.to_datetime(iso, format="%Y-%m-%d", errors="coerce", utc=True)
+    if family == 1:
+        return pd.to_datetime(s, format="%Y-%m-%d", errors="coerce", utc=True)
+    return pd.to_datetime(s, format="%d/%m/%Y", errors="coerce", utc=True)
+
+
+def _extract_family(pdf: pd.DataFrame, family: int) -> pd.DataFrame:
+    html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    sel = _FIELD_RES[family]
+    if family == 3:
+        title = _clean(html.str.extract(sel["title"], expand=False))
+        meta = _clean(html.str.extract(sel["meta"], expand=False))
+        mparts = meta.str.split("—", n=2, expand=True).reindex(columns=[0, 1, 2])
+        company = mparts[0].fillna("").str.strip()
+        location = mparts[1].fillna("").str.strip()
+        salary = mparts[2].fillna("").str.strip()
+    else:
+        title = _clean(html.str.extract(sel["title"], expand=False))
+        company = _clean(html.str.extract(sel["company"], expand=False))
+        location = _clean(html.str.extract(sel["location"], expand=False))
+        salary = _clean(html.str.extract(sel["salary"], expand=False))
+    date_s = _clean(html.str.extract(sel["date"], expand=False))
+    description = _clean(html.str.extract(sel["description"], expand=False))
+    extracted = title + "\n" + company + "\n" + location + "\n" + salary + "\n" + description
+    return pd.DataFrame(
+        {
+            "url": pdf["url"].values,
+            "source": pdf["src_source"].values,
+            "title": title.values,
+            "company": company.values,
+            "location": location.values,
+            "salary": salary.values,
+            "description": description.values,
+            "publication_ts": _parse_dates(date_s, family).values,
+            "extracted_text": extracted.values,
+        }
+    )
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        if pdf.empty:
+            continue
+        fam = pd.to_numeric(pdf["src_source"].str.replace(r"\D", "", regex=True), errors="coerce").fillna(0).astype(int) % 4
+        for family, sub in pdf.groupby(fam):
+            yield _extract_family(sub, int(family))
+
+
+def extract_offers(fetched: DataFrame) -> DataFrame:
+    """(url, src_source, html, …) → offers DataFrame (OFFER_SCHEMA).
+
+    ``mapInPandas`` (not ``groupBy().applyInPandas``): extraction needs
+    no co-grouping, so no shuffle — each input partition streams
+    through Arrow batches, and the per-source/per-family dispatch
+    happens inside the batch. At 1000 executors this keeps extraction
+    a map-only stage fused with the fetch join output.
+    """
+    return fetched.select("url", "src_source", "html").mapInPandas(
+        _extract_batches, schema=OFFER_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- outlinks
+
+_LINKS_SCHEMA = "url string, src_source string, depth int, out_url string"
+
+
+def _outlink_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        if pdf.empty:
+            continue
+        html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+        links = html.str.findall(r'<a[^>]*\bhref="([^"]+)"')
+        out = pdf[["url", "src_source", "depth"]].copy()
+        out["out_url"] = links
+        out = out.explode("out_url").dropna(subset=["out_url"])
+        if out.empty:
+            continue
+        # resolve root-relative hrefs against the page's scheme://host
+        base = out["url"].str.extract(r"^(https?://[^/]+)", expand=False)
+        rel = out["out_url"].str.startswith("/")
+        out.loc[rel, "out_url"] = base[rel] + out.loc[rel, "out_url"]
+        yield out
+
+
+def extract_outlinks(fetched: DataFrame) -> DataFrame:
+    """All hrefs of fetched pages, root-relative links resolved (O9).
+
+    Returns (url, src_source, depth, out_url); caller canonicalizes and
+    dedups. Map-only, same rationale as ``extract_offers``.
+    """
+    return fetched.select("url", "src_source", "depth", "html").mapInPandas(
+        _outlink_batches, schema=_LINKS_SCHEMA
+    )

@@ -1,0 +1,65 @@
+"""Frontier priority queue (O2) with skew salting (O17, SURVEY §4.3.1).
+
+Replaces Scrapy's in-memory per-spider scheduler queues (priority pop,
+``core/scheduler.py`` + ``squeues`` — public framework behavior) with a
+deterministic distributed top-k per host:
+
+- **salt** = ``pmod(xxhash64(url_canon), n_salts(host))`` where hot
+  hosts get more salts (broadcast hot-host table). The frontier
+  shuffle keys on (host, salt) so one hot job board cannot pin a
+  single reducer at 10^10-frontier scale.
+- **two-phase exact top-k**: phase 1 ranks within each (host, salt)
+  slice and keeps k rows; phase 2 re-ranks the ≤ k·n_salts survivors
+  per host and keeps exactly k. This is the classic distributed top-k
+  prune — identical result to a single per-host sort, but the heavy
+  window never sees a whole hot host.
+- **total order** (ordering-parity contract, BASELINE.json):
+  ``priority DESC, discovered_ts ASC, url_canon ASC`` — every sort key
+  chain ends in the unique url_canon, so ranks are reproducible
+  run-to-run and across resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 1
+
+
+def with_salt(df: DataFrame, hot_hosts: DataFrame | None = None, url_col: str = "url_canon") -> DataFrame:
+    """Add ``salt`` (and ``n_salts``): more salts for hot hosts.
+
+    ``hot_hosts``: small (host, n_salts) DataFrame — broadcast joined.
+    """
+    if hot_hosts is not None:
+        df = df.join(F.broadcast(hot_hosts), "host", "left")
+        df = df.withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(DEFAULT_SALTS)))
+    else:
+        df = df.withColumn("n_salts", F.lit(DEFAULT_SALTS))
+    return df.withColumn("salt", F.pmod(F.xxhash64(F.col(url_col)), F.col("n_salts")).cast("int"))
+
+
+def _order_cols():
+    return [F.col("priority").desc(), F.col("discovered_ts").asc(), F.col("url_canon").asc()]
+
+
+def select_wave_topk(frontier: DataFrame, budget_col: str = "budget_k") -> DataFrame:
+    """Deterministic per-host top-budget selection; adds ``host_rank``.
+
+    Input must carry host, salt, priority, discovered_ts, url_canon and
+    a per-row per-host budget column. Returns selected rows only.
+    """
+    # phase 1: prune within (host, salt) — bounded skew
+    w1 = Window.partitionBy("host", "salt").orderBy(*_order_cols())
+    pruned = (
+        frontier.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col(budget_col))
+        .drop("_r1")
+    )
+    # phase 2: exact per-host rank over ≤ budget·n_salts survivors
+    w2 = Window.partitionBy("host").orderBy(*_order_cols())
+    return (
+        pruned.withColumn("host_rank", F.row_number().over(w2))
+        .where(F.col("host_rank") <= F.col(budget_col))
+    )

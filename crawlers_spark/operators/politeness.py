@@ -1,0 +1,65 @@
+"""Per-host politeness gate (O6).
+
+The reference relies on Scrapy downloader "slots" — one per domain,
+enforcing ``DOWNLOAD_DELAY`` / ``CONCURRENT_REQUESTS_PER_DOMAIN``
+(public framework behavior). In a wave-scheduled engine the same
+budget becomes declarative, per BASELINE.json: "per-host politeness
+windows ... enforced as broadcast state joined against each fetch
+batch".
+
+Model: a wave represents a fixed scheduling interval of
+``wave_interval_s`` seconds. For each host,
+
+    budget_k   = min(max_per_wave, floor(wave_interval_s / delay_s))
+    gate       = wave % max(1, ceil(delay_s / wave_interval_s)) == 0
+
+so a host whose crawl-delay exceeds the wave interval only fetches on
+its cadence waves, and no host ever exceeds its per-interval budget —
+the invariant tests/test_politeness_robots.py asserts. The politeness
+table is host-cardinality (small) → broadcast join; the budget then
+drives the frontier top-k (O2). Everything is a pure function of
+(wave, host) — deterministic across runs and resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DELAY_S = 0.5
+DEFAULT_MAX_PER_WAVE = 200
+
+
+def politeness_budget(
+    frontier: DataFrame,
+    politeness: DataFrame,
+    wave: int,
+    wave_interval_s: float = 60.0,
+) -> DataFrame:
+    """Broadcast-join politeness state; add ``budget_k``; drop gated hosts.
+
+    Rows of hosts that are off-cadence this wave, or whose budget is 0,
+    are filtered out (they stay in the frontier for a later wave).
+    """
+    p = politeness.select(
+        "host",
+        F.coalesce("delay_s", F.lit(DEFAULT_DELAY_S)).alias("delay_s"),
+        F.coalesce("max_per_wave", F.lit(DEFAULT_MAX_PER_WAVE)).alias("max_per_wave"),
+    )
+    df = frontier.join(F.broadcast(p), "host", "left")
+    df = df.withColumn("delay_s", F.coalesce("delay_s", F.lit(DEFAULT_DELAY_S))).withColumn(
+        "max_per_wave", F.coalesce("max_per_wave", F.lit(DEFAULT_MAX_PER_WAVE))
+    )
+    df = df.withColumn(
+        "budget_k",
+        F.least(
+            F.col("max_per_wave").cast("int"),
+            F.floor(F.lit(wave_interval_s) / F.col("delay_s")).cast("int"),
+        ),
+    ).withColumn(
+        "_cadence", F.greatest(F.lit(1), F.ceil(F.col("delay_s") / F.lit(wave_interval_s)).cast("int"))
+    )
+    return (
+        df.where((F.lit(wave) % F.col("_cadence") == 0) & (F.col("budget_k") > 0))
+        .drop("delay_s", "max_per_wave", "_cadence")
+    )

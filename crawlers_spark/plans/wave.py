@@ -1,0 +1,332 @@
+"""The wave-scheduled crawl plan (SURVEY.md §3.4) — the engine's
+equivalent of the reference's whole runtime.
+
+Where `pyjobs/crawlers` runs one OS process per Scrapy spider, each an
+event loop popping a priority queue (public behavior; SURVEY §3.1),
+this engine runs **deterministic fetch waves over one unified
+frontier** (O17): each wave is a single Catalyst-planned DAG —
+
+    frontier snapshot                         (snapshot read, O16)
+      → politeness gate   (broadcast join, O6)
+      → salted two-phase top-k per host       (O2/O17)
+      → robots filter     (broadcast join + mapInPandas, O7)
+      → bloom prefilter → exact anti-join     (O5 → O4)
+      → fetch join against pages_index        (O8; misses → retry, O12)
+      → per-source extraction (mapInPandas)   (O10) → offers
+      → outlink explode → canonicalize →
+        offsite/depth filter → dedup          (O9/O13/O18 → frontier')
+      → atomic commit: offers + seen + frontier' + bloom + lineage
+                                              (O14/O15/O16)
+
+The only driver-side synchronization is the commit barrier at the end
+of each wave (the reference's page-by-page pacing made explicit). All
+state lives in snapshot-committed tables — nothing is ever collected
+to the driver, so a 10^10-row frontier changes nothing structurally.
+
+Determinism & resume (SURVEY §4.3.3/.4): every ordering decision uses
+the total order (priority DESC, discovered_ts, url_canon); politeness
+budgets are pure functions of (wave, host); a killed run resumes from
+``last_committed_wave`` and reproduces the identical wave log — tests
+assert this by comparing full wave logs across runs.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawlers_spark.extraction.extractors import extract_offers, extract_outlinks
+from crawlers_spark.functions.canonicalize import host_col, with_canonical_url
+from crawlers_spark.operators.dedup import BloomShards
+from crawlers_spark.operators.fetch import build_pages_index, fetch_outer
+from crawlers_spark.operators.frontier import select_wave_topk, with_salt
+from crawlers_spark.operators.politeness import politeness_budget
+from crawlers_spark.operators.robots import robots_flag
+from crawlers_spark.sources.tables import SnapshotParquetIO
+
+FRONTIER_SCHEMA = (
+    "url string, url_canon string, host string, priority int, depth int, "
+    "src_source string, discovered_ts timestamp, retry int"
+)
+SEEN_SCHEMA = "url_canon string, first_wave long"
+WAVELOG_SCHEMA = "wave long, host string, url_canon string, host_rank int"
+LINEAGE_SCHEMA = (
+    "wave long, partition_id int, fetched long, extracted long, bloom_version long"
+)
+
+EPOCH = "2024-01-01 00:00:00"
+
+
+@dataclass
+class CrawlConfig:
+    wave_interval_s: float = 60.0
+    # the reference sets no DEPTH_LIMIT (Scrapy default 0 = unbounded);
+    # deep pagination chains are normal, so the bound is a safety net only
+    max_depth: int = 1000
+    max_retries: int = 2
+    output_coalesce: int | None = 4  # small-scale file compaction; None at TB scale
+    detail_url_pattern: str = "/job/"  # matches /private/job/ too
+    use_bloom: bool = True
+    bloom_shards: int = 32
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_hashes: int = 5
+    hot_hosts: dict[str, int] = field(default_factory=dict)  # host -> n_salts
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_path: str,
+        seeds: list[dict],
+        robots: DataFrame,
+        politeness: DataFrame,
+        state_root: str | Path,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.io = SnapshotParquetIO(spark, state_root)
+        self.pages_index = build_pages_index(
+            spark, pages_path, cache_dir=Path(state_root) / "_cache"
+        )
+        self.seeds = seeds
+        self.robots = robots
+        self.politeness = politeness
+        # offsite map (O13): source -> allowed host, broadcast-sized
+        self.allowed_hosts = spark.createDataFrame(
+            [(s["source"], s["allowed_host"]) for s in seeds],
+            "src_source string, allowed_host string",
+        )
+        self.hot_hosts = (
+            spark.createDataFrame(
+                list(self.cfg.hot_hosts.items()), "host string, n_salts int"
+            )
+            if self.cfg.hot_hosts
+            else None
+        )
+        self.bloom = BloomShards(
+            self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard, self.cfg.bloom_hashes
+        )
+
+    # ------------------------------------------------------------ seeding
+    def bootstrap(self) -> None:
+        """Commit wave 0: the seed frontier (O1). Idempotent."""
+        if self.io.last_committed_wave() >= 0:
+            return
+        seed_df = self.spark.createDataFrame(
+            [(s["url"], s["source"]) for s in self.seeds], "url string, src_source string"
+        )
+        frontier = (
+            with_canonical_url(seed_df)
+            .withColumn("priority", F.lit(100))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovered_ts", F.lit(EPOCH).cast("timestamp"))
+            .withColumn("retry", F.lit(0))
+            .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
+        )
+        rel = self.io.stage(frontier, "frontier", 0)
+        self.io.commit_wave(0, {"frontier": [rel]}, {"seeds": len(self.seeds)})
+
+    # ------------------------------------------------------------ helpers
+    def _stage(self, df: DataFrame, table: str, wave: int) -> str:
+        n = self.cfg.output_coalesce
+        if n is not None:
+            df = df.coalesce(n)
+        return self.io.stage(df, table, wave)
+
+    def _read_frontier(self) -> DataFrame:
+        """Frontier has replace semantics: newest manifest entry wins."""
+        for m in reversed(self.io._manifests()):
+            if "frontier" in m["tables"]:
+                dirs = [str(self.io.root / rel) for rel in m["tables"]["frontier"]]
+                return self.spark.read.parquet(*dirs)
+        return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+
+    def _read_bloom(self) -> DataFrame | None:
+        for m in reversed(self.io._manifests()):
+            if "bloom" in m["tables"]:
+                dirs = [str(self.io.root / rel) for rel in m["tables"]["bloom"]]
+                return self.spark.read.parquet(*dirs)
+        return None
+
+    def _read_seen(self) -> DataFrame:
+        return self.io.read("seen", SEEN_SCHEMA)
+
+    # ---------------------------------------------------------- one wave
+    def run_wave(self, wave: int) -> dict:
+        cfg = self.cfg
+        frontier = self._read_frontier().persist()
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            frontier.unpersist()
+            return {"wave": wave, "frontier": 0, "fetched": 0, "quiesced": True}
+
+        seen = self._read_seen()
+        shards = self._read_bloom() if cfg.use_bloom else None
+
+        # O6 politeness → O2/O17 salted deterministic top-k
+        gated = politeness_budget(frontier, self.politeness, wave, cfg.wave_interval_s)
+        salted = with_salt(gated, self.hot_hosts)
+        selected = select_wave_topk(salted).persist()
+
+        # O7 robots on the selected batch only (cheapest point: post-top-k)
+        flagged = robots_flag(
+            selected.select(
+                "url", "url_canon", "host", "priority", "depth", "src_source",
+                "discovered_ts", "retry", "host_rank",
+            ),
+            self.robots,
+        ).persist()
+        allowed = flagged.where(F.col("robots_ok")).drop("robots_ok")
+        denied_keys = flagged.where(~F.col("robots_ok")).select("url_canon")
+
+        # O5 bloom prefilter guarded by O4 exact anti-join
+        unseen = self.bloom.filter_unseen(allowed, shards, seen)
+
+        # O8 fetch = one outer join against the page corpus; misses → O12
+        attempted = fetch_outer(unseen, self.pages_index).persist()
+        fetched = attempted.where(F.col("fetch_ok")).drop("fetch_ok")
+        missed = attempted.where(~F.col("fetch_ok")).drop("fetch_ok", "warc_ts", "html")
+        n_fetched = fetched.count()
+
+        # O10 extraction (detail pages only, per-source vectorized UDFs)
+        detail = fetched.where(F.col("url_canon").contains(cfg.detail_url_pattern))
+        # offer identity is the canonical URL (the reference's dedup key)
+        offers = extract_offers(
+            detail.select(F.col("url_canon").alias("url"), "src_source", "html")
+        ).withColumn("wave", F.lit(wave).cast("long")).persist()
+        n_offers = offers.count()
+
+        # O9 outlinks → canonicalize → O13 offsite → O18 depth bound
+        links = extract_outlinks(fetched.select("url", "src_source", "depth", "html"))
+        discovered = (
+            with_canonical_url(links, "out_url", "url_canon")
+            .join(F.broadcast(self.allowed_hosts), "src_source", "left")
+            .where(F.col("host") == F.col("allowed_host"))
+            .where(F.col("depth") + 1 <= cfg.max_depth)
+            .select(
+                F.col("out_url").alias("url"),
+                "url_canon",
+                "host",
+                F.greatest(F.lit(0), F.lit(100) - (F.col("depth") + 1)).cast("int").alias("priority"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+                "src_source",
+                F.lit(EPOCH).cast("timestamp").alias("discovered_ts"),
+                F.lit(0).alias("retry"),
+            )
+        )
+
+        # frontier' = (old − attempted/denied) ∪ retryable misses ∪ new links
+        attempted_keys = selected.select("url_canon")
+        remaining = frontier.join(attempted_keys, "url_canon", "left_anti")
+        retryable = (
+            missed.where(F.col("retry") < cfg.max_retries)
+            .select(
+                "url", "url_canon", "host", "priority", "depth", "src_source",
+                "discovered_ts", (F.col("retry") + 1).cast("int").alias("retry"),
+            )
+        )
+        exhausted_keys = missed.where(F.col("retry") >= cfg.max_retries).select("url_canon")
+
+        fetched_keys = fetched.select("url_canon")
+        fresh_links = (
+            self.bloom.filter_unseen(discovered, shards, seen)
+            .join(fetched_keys, "url_canon", "left_anti")
+        )
+        next_frontier = (
+            remaining.unionByName(retryable)
+            .unionByName(fresh_links)
+            .groupBy("url_canon")
+            .agg(
+                F.min("url").alias("url"),
+                F.min("host").alias("host"),
+                F.max("priority").alias("priority"),
+                F.min("depth").alias("depth"),
+                F.min("src_source").alias("src_source"),
+                F.min("discovered_ts").alias("discovered_ts"),
+                F.min("retry").alias("retry"),
+            )
+            .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
+        )
+
+        # seen' += fetched ∪ robots-denied ∪ retry-exhausted (O4 state)
+        seen_delta = (
+            fetched_keys.unionByName(denied_keys).unionByName(exhausted_keys)
+            .dropDuplicates(["url_canon"])
+            .withColumn("first_wave", F.lit(wave).cast("long"))
+        ).persist()
+
+        # O5 bloom shard merge (versioned per wave for resume)
+        staged: dict[str, list[str]] = {}
+        if cfg.use_bloom:
+            delta = self.bloom.build_delta(seen_delta, wave)
+            merged = self.bloom.merge(shards, delta, wave)
+            staged["bloom"] = [self._stage(merged, "bloom", wave)]
+
+        # O15 per-partition lineage
+        lineage = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("fetched"))
+            .withColumn("wave", F.lit(wave).cast("long"))
+            .withColumn("extracted", F.lit(n_offers).cast("long"))
+            .withColumn("bloom_version", F.lit(wave if cfg.use_bloom else -1).cast("long"))
+            .select("wave", "partition_id", "fetched", "extracted", "bloom_version")
+        )
+
+        # deterministic wave log (ordering-parity oracle, FIXTURES B6)
+        wave_log = (
+            fetched.select(
+                F.lit(wave).cast("long").alias("wave"), "host", "url_canon",
+                F.col("host_rank").cast("int"),
+            )
+        )
+
+        staged["offers"] = [self._stage(offers, "offers", wave)]
+        staged["seen"] = [self._stage(seen_delta, "seen", wave)]
+        staged["frontier"] = [self._stage(next_frontier, "frontier", wave)]
+        staged["lineage"] = [self._stage(lineage, "lineage", wave)]
+        staged["wave_log"] = [self._stage(wave_log, "wave_log", wave)]
+
+        meta = {
+            "frontier_in": n_frontier,
+            "fetched": n_fetched,
+            "offers": n_offers,
+        }
+        self.io.commit_wave(wave, staged, meta)
+
+        for df in (frontier, selected, flagged, attempted, offers, seen_delta):
+            df.unpersist()
+        return {"wave": wave, "frontier": n_frontier, "fetched": n_fetched, "offers": n_offers, "quiesced": False}
+
+    # ------------------------------------------------------------- driver
+    def run(self, max_waves: int = 50) -> list[dict]:
+        """Run waves until quiesce (O11) or max_waves; resume-safe (O16)."""
+        self.bootstrap()
+        stats = []
+        while True:
+            wave = self.io.last_committed_wave() + 1
+            if wave > max_waves:
+                break
+            st = self.run_wave(wave)
+            stats.append(st)
+            if st["quiesced"]:
+                break
+        return stats
+
+    # ------------------------------------------------------------ outputs
+    def offers(self) -> DataFrame:
+        return self.io.read("offers", schema=None)
+
+    def wave_log(self) -> DataFrame:
+        return self.io.read("wave_log", WAVELOG_SCHEMA)
+
+    def lineage(self) -> DataFrame:
+        return self.io.read("lineage", LINEAGE_SCHEMA)
+
+    def seen(self) -> DataFrame:
+        return self._read_seen()

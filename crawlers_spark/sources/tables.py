@@ -1,0 +1,160 @@
+"""Snapshot-committed table storage (SURVEY.md §7.2).
+
+The engine's durable state (frontier, seen, offers, lineage, bloom
+shards) lives in *tables with atomic, versioned wave commits* — the
+role Iceberg plays in the north-star deployment. This sandbox has no
+Iceberg runtime jar and no network, so the default implementation is
+``SnapshotParquetIO``: parquet data directories plus a tiny JSON
+wave-manifest log with POSIX-rename atomicity. Semantics preserved
+from Iceberg that the engine depends on:
+
+- **atomic multi-table commit**: a wave's writes to offers + frontier +
+  seen + lineage become visible all-or-nothing (single manifest rename);
+- **snapshot reads**: readers see exactly the set of files pinned by
+  committed manifests — crashed writes are invisible;
+- **time travel / resume**: ``read(table, as_of_wave=k)`` reconstructs
+  any table as of wave k, which is what wave-resume (O16) replays from.
+
+``IcebergTableIO`` sketches the real-catalog binding (``MERGE``/
+snapshot reads via SQL); it activates only when an Iceberg catalog is
+configured on the session and is intentionally untested here.
+
+On a real cluster the manifest dir sits on the shared filesystem
+(HDFS/S3 — rename-atomicity per object store semantics or a metastore
+lock); all data moves through executors, never the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    """Interface: append data files, commit waves atomically, snapshot-read."""
+
+    def stage(self, df: DataFrame, table: str, wave: int) -> str:
+        raise NotImplementedError
+
+    def commit_wave(self, wave: int, table_files: dict[str, list[str]], meta: dict | None = None) -> None:
+        raise NotImplementedError
+
+    def read(self, table: str, schema: str | None = None, as_of_wave: int | None = None) -> DataFrame:
+        raise NotImplementedError
+
+    def last_committed_wave(self) -> int:
+        raise NotImplementedError
+
+
+class SnapshotParquetIO(TableIO):
+    """Parquet dirs + JSON wave manifests with rename-atomic commits."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "_wavelog").mkdir(parents=True, exist_ok=True)
+
+    # -------------------------------------------------------------- write
+    def stage(self, df: DataFrame, table: str, wave: int) -> str:
+        """Write df as an uncommitted data dir; return its relative path."""
+        rel = f"{table}/data/w{wave:06d}-{uuid.uuid4().hex[:8]}"
+        (self.root / table / "data").mkdir(parents=True, exist_ok=True)
+        df.write.mode("overwrite").parquet(str(self.root / rel))
+        return rel
+
+    def commit_wave(self, wave: int, table_files: dict[str, list[str]], meta: dict | None = None) -> None:
+        """Atomically publish all of a wave's staged dirs (single rename)."""
+        manifest = {"wave": wave, "tables": table_files, "meta": meta or {}}
+        tmp = self.root / "_wavelog" / f".tmp-{uuid.uuid4().hex}.json"
+        final = self.root / "_wavelog" / f"wave-{wave:06d}.json"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, final)  # POSIX atomic: wave is now visible
+
+    # --------------------------------------------------------------- read
+    def _manifests(self, as_of_wave: int | None = None) -> list[dict]:
+        out = []
+        for p in sorted((self.root / "_wavelog").glob("wave-*.json")):
+            m = json.loads(p.read_text())
+            if as_of_wave is None or m["wave"] <= as_of_wave:
+                out.append(m)
+        return out
+
+    def committed_dirs(self, table: str, as_of_wave: int | None = None) -> list[str]:
+        return [
+            str(self.root / rel)
+            for m in self._manifests(as_of_wave)
+            for rel in m["tables"].get(table, [])
+        ]
+
+    def read(self, table: str, schema: str | None = None, as_of_wave: int | None = None) -> DataFrame:
+        dirs = self.committed_dirs(table, as_of_wave)
+        if not dirs:
+            if schema is None:
+                raise ValueError(f"table {table!r} empty and no schema given")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*dirs)
+
+    def last_committed_wave(self) -> int:
+        ms = self._manifests()
+        return ms[-1]["wave"] if ms else -1
+
+    def wave_meta(self, wave: int) -> dict:
+        p = self.root / "_wavelog" / f"wave-{wave:06d}.json"
+        return json.loads(p.read_text())
+
+    # ----------------------------------------------------------- maintain
+    def vacuum_uncommitted(self) -> int:
+        """Drop staged dirs no manifest references (crash leftovers)."""
+        live = {rel for m in self._manifests() for rels in m["tables"].values() for rel in rels}
+        removed = 0
+        for data_dir in self.root.glob("*/data"):
+            for d in data_dir.iterdir():
+                rel = str(d.relative_to(self.root))
+                if rel not in live:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed += 1
+        return removed
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+class IcebergTableIO(TableIO):  # pragma: no cover - needs a real catalog
+    """Real-Iceberg binding (activate with iceberg-spark-runtime on the
+    classpath and a configured catalog; unavailable in this sandbox)."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        try:
+            spark.sql(f"USE {catalog}.{namespace}")
+        except Exception as exc:  # jar/catalog missing
+            raise RuntimeError(
+                "Iceberg catalog unavailable — use SnapshotParquetIO "
+                "(add --packages org.apache.iceberg:iceberg-spark-runtime to enable)"
+            ) from exc
+        self.spark, self.catalog, self.ns = spark, catalog, namespace
+
+    def stage(self, df: DataFrame, table: str, wave: int) -> str:
+        tmp = f"{self.catalog}.{self.ns}._stage_{table}_{wave}"
+        df.writeTo(tmp).createOrReplace()
+        return tmp
+
+    def commit_wave(self, wave: int, table_files: dict[str, list[str]], meta: dict | None = None) -> None:
+        # single multi-table transaction is not portable; per-table appends
+        # with a last-written lineage row as the commit marker
+        for table, stages in table_files.items():
+            for st in stages:
+                self.spark.table(st).writeTo(f"{self.catalog}.{self.ns}.{table}").append()
+
+    def read(self, table: str, schema: str | None = None, as_of_wave: int | None = None) -> DataFrame:
+        return self.spark.table(f"{self.catalog}.{self.ns}.{table}")
+
+    def last_committed_wave(self) -> int:
+        row = self.spark.sql(
+            f"SELECT coalesce(max(wave), -1) AS w FROM {self.catalog}.{self.ns}.lineage"
+        ).collect()
+        return int(row[0]["w"])

@@ -1,0 +1,341 @@
+"""M0 — deterministic synthetic web fixture (SURVEY.md §7.1, FIXTURES.md B).
+
+Generates the Common-Crawl-style ``pages`` table (url, warc_ts,
+html:binary, text, lang — the exact schema from BASELINE.json's
+input_hint), a pyjobs-style seed list, robots.txt fixtures, politeness
+budgets, and the golden ``expected_offers`` oracle parquet.
+
+Design mirrors the reference's world: 20 job-board hosts
+(src0.example .. src19.example, one per reference source/spider), each
+a chain of paginated list pages linking detail pages. src0/src1 are
+"hot" (≈50% of all pages) to exercise skew salting. Some links are
+deliberately messy (uppercase host, utm params, fragments, relative
+hrefs) so the crawl must canonicalize; some detail pages live under
+/private/ which robots disallows on even-numbered hosts.
+
+Everything is seeded (seed=42 equivalent: content derives from md5 of
+stable keys — no wall clock, no RNG state dependence), so any scale
+regenerates bit-identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_HOSTS = 20
+JOBS_PER_LIST = 10
+BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+TITLES = [
+    "D&eacute;veloppeur Python", "Data Engineer", "Ing&eacute;nieur DevOps",
+    "Backend Developer", "Lead Python", "SRE", "Architecte Cloud",
+    "D&eacute;veloppeur Full-Stack", "ML Engineer", "CTO adjoint",
+]
+COMPANIES = [
+    "Soci&eacute;t&eacute; G&eacute;n&eacute;rique", "DataCorp", "La Forge &amp; Fils",
+    "PyShop", "Cloudistes", "Les Scrapeurs R&eacute;unis", "Webable", "Octet &amp; Co",
+]
+LOCATIONS = [
+    "Paris", "Lyon", "Toulouse", "Nantes", "  Bordeaux ", "Lille",
+    "Grenoble", "Marseille", "T&eacute;l&eacute;travail",
+]
+SALARIES = ["35-45k&euro;", "40-50k", "45 000 &#39;brut&#39;", "N/A", "50-60k", "selon profil"]
+WORDS = (
+    "python spark crawl data web scrapy frontier pipeline offre mission "
+    "&eacute;quipe agile cloud aws backend api rest docker kubernetes sql"
+).split()
+FR_MONTHS = [
+    "janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+    "août", "septembre", "octobre", "novembre", "décembre",
+]
+LANGS = ["fr", "fr", "fr", "en", "es", "de", "zh"]  # fr-weighted
+
+
+def h(key: str) -> int:
+    """Stable 64-bit hash of a string key (no Python hash randomization)."""
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+
+
+def host_of(i: int) -> str:
+    return f"src{i}.example"
+
+
+def warc_ts(url: str) -> datetime:
+    return BASE_TS + timedelta(seconds=h("ts|" + url) % (365 * 86400))
+
+
+def _pick(pool, key):
+    return pool[h(key) % len(pool)]
+
+
+def _date_str(family: int, key: str) -> str:
+    day = 1 + h("d|" + key) % 28
+    month = 1 + h("m|" + key) % 12
+    year = 2023 + h("y|" + key) % 3
+    if family in (0, 2):
+        return f"{day} {FR_MONTHS[month - 1]} {year}"
+    if family == 1:
+        return f"{year:04d}-{month:02d}-{day:02d}"
+    return f"{day:02d}/{month:02d}/{year:04d}"
+
+
+def _description(key: str) -> str:
+    n = 20 + h("dl|" + key) % 30
+    toks = [WORDS[h(f"w|{key}|{i}") % len(WORDS)] for i in range(n)]
+    # inject double spaces / newlines to exercise whitespace cleanup
+    out = []
+    for i, t in enumerate(toks):
+        out.append(t)
+        sep = h(f"s|{key}|{i}") % 10
+        out.append("\n  " if sep == 0 else ("  " if sep == 1 else " "))
+    return "".join(out).rstrip()
+
+
+def detail_fields(source: str, job_id: int) -> dict:
+    key = f"{source}|{job_id}"
+    return {
+        "title": f"{_pick(TITLES, 't|' + key)} #{job_id}",
+        "company": _pick(COMPANIES, "c|" + key),
+        "location": _pick(LOCATIONS, "l|" + key),
+        "salary": _pick(SALARIES, "s|" + key),
+        "date": None,  # filled by caller with family
+        "description": _description(key),
+    }
+
+
+def detail_html(source: str, family: int, job_id: int) -> str:
+    f = detail_fields(source, job_id)
+    date_s = _date_str(family, f"{source}|{job_id}")
+    if family == 0:
+        body = (
+            '<div class="job-offer">\n'
+            f'  <h1 class="title"> {f["title"]} </h1>\n'
+            f'  <div class="company">{f["company"]}</div>\n'
+            f'  <div class="location">{f["location"]}</div>\n'
+            f'  <div class="salary">{f["salary"]}</div>\n'
+            f'  <div class="pubdate">{date_s}</div>\n'
+            f'  <div class="description">{f["description"]}</div>\n'
+            "</div>"
+        )
+    elif family == 1:
+        body = (
+            '<table class="offer">\n'
+            f'<tr><td id="t">{f["title"]}</td></tr>\n'
+            f'<tr><td id="c"> {f["company"]}</td></tr>\n'
+            f'<tr><td id="l">{f["location"]}</td></tr>\n'
+            f'<tr><td id="s">{f["salary"]}</td></tr>\n'
+            f'<tr><td id="d">{date_s}</td></tr>\n'
+            f'<tr><td id="desc">{f["description"]}</td></tr>\n'
+            "</table>"
+        )
+    elif family == 2:
+        body = (
+            '<div class="posting">'
+            f'<span data-field="title">{f["title"]}</span>'
+            f'<span data-field="company">{f["company"]}</span>'
+            f'<span data-field="location"> {f["location"]}</span>'
+            f'<span data-field="salary">{f["salary"]}</span>'
+            f'<span data-field="pubdate">{date_s}</span>'
+            f'<span data-field="description">{f["description"]}</span>'
+            "</div>"
+        )
+    else:
+        body = (
+            f'<h2>{f["title"]}</h2>\n'
+            f'<p class="meta">{f["company"]} — {f["location"]} — {f["salary"]}</p>\n'
+            f'<p class="date">{date_s}</p>\n'
+            f'<p class="desc">{f["description"]}</p>'
+        )
+    related = job_id + 1
+    rel_link = f'<a class="related" href="/job/{related:06d}">voir aussi</a>'
+    return (
+        f"<html><head><title>{f['title']}</title></head><body>\n{body}\n{rel_link}\n</body></html>"
+    )
+
+
+def messy_detail_href(host: str, job_id: int, private: bool) -> str:
+    """Deterministically messy link form; canonicalizes to the detail URL."""
+    path = f"/private/job/{job_id:06d}" if private else f"/job/{job_id:06d}"
+    v = h(f"mess|{host}|{job_id}") % 5
+    if v == 0:
+        return path  # root-relative
+    if v == 1:
+        return f"https://{host.upper()}{path}"
+    if v == 2:
+        return f"https://{host}{path}?utm_source=board&utm_campaign=x"
+    if v == 3:
+        return f"https://{host}{path}#apply"
+    return f"https://{host}{path}"
+
+
+def list_html(host: str, source: str, family: int, page: int, job_ids: list[int], n_pages: int, private_set: set[int]) -> str:
+    rows = "\n".join(
+        f'<li><a class="job-link" href="{messy_detail_href(host, j, j in private_set)}">'
+        f"{detail_fields(source, j)['title']}</a></li>"
+        for j in job_ids
+    )
+    # realistic board pagination: next, a doubling jump, and the last page
+    # (numbered pagination) — lets a breadth-first crawler reach page P in
+    # O(log P) waves instead of a fully serial next-next-next chain
+    def page_url(p: int) -> str:
+        return "/jobs" if p == 1 else f"/jobs?page={p}"
+
+    nav = {p for p in (page + 1, min(2 * page, n_pages), n_pages) if 1 <= p <= n_pages and p != page}
+    nxt = "\n".join(
+        f'<a class="next" href="{page_url(p)}">page {p}</a>' for p in sorted(nav)
+    )
+    # occasional cross-host link the offsite filter must drop
+    off = ""
+    if h(f"off|{host}|{page}") % 3 == 0:
+        other = host_of((int(source[3:]) + 7) % N_HOSTS)
+        off = f'<a class="offsite" href="https://{other}/jobs">partner</a>'
+    return (
+        f"<html><head><title>{source} jobs p{page}</title></head><body>\n"
+        f'<ul class="jobs">\n{rows}\n</ul>\n{nxt}\n{off}\n</body></html>'
+    )
+
+
+def page_text(html: str) -> str:
+    """Ground-truth text column: naive tag-strip of the html."""
+    import re as _re
+
+    return _re.sub(r"\s+", " ", _re.sub(r"<[^>]+>", " ", html)).strip()
+
+
+def host_quota(total_pages: int, i: int) -> int:
+    if i in (0, 1):  # hot hosts: 25% each
+        return total_pages // 4
+    return (total_pages // 2) // (N_HOSTS - 2)
+
+
+def generate(total_pages: int, out_dir: str | Path) -> dict:
+    """Write pages/seeds/robots/politeness/expected_offers under out_dir."""
+    from tests.oracle.extract import extract_offer
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    exp = []
+    seeds = []
+    robots_rows = []
+    polite_rows = []
+
+    for i in range(N_HOSTS):
+        host = host_of(i)
+        source = f"src{i}"
+        family = i % 4
+        lang = LANGS[i % len(LANGS)]
+        quota = host_quota(total_pages, i)
+        # detail count D and list count P with D + P ≈ quota
+        D = max(3, (quota * JOBS_PER_LIST) // (JOBS_PER_LIST + 1))
+        P = (D + JOBS_PER_LIST - 1) // JOBS_PER_LIST
+        private_set = {j for j in range(D) if h(f"priv|{host}|{j}") % 13 == 0}
+
+        seeds.append({"source": source, "url": f"https://{host}/jobs", "allowed_host": host})
+        rules = "User-agent: *\nDisallow: /private/\n" if i % 2 == 0 else "User-agent: *\nDisallow:\n"
+        if i == 2:
+            rules += "Crawl-delay: 2\n"
+        robots_rows.append((host, rules, BASE_TS))
+        polite_rows.append(
+            (host, 2.0 if i == 2 else 0.5, 40 if i in (0, 1) else 200)
+        )
+
+        for p in range(1, P + 1):
+            job_ids = list(range((p - 1) * JOBS_PER_LIST, min(p * JOBS_PER_LIST, D)))
+            url = f"https://{host}/jobs" if p == 1 else f"https://{host}/jobs?page={p}"
+            html = list_html(host, source, family, p, job_ids, P, private_set)
+            urls.append(url)
+            htmls.append(html.encode())
+            texts.append(page_text(html))
+            tss.append(warc_ts(url))
+            langs.append(lang)
+
+        for j in range(D):
+            path = f"/private/job/{j:06d}" if j in private_set else f"/job/{j:06d}"
+            url = f"https://{host}{path}"
+            html = detail_html(source, family, j)
+            urls.append(url)
+            htmls.append(html.encode())
+            texts.append(page_text(html))
+            tss.append(warc_ts(url))
+            langs.append(lang)
+            exp.append(extract_offer(url, source, html))
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    pq.write_table(pages, out / "pages.parquet")
+
+    (out / "seeds.json").write_text(json.dumps(seeds, indent=1))
+
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([r[0] for r in robots_rows]),
+                "rules": pa.array([r[1] for r in robots_rows]),
+                "fetched_ts": pa.array([r[2] for r in robots_rows], pa.timestamp("us", tz="UTC")),
+            }
+        ),
+        out / "robots.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([r[0] for r in polite_rows]),
+                "delay_s": pa.array([r[1] for r in polite_rows], pa.float64()),
+                "max_per_wave": pa.array([r[2] for r in polite_rows], pa.int32()),
+            }
+        ),
+        out / "politeness.parquet",
+    )
+
+    exp_tbl = pa.table(
+        {
+            "url": pa.array([e["url"] for e in exp]),
+            "source": pa.array([e["source"] for e in exp]),
+            "title": pa.array([e["title"] for e in exp]),
+            "company": pa.array([e["company"] for e in exp]),
+            "location": pa.array([e["location"] for e in exp]),
+            "salary": pa.array([e["salary"] for e in exp]),
+            "description": pa.array([e["description"] for e in exp]),
+            "publication_ts": pa.array([e["publication_ts"] for e in exp], pa.timestamp("us", tz="UTC")),
+            "extracted_text": pa.array([e["extracted_text"] for e in exp]),
+        }
+    )
+    pq.write_table(exp_tbl, out / "expected_offers.parquet")
+    return {"pages": pages.num_rows, "offers": exp_tbl.num_rows, "out": str(out)}
+
+
+FIXTURE_VERSION = "v3"  # bump when generator/oracle output changes
+
+
+def ensure_fixture(total_pages: int, base: str | Path = REPO / "_data") -> Path:
+    """Generate-once cache keyed by scale; returns the fixture dir."""
+    out = Path(base) / f"web{total_pages}"
+    marker = out / "_COMPLETE"
+    if not (marker.exists() and marker.read_text() == FIXTURE_VERSION):
+        generate(total_pages, out)
+        marker.write_text(FIXTURE_VERSION)
+    return out
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    dest = sys.argv[2] if len(sys.argv) > 2 else str(REPO / "_data" / f"web{n}")
+    print(json.dumps(generate(n, dest)))
