@@ -1,0 +1,295 @@
+"""Crawl operators (SURVEY §2.1) under the DuckDB oracle.
+
+The crawl engine's own inputs (synthetic web fixture) are exercised by
+pytest; here each operator ALSO runs over a URL table derived
+**deterministically** from the driver's ``documents`` table, so the
+oracle can state the expected output in pure SQL. Crucially the Spark
+side uses the *real* engine operators (``canonicalize_udf``,
+``select_wave_topk``, ``BloomShards.filter_unseen``, ``robots_flag``,
+``politeness_budget``) — the SQL replicates their contract, not their
+implementation, so these are genuine cross-checks.
+
+URL derivation (same on both sides):
+    path    = '/private/doc/' if doc_id % 7 = 0 else '/doc/'
+    base    = 'https://src<N>.example' || path || doc_id
+    mess    = doc_id % 5:  0 uppercase host · 1 tracking params ·
+              2 fragment · 3 unsorted params · 4 clean
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlers_spark.harness.common import load
+
+_EPOCH = "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+# ---------------------------------------------------------------- base urls
+def _doc_urls(spark, sf):
+    docs = load(spark, sf, "documents")
+    path = F.when(F.col("doc_id") % 7 == 0, F.lit("/private/doc/")).otherwise(F.lit("/doc/"))
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit(".example"), path, F.col("doc_id"))
+    upper_base = F.concat(
+        F.lit("https://"), F.upper(F.col("source")), F.lit(".EXAMPLE"), path, F.col("doc_id")
+    )
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, upper_base)
+        .when(v == 1, F.concat(base, F.lit("?utm_source=x&gclid=1")))
+        .when(v == 2, F.concat(base, F.lit("#frag")))
+        .when(v == 3, F.concat(base, F.lit("?b=2&a=1")))
+        .otherwise(base)
+    )
+    return docs.select("doc_id", "source", "n_chars", url.alias("url"))
+
+
+_SQL_URLS = f"""
+  SELECT doc_id, source, n_chars,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://' || upper(source) || '.EXAMPLE' || path || doc_id
+           WHEN 1 THEN base || '?utm_source=x&gclid=1'
+           WHEN 2 THEN base || '#frag'
+           WHEN 3 THEN base || '?b=2&a=1'
+           ELSE base END AS url,
+         base || CASE WHEN doc_id % 5 = 3 THEN '?a=1&b=2' ELSE '' END AS expected_canon,
+         'src' || CAST(src_n AS VARCHAR) || '.example' AS host,
+         src_n, path
+  FROM (
+    SELECT doc_id, source, n_chars,
+           CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_n,
+           CASE WHEN doc_id % 7 = 0 THEN '/private/doc/' ELSE '/doc/' END AS path,
+           'https://' || source || '.example' ||
+             CASE WHEN doc_id % 7 = 0 THEN '/private/doc/' ELSE '/doc/' END || doc_id AS base
+    FROM documents) b
+"""
+
+
+# --------------------------------------------------- O3 canonicalization
+def q_canonicalize(spark, sf):
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+
+    return with_canonical_url(_doc_urls(spark, sf)).select("doc_id", "url_canon", "host")
+
+
+SQL_CANON = f"""
+SELECT doc_id, expected_canon AS url_canon, host FROM ({_SQL_URLS}) u
+"""
+
+
+# ------------------------------------------- O2/O17 frontier top-k per host
+def _frontier(spark, sf):
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+
+    urls = with_canonical_url(_doc_urls(spark, sf))
+    return urls.select(
+        "doc_id",
+        "url_canon",
+        "host",
+        (F.col("n_chars") % 100).cast("int").alias("priority"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("doc_id") % 999).cast("double"))
+        ).alias("discovered_ts"),
+    )
+
+
+def q_frontier_topk(spark, sf):
+    from crawlers_spark.operators.frontier import select_wave_topk, with_salt
+
+    hot = spark.createDataFrame(
+        [("src0.example", 4), ("src1.example", 4)], "host string, n_salts int"
+    )
+    fr = with_salt(_frontier(spark, sf), hot).withColumn("budget_k", F.lit(5))
+    return select_wave_topk(fr).select("host", "url_canon", "host_rank")
+
+
+SQL_FRONTIER_TOPK = f"""
+SELECT host, url_canon, host_rank FROM (
+  SELECT host, expected_canon AS url_canon,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY (n_chars % 100) DESC,
+                    {_EPOCH} + to_seconds(doc_id % 999) ASC,
+                    expected_canon ASC) AS INT) AS host_rank
+  FROM ({_SQL_URLS}) u) r
+WHERE host_rank <= 5
+"""
+
+
+# ------------------------------------------------ O4 exact seen anti-join
+def q_seen_antijoin(spark, sf):
+    from crawlers_spark.operators.dedup import anti_join_seen
+
+    fr = _frontier(spark, sf)
+    seen = fr.where(F.col("doc_id") % 3 == 0).select("url_canon")
+    return anti_join_seen(fr, seen).select("doc_id", "url_canon")
+
+
+SQL_SEEN_ANTI = f"""
+SELECT doc_id, expected_canon AS url_canon FROM ({_SQL_URLS}) u
+WHERE expected_canon NOT IN (
+  SELECT expected_canon FROM ({_SQL_URLS}) s WHERE doc_id % 3 = 0)
+"""
+
+
+# ------------------------------- O5 bloom prefilter + exactness guard
+def q_bloom_dedup(spark, sf):
+    """Bloom-accelerated seen filter ≡ plain NOT IN (the §4.3.2 guard)."""
+    from crawlers_spark.operators.dedup import BloomShards
+
+    fr = _frontier(spark, sf)
+    seen = fr.where(F.col("doc_id") % 3 == 0).select("url_canon", F.lit(0).cast("long").alias("first_wave"))
+    bloom = BloomShards(n_shards=8, bits_per_shard=1 << 16, n_hashes=5)
+    shards = bloom.merge(None, bloom.build_delta(seen, version=0), version=0)
+    return bloom.filter_unseen(fr, shards, seen).select("doc_id", "url_canon")
+
+
+SQL_BLOOM = SQL_SEEN_ANTI  # exact same contract as the plain anti-join
+
+
+# ---------------------------------------------------- O7 robots.txt gate
+def q_robots_gate(spark, sf):
+    from crawlers_spark.operators.robots import robots_flag
+
+    fr = _frontier(spark, sf)
+    hosts = fr.select("host").distinct()
+    rules = F.when(
+        F.regexp_extract("host", r"(\d+)", 1).cast("int") % 2 == 0,
+        F.lit("User-agent: *\nDisallow: /private/\n"),
+    ).otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    robots = hosts.withColumn("rules", rules)
+    return robots_flag(fr, robots).select("doc_id", "url_canon", "robots_ok")
+
+
+SQL_ROBOTS = f"""
+SELECT doc_id, expected_canon AS url_canon,
+       NOT (path = '/private/doc/' AND src_n % 2 = 0) AS robots_ok
+FROM ({_SQL_URLS}) u
+"""
+
+
+# ------------------------------------------------- O6 politeness budget
+def q_politeness(spark, sf):
+    from crawlers_spark.operators.politeness import politeness_budget
+
+    fr = _frontier(spark, sf)
+    hosts = fr.select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    politeness = hosts.select(
+        "host",
+        (F.lit(0.5) + (n % 3) * F.lit(0.75)).alias("delay_s"),
+        (F.lit(3) + n % 4).cast("int").alias("max_per_wave"),
+    )
+    gated = politeness_budget(fr, politeness, wave=5, wave_interval_s=1.0)
+    return gated.groupBy("host", "budget_k").agg(F.count(F.lit(1)).alias("n_candidates"))
+
+
+SQL_POLITENESS = f"""
+SELECT host, budget_k, COUNT(*) AS n_candidates FROM (
+  SELECT host,
+         CAST(LEAST(3 + src_n % 4, FLOOR(1.0 / (0.5 + (src_n % 3) * 0.75))) AS INT) AS budget_k,
+         CAST(CEIL((0.5 + (src_n % 3) * 0.75) / 1.0) AS INT) AS cadence
+  FROM ({_SQL_URLS}) u) g
+WHERE 5 % cadence = 0 AND budget_k > 0
+GROUP BY host, budget_k
+"""
+
+
+# ------------------------------------------------- O13 offsite filter
+def q_offsite_filter(spark, sf):
+    fr = _frontier(spark, sf).withColumn(
+        "src_source", F.regexp_extract("url_canon", r"https://(src\d+)\.", 1)
+    )
+    # simulate cross-host discovered links: every 4th doc links a foreign host
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    link_host = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("src"), ((n + 1) % 20).cast("string"), F.lit(".example")),
+    ).otherwise(F.col("host"))
+    links = fr.withColumn("link_host", link_host)
+    allowed = links.select("src_source").distinct().withColumn(
+        "allowed_host", F.concat("src_source", F.lit(".example"))
+    )
+    return (
+        links.join(F.broadcast(allowed), "src_source")
+        .where(F.col("link_host") == F.col("allowed_host"))
+        .select("doc_id", "url_canon")
+    )
+
+
+SQL_OFFSITE = f"""
+SELECT doc_id, expected_canon AS url_canon FROM ({_SQL_URLS}) u
+WHERE doc_id % 4 <> 0
+"""
+
+
+# ------------------------------------------------- O12 retry bookkeeping
+def q_retry_policy(spark, sf):
+    fr = _frontier(spark, sf).withColumn("retry", (F.col("doc_id") % 4).cast("int"))
+    max_retries = 2
+    return fr.select(
+        "doc_id",
+        "url_canon",
+        F.when(F.col("retry") < max_retries, F.lit("requeue")).otherwise(F.lit("drop")).alias("disposition"),
+        F.when(F.col("retry") < max_retries, F.col("retry") + 1).otherwise(F.col("retry")).cast("int").alias("next_retry"),
+    )
+
+
+SQL_RETRY = f"""
+SELECT doc_id, expected_canon AS url_canon,
+       CASE WHEN doc_id % 4 < 2 THEN 'requeue' ELSE 'drop' END AS disposition,
+       CAST(CASE WHEN doc_id % 4 < 2 THEN doc_id % 4 + 1 ELSE doc_id % 4 END AS INT) AS next_retry
+FROM ({_SQL_URLS}) u
+"""
+
+
+# ------------------------------------------------- O9 outlink explode
+def q_outlink_explode(spark, sf):
+    fr = _frontier(spark, sf)
+    links = F.array(
+        F.concat(F.col("url_canon"), F.lit("/next")),
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/doc/"), (F.col("doc_id") + 1)),
+    )
+    return fr.select("doc_id", F.explode(links).alias("out_url"))
+
+
+SQL_OUTLINKS = f"""
+SELECT doc_id, unnest([
+  expected_canon || '/next',
+  'https://' || host || '/doc/' || (doc_id + 1)
+]) AS out_url
+FROM ({_SQL_URLS}) u
+"""
+
+
+# ----------------------------------- O15 lineage-shaped per-host rollup
+def q_lineage_rollup(spark, sf):
+    fr = _frontier(spark, sf)
+    return (
+        fr.rollup("host")
+        .agg(F.count(F.lit(1)).alias("fetched"), F.max("priority").alias("max_priority"))
+        .select(F.coalesce("host", F.lit("TOTAL")).alias("host"), "fetched", "max_priority")
+    )
+
+
+SQL_LINEAGE = f"""
+SELECT COALESCE(host, 'TOTAL') AS host, COUNT(*) AS fetched,
+       MAX(n_chars % 100) AS max_priority
+FROM ({_SQL_URLS}) u
+GROUP BY ROLLUP (host)
+"""
+
+
+QUERIES = {
+    "crawl_canonicalize_urls": (q_canonicalize, SQL_CANON),
+    "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),
+    "crawl_seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTI),
+    "crawl_bloom_dedup_exactness": (q_bloom_dedup, SQL_BLOOM),
+    "crawl_robots_gate": (q_robots_gate, SQL_ROBOTS),
+    "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
+    "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
+    "crawl_retry_policy": (q_retry_policy, SQL_RETRY),
+    "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),
+    "crawl_lineage_rollup": (q_lineage_rollup, SQL_LINEAGE),
+}

@@ -1,0 +1,162 @@
+"""End-to-end crawl on the synthetic web (SURVEY §5.2): coverage,
+byte parity of crawled offers, politeness/robots invariants,
+determinism across runs, and kill-resume equivalence.
+
+Uses the 300-page fixture so the whole module stays a few minutes.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from fixtures.gen_pages import ensure_fixture  # noqa: E402
+
+from crawlers_spark.plans.wave import CrawlConfig, CrawlEngine  # noqa: E402
+
+STATE = REPO / "_data" / "test_states"
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return ensure_fixture(300)
+
+
+def make_engine(spark, fx, name, **cfg_kw):
+    root = STATE / name
+    shutil.rmtree(root, ignore_errors=True)
+    seeds = json.loads((fx / "seeds.json").read_text())
+    cfg = CrawlConfig(hot_hosts={"src0.example": 4, "src1.example": 4}, **cfg_kw)
+    return CrawlEngine(
+        spark,
+        str(fx / "pages.parquet"),
+        seeds,
+        spark.read.parquet(str(fx / "robots.parquet")),
+        spark.read.parquet(str(fx / "politeness.parquet")),
+        root,
+        cfg,
+    )
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, fx):
+    eng = make_engine(spark, fx, "e2e")
+    stats = eng.run(max_waves=40)
+    return eng, stats
+
+
+def _reachable_expected(spark, fx):
+    from pyspark.sql import functions as F
+
+    exp = spark.read.parquet(str(fx / "expected_offers.parquet"))
+    host_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    return exp.where(
+        ~(F.col("url").contains("/private/") & (host_num % 2 == 0))
+    )
+
+
+def test_full_coverage_and_parity(spark, fx, crawled):
+    eng, stats = crawled
+    assert stats[-1]["quiesced"]
+    offers = eng.offers()
+    expected = _reachable_expected(spark, fx)
+    exp_rows = {r["url"]: r for r in expected.collect()}
+    got_rows = {r["url"]: r for r in offers.collect()}
+    assert set(got_rows) == set(exp_rows)
+    for url, e in exp_rows.items():
+        g = got_rows[url]
+        assert g["extracted_text"] == e["extracted_text"], url
+        assert g["publication_ts"] == e["publication_ts"], url
+
+
+def test_no_duplicate_fetches(crawled):
+    """Seen-set exactness: every url fetched at most once over the run."""
+    eng, _ = crawled
+    log = eng.wave_log().groupBy("url_canon").count().where("count > 1")
+    assert log.count() == 0
+
+
+def test_robots_invariant(spark, fx, crawled):
+    """No disallowed path was ever fetched (even hosts disallow /private/)."""
+    from pyspark.sql import functions as F
+
+    eng, _ = crawled
+    host_num = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    bad = eng.wave_log().where(
+        F.col("url_canon").contains("/private/") & (host_num % 2 == 0)
+    )
+    assert bad.count() == 0
+
+
+def test_politeness_invariant(spark, fx, crawled):
+    """Per-host per-wave fetch counts never exceed the host budget."""
+    from pyspark.sql import functions as F
+
+    eng, _ = crawled
+    pol = spark.read.parquet(str(fx / "politeness.parquet"))
+    counts = eng.wave_log().groupBy("wave", "host").count()
+    over = (
+        counts.join(pol, "host")
+        .where(F.col("count") > F.least("max_per_wave", F.floor(60.0 / F.col("delay_s"))))
+    )
+    assert over.count() == 0
+
+
+def test_lineage_totals(crawled):
+    """Per-partition lineage sums equal the wave-log row counts."""
+    eng, _ = crawled
+    lin = {r["wave"]: r["fetched"] for r in eng.lineage().groupBy("wave").sum("fetched").withColumnRenamed("sum(fetched)", "fetched").collect()}
+    log = {r["wave"]: r["n"] for r in eng.wave_log().groupBy("wave").count().withColumnRenamed("count", "n").collect()}
+    for wave, n in log.items():
+        assert lin.get(wave, 0) == n
+
+
+def test_determinism_two_runs(spark, fx, crawled):
+    """Same seeds + budgets ⇒ identical wave-by-wave fetch log (SURVEY §5.2.4)."""
+    eng1, _ = crawled
+    eng2 = make_engine(spark, fx, "determinism")
+    eng2.run(max_waves=40)
+    log1 = sorted(map(tuple, eng1.wave_log().collect()))
+    log2 = sorted(map(tuple, eng2.wave_log().collect()))
+    assert log1 == log2
+
+
+def test_kill_and_resume(spark, fx, crawled):
+    """Interrupt after 3 waves; a NEW engine resumes to identical state."""
+    eng1, _ = crawled
+    part = make_engine(spark, fx, "resume")
+    part.run(max_waves=3)
+    assert part.io.last_committed_wave() == 3
+    resumed = CrawlEngine(
+        spark,
+        str(fx / "pages.parquet"),
+        json.loads((fx / "seeds.json").read_text()),
+        spark.read.parquet(str(fx / "robots.parquet")),
+        spark.read.parquet(str(fx / "politeness.parquet")),
+        STATE / "resume",
+        CrawlConfig(hot_hosts={"src0.example": 4, "src1.example": 4}),
+    )
+    resumed.run(max_waves=40)
+    assert sorted(map(tuple, resumed.wave_log().collect())) == sorted(
+        map(tuple, eng1.wave_log().collect())
+    )
+    assert sorted(r["url"] for r in resumed.offers().select("url").collect()) == sorted(
+        r["url"] for r in eng1.offers().select("url").collect()
+    )
+
+
+def test_bloom_equals_exact(spark, fx, crawled):
+    """Bloom-accelerated run ≡ bloom-off run (exactness guard, §4.3.2)."""
+    eng1, _ = crawled
+    nobloom = make_engine(spark, fx, "nobloom", use_bloom=False)
+    nobloom.run(max_waves=40)
+    assert sorted(map(tuple, nobloom.wave_log().collect())) == sorted(
+        map(tuple, eng1.wave_log().collect())
+    )
