@@ -1,0 +1,133 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries of the engine at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``
+(default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two workload groups:
+
+- harness queries from ``crawlers_spark.harness`` (the SURVEY §2
+  operator surface over the driver testdata) — each timed to full
+  materialization via the ``noop`` sink (no collect; executors do all
+  the work, like a cluster write would);
+- the crawl itself (``crawl_e2e``): a full multi-wave frontier run on
+  the deterministic synthetic web fixture — the BASELINE.json headline
+  metric, also reported as ``urls_per_sec``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from crawlers_spark import harness  # noqa: E402
+from crawlers_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# e2e crawl is politeness-budget-bound (many small waves, driver barrier
+# each) — bench it small; bulk fetch+extract is the engine-bound
+# throughput headline and runs at 10× the pages.
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000"))
+BULK_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_BULK_PAGES", "20000"))
+
+# Headline subset: one representative per operator family (full set runs
+# in the driver's sf0.01 correctness gate; bench tracks the heavy ones).
+HEADLINE = [
+    "rel_pricing_summary",        # full-scan hash agg (TPC-H Q1 shape)
+    "rel_shipping_priority",      # 3-way join + agg + top-k (Q3 shape)
+    "rel_region_revenue",         # broadcast dims + big join (Q5 shape)
+    "rel_salted_part_revenue_top20",  # skew-salted two-phase agg
+    "rel_window_top3_orders_per_customer",  # window top-k
+    "rel_asof_click_before_purchase", # as-of join
+    "rel_sessionize_events",      # gap sessionization (window chains)
+    "crawl_canonicalize_urls",    # vectorized Arrow canonicalization
+    "crawl_frontier_topk_per_host",   # salted frontier priority queue
+    "crawl_seen_antijoin",        # 10^10-design seen-set dedup shape
+    "docs_minhash_lsh_pairs",     # MinHash+LSH near-dup (may be absent)
+    "docs_exact_dedup",
+    "embed_cosine_topk",          # brute-force ANN baseline
+]
+
+
+def _bench_queries(spark) -> dict[str, float]:
+    qs = harness.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def _bench_crawl(spark) -> tuple[float, float]:
+    from scripts.run_crawl import run_crawl
+
+    state = Path(tempfile.mkdtemp(prefix="bench_crawl_"))
+    try:
+        out, _stats, _eng = run_crawl(CRAWL_PAGES, CPUS, state, spark=spark)
+        return out["wall_s"], out["urls_per_sec"]
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def _bench_bulk(spark) -> tuple[float, float]:
+    import time as _t
+
+    from fixtures.gen_pages import ensure_fixture
+    from scripts.bench_bulk import bulk_pipeline
+
+    fx = ensure_fixture(BULK_PAGES)
+    spark.read.parquet(str(fx / "pages.parquet")).count()  # warm footer cache
+    t0 = _t.perf_counter()
+    offers, links = bulk_pipeline(spark, fx)
+    offers.count()
+    links.count()
+    wall = round(_t.perf_counter() - t0, 2)
+    return wall, round(BULK_PAGES / wall, 1)
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    t0 = time.perf_counter()
+    times = _bench_queries(spark)
+    crawl_wall, e2e_urls_per_sec = _bench_crawl(spark)
+    times["crawl_e2e"] = crawl_wall
+    bulk_wall, bulk_urls_per_sec = _bench_bulk(spark)
+    times["crawl_bulk_fetch_extract"] = bulk_wall
+    total = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_crawl_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "urls_per_sec": bulk_urls_per_sec,
+                "bulk_pages": BULK_PAGES,
+                "e2e_urls_per_sec": e2e_urls_per_sec,
+                "crawl_pages": CRAWL_PAGES,
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

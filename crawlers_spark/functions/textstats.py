@@ -1,0 +1,149 @@
+"""Text-analysis functions for training-data pipelines.
+
+Language-ID, quality scoring, token counting, and winnowing document
+fingerprints — all pure Catalyst expressions (string/array built-ins;
+no Python in the hot path), so they inline into whole-stage codegen and
+run at scan speed over 100 TB.
+
+The reference (pyjobs/crawlers) has no corpus analytics — its closest
+analog is per-spider text cleanup inside extraction callbacks (SURVEY
+§2.1 O10). These are the training-data extensions the brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists. A real deployment ships fastText
+# lid.176 behind a pandas UDF; the n-gram/stopword heuristic is the
+# deterministic, dependency-free baseline (and the oracle contract).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "pour", "dans", "que"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht", "mit", "für", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+}
+_LANGS = sorted(LANG_STOPWORDS)  # deterministic tie-break order
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single other glyph.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokens (empty array for blank text)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens_ws(text)).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter/digit runs + punctuation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """(lang, stopword-hit count) per language, duplicates weighted."""
+    ws = F.transform(tokens_ws(text), F.lower)
+
+    # factory, not `lambda acc, w, sw=sw` — PySpark reads lambda arity
+    # from the Python signature, so default args change the semantics
+    def _hit(sw):
+        return lambda acc, w: acc + F.when(F.array_contains(sw, w), 1).otherwise(0)
+
+    out = []
+    for lang in _LANGS:
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        out.append((lang, F.aggregate(ws, F.lit(0), _hit(sw))))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax-by-stopword-hits language guess ('und' when no hits).
+
+    Ties break by language code order — deterministic, matching the
+    SQL oracle's ``ORDER BY hits DESC, lang ASC LIMIT 1``.
+    """
+    scores = lang_scores(text)
+    best_lang, best_hits = F.lit(_LANGS[0]), scores[0][1]
+    for lang, hits in scores[1:]:
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (Gopher/C4-style cheap filters).
+
+    All ratios are exact integer counts divided once at the end, so any
+    engine computing the same counts gets bit-identical doubles.
+    """
+    n_chars = F.length(text).cast("long")
+    ws = tokens_ws(text)
+    n_tokens = F.size(ws).cast("long")
+    n_alpha_tokens = F.size(F.filter(ws, lambda w: w.rlike("^[A-Za-z]+$"))).cast("long")
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)).cast("long")
+    n_stopword = F.aggregate(
+        F.transform(ws, F.lower),
+        F.lit(0),
+        lambda acc, w: acc
+        + F.when(F.array_contains(F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]]), w), 1).otherwise(0),
+    ).cast("long")
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.when(n_tokens > 0, n_alpha_tokens.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stopword.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0)),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_ok(text: Column, *, min_tokens: int = 10, max_mean_word_len: float = 12.0) -> Column:
+    """C4-ish keep/drop: enough tokens, sane word lengths, some stopwords."""
+    q = quality_features(text)
+    return (
+        (q["n_tokens"] >= min_tokens)
+        & (q["mean_word_len"] <= max_mean_word_len)
+        & (q["stopword_ratio"] > 0.0)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03).
+
+    k-gram hashes per position; each length-``w`` window contributes its
+    minimum hash; distinct minima are the document's fingerprints.
+    Hashes are md5 hex strings so window MIN is engine-portable. The
+    rolling min is a bounded ROWS window — per-document partitions, so
+    it parallelizes across documents (the 100 TB unit of work).
+    """
+    from crawlers_spark.operators.textdedup import shingles
+
+    grams = df.select(
+        F.col(id_col), F.posexplode(shingles(F.col(text_col), k)).alias("pos", "gram")
+    ).select(id_col, "pos", F.md5("gram").alias("ghash"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("ghash").over(win))
+        # windows that extend past the end are not full-width; the last
+        # full window starts at n_grams - w  (SQL oracle mirrors this)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .where((F.col("pos") <= F.col("n") - w) | (F.col("pos") == 0))
+        .select(id_col, "fp")
+        .distinct()
+    )

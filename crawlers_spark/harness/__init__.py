@@ -30,9 +30,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crawlers_spark.harness import crawl, docs, embed, relational, stream
+from crawlers_spark.harness import crawl, docs, embed, media, relational, stream
 
-_MODULES = [relational, crawl, docs, embed, stream]
+_MODULES = [relational, crawl, docs, embed, media, stream]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,1 +1,324 @@
-QUERIES = {}
+"""Training-data pipeline ops over ``documents`` under the DuckDB oracle.
+
+The Spark side calls the *real* engine operators
+(``crawlers_spark.operators.textdedup`` / ``functions.textstats``) in
+``hash_mode='md5'`` so the SQL oracle can restate the contract exactly:
+every hash is an md5 hex string (MIN is lexicographic in both engines)
+and every ratio is exact-integer counts with a single final division —
+bit-identical doubles on both sides.
+
+Corpus construction (same on both sides) injects duplicates so dedup
+has something to find:
+    originals                        (doc_id)
+  ∪ exact copies   of doc_id%5=0    (doc_id+10000, same text)
+  ∪ near copies    of doc_id%7=0    (doc_id+20000, text + ' extra, tail!')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlers_spark.functions.textstats import (
+    BPE_TOKEN_RE,
+    LANG_STOPWORDS,
+    lang_id,
+    quality_features,
+    quality_ok,
+    token_count_bpe,
+    token_count_ws,
+    winnow_fingerprints,
+)
+from crawlers_spark.harness.common import load
+from crawlers_spark.operators.textdedup import (
+    exact_dedup,
+    jaccard_on_pairs,
+    minhash_lsh_pairs,
+    simhash_expr,
+    simhash_near_pairs,
+)
+
+NEAR_SUFFIX = " extra, tail!"
+
+
+def _corpus(spark, sf):
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_SQL_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000, text || '{NEAR_SUFFIX}' FROM documents WHERE doc_id % 7 = 0
+"""
+
+# shared SQL fragments -------------------------------------------------
+_SQL_WORDS = rf"""
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM ({_SQL_CORPUS})
+"""
+
+_SQL_SHINGLES3 = f"""
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                                      i -> array_to_string(ws[i:i+2], ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM ({_SQL_WORDS})
+"""
+
+
+# ------------------------------------------------------- exact dedup
+def q_exact_dedup(spark, sf):
+    return exact_dedup(_corpus(spark, sf), "doc_id", "text")
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT min(doc_id) AS doc_id, md5(text) AS digest, COUNT(*) AS n_copies
+FROM ({_SQL_CORPUS}) GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------ MinHash + LSH
+def q_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(
+        _corpus(spark, sf), "doc_id", "text",
+        k=3, n_hashes=12, n_bands=4, hash_mode="md5",
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH sh AS ({_SQL_SHINGLES3}),
+sig AS (
+  SELECT doc_id, i, min(md5(i || '|' || shingle)) AS s
+  FROM sh CROSS JOIN range(0, 12) t(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 3 AS band_id, md5(string_agg(s, '|' ORDER BY i)) AS band_key
+  FROM sig GROUP BY doc_id, i // 3)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------------ SimHash
+def q_simhash(spark, sf):
+    return _corpus(spark, sf).select(
+        "doc_id", simhash_expr(F.col("text"), bits=16).alias("sig")
+    )
+
+
+_SQL_SIMHASH_SIGS = f"""
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+  FROM (
+    SELECT doc_id, b,
+           sum(CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(md5(w), 1 + b // 4, 1)) - 1)
+                          >> (b % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS v
+    FROM (SELECT doc_id, unnest(ws) AS w FROM ({_SQL_WORDS}))
+    CROSS JOIN range(0, 16) t(b)
+    GROUP BY doc_id, b)
+  GROUP BY doc_id
+"""
+
+SQL_SIMHASH = f"SELECT doc_id, sig FROM ({_SQL_SIMHASH_SIGS})"
+
+
+def q_simhash_near_pairs(spark, sf):
+    return simhash_near_pairs(
+        _corpus(spark, sf), "doc_id", "text", bits=16, max_hamming=3
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sigs AS ({_SQL_SIMHASH_SIGS}),
+blocks AS (
+  SELECT doc_id, sig, b AS block_id, substr(sig, CAST(b * 4 + 1 AS INT), 4) AS block_key
+  FROM sigs CROSS JOIN range(0, 4) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM blocks a JOIN blocks b USING (block_id, block_key)
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT id_a, id_b,
+         CAST(sum(CASE WHEN substr(sig_a, CAST(p AS INT), 1)
+                         <> substr(sig_b, CAST(p AS INT), 1) THEN 1 ELSE 0 END) AS INT) AS hamming
+  FROM cand CROSS JOIN range(1, 17) r(p) GROUP BY id_a, id_b)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
+# ----------------------------------------------------- n-gram Jaccard
+def q_ngram_jaccard(spark, sf):
+    d = load(spark, sf, "documents")
+    pairs = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000).alias("id_b"))
+        .unionByName(
+            d.where(F.col("doc_id") % 7 == 0).select(
+                F.col("doc_id").alias("id_a"), (F.col("doc_id") + 20000).alias("id_b")
+            )
+        )
+    )
+    return jaccard_on_pairs(_corpus(spark, sf), pairs, "doc_id", "text", k=3)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES3}),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 20000 FROM documents WHERE doc_id % 7 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes na ON na.doc_id = p.id_a
+JOIN sizes nb ON nb.doc_id = p.id_b
+"""
+
+
+# -------------------------------------------------------- language ID
+def q_lang_id(spark, sf):
+    return load(spark, sf, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+_SQL_LANG_LISTS = ", ".join(
+    "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in ws))
+    for lang, ws in sorted(LANG_STOPWORDS.items())
+)
+
+SQL_LANG_ID = rf"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id, l.lang, sum(CASE WHEN list_contains(l.sw, t) THEN 1 ELSE 0 END) AS h
+  FROM tok CROSS JOIN (VALUES {_SQL_LANG_LISTS}) l(lang, sw)
+  GROUP BY doc_id, l.lang),
+best AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
+  FROM hits)
+SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_guess
+FROM best WHERE rn = 1
+"""
+
+
+# ----------------------------------------------------- quality scores
+def q_quality(spark, sf):
+    c = _corpus(spark, sf)
+    q = quality_features(F.col("text"))
+    return c.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+        quality_ok(F.col("text")).alias("quality_ok"),
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+SQL_QUALITY = rf"""
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+       (n_tokens >= 10
+        AND (CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) <= 12.0
+        AND (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) > 0.0
+       ) AS quality_ok
+FROM (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(ws, w -> list_contains([{_EN_LIST}], lower(w)))) AS BIGINT) AS n_stop,
+         list_sum(list_transform(ws, w -> length(w))) AS sum_len
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws
+        FROM ({_SQL_CORPUS})))
+"""
+
+
+# ------------------------------------------------------ token counting
+def q_token_counts(spark, sf):
+    c = _corpus(spark, sf)
+    return c.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+SQL_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe
+FROM ({_SQL_CORPUS})
+"""
+
+
+# ------------------------------------------- winnowing fingerprints
+def q_winnow(spark, sf):
+    return winnow_fingerprints(
+        load(spark, sf, "documents"), "doc_id", "text", k=4, w=5
+    )
+
+
+SQL_WINNOW = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, u['pos'] AS pos, md5(u['gram']) AS ghash FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ws) >= 4
+      THEN list_transform(range(1, len(ws) - 2),
+                          i -> {{'pos': i - 1, 'gram': array_to_string(ws[i:i+3], ' ')}})
+      ELSE [{{'pos': CAST(0 AS BIGINT), 'gram': array_to_string(ws, ' ')}}] END) AS u
+    FROM w)),
+mins AS (
+  SELECT doc_id, pos,
+         min(ghash) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams)
+SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n - 5 OR pos = 0
+"""
+
+
+QUERIES = {
+    "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "docs_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "docs_simhash": (q_simhash, SQL_SIMHASH),
+    "docs_simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
+    "docs_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "docs_lang_id": (q_lang_id, SQL_LANG_ID),
+    "docs_quality": (q_quality, SQL_QUALITY),
+    "docs_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "docs_winnow_fingerprints": (q_winnow, SQL_WINNOW),
+}

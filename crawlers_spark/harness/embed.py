@@ -1,1 +1,153 @@
-QUERIES = {}
+"""Similarity search over ``embeddings`` under the DuckDB oracle.
+
+The Spark side calls the real engine operators
+(``crawlers_spark.operators.similarity``). Numeric portability comes
+from integer quantization (round(x*1000) → exact bigint dot products,
+order-independent) and a floor-based round6 written identically in
+both engines — see ``similarity.py``'s module docstring.
+
+Near-dup corpus (same on both sides): embeddings ∪ doubled copies
+(vec_id+10000, 2·embedding) of vec_id%10=0 — same direction, so each
+copy is an exact cosine≈1 duplicate of its original.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlers_spark.harness.common import load
+from crawlers_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+N_DIMS = 64
+
+# Quantized-vector + round6 SQL fragments (the oracle restatement of
+# similarity.py's contract).
+_Q = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_ROUND6 = "floor({} * 1000000.0 + 0.5) / 1000000.0"
+
+_SQL_DOTS = f"""
+  SELECT q.query_id, c.neighbor_id,
+         sum(q.qv[CAST(d AS INT)] * c.cv[CAST(d AS INT)]) AS dot,
+         sum(q.qv[CAST(d AS INT)] * q.qv[CAST(d AS INT)]) AS nq,
+         sum(c.cv[CAST(d AS INT)] * c.cv[CAST(d AS INT)]) AS nc
+  FROM (SELECT vec_id AS query_id, {_Q} AS qv FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN (SELECT vec_id AS neighbor_id, {_Q} AS cv FROM embeddings) c
+  CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  WHERE c.neighbor_id <> q.query_id
+  GROUP BY q.query_id, c.neighbor_id
+"""
+
+
+# ------------------------------------------------ brute-force top-k
+def q_cosine_topk(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return cosine_topk(e.where(F.col("vec_id") < 10), e, k=5)
+
+
+SQL_COSINE_TOPK = f"""
+WITH scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)) / sqrt(CAST(nc AS DOUBLE)) AS sim
+  FROM ({_SQL_DOTS})),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, {_ROUND6.format('sim')} AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------- LSH-bucketed top-k
+def q_lsh_topk(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return lsh_topk(e.where(F.col("vec_id") < 10), e, k=5, n_planes=4, use_udf=True)
+
+
+_SQL_BUCKETS = f"""
+  SELECT vec_id, v, string_agg(bit, '' ORDER BY p) AS bucket FROM (
+    SELECT e.vec_id, e.v, pl.p,
+           CASE WHEN sum(pl.w * e.v[CAST(pl.d + 1 AS INT)]) >= 0 THEN '1' ELSE '0' END AS bit
+    FROM (SELECT vec_id, {_Q} AS v FROM embeddings) e
+    CROSS JOIN (
+      SELECT p, d, strpos('0123456789abcdef', substr(md5(p || '_' || d), 1, 1)) - 9 AS w
+      FROM range(0, 4) pp(p) CROSS JOIN range(0, {N_DIMS}) dd(d)) pl
+    GROUP BY e.vec_id, e.v, pl.p)
+  GROUP BY vec_id, v
+"""
+
+SQL_LSH_TOPK = f"""
+WITH b AS ({_SQL_BUCKETS}),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.v[CAST(d AS INT)] * c.v[CAST(d AS INT)]) AS dot,
+         sum(q.v[CAST(d AS INT)] * q.v[CAST(d AS INT)]) AS nq,
+         sum(c.v[CAST(d AS INT)] * c.v[CAST(d AS INT)]) AS nc
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  WHERE q.vec_id < 10
+  GROUP BY q.vec_id, c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)) / sqrt(CAST(nc AS DOUBLE)) AS sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)) / sqrt(CAST(nc AS DOUBLE)) DESC,
+                                          neighbor_id ASC) AS INT) AS rank
+  FROM dots)
+SELECT query_id, rank, neighbor_id, {_ROUND6.format('sim')} AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+# -------------------------------------- embedding near-dup pairs
+def q_near_dup(spark, sf):
+    e = load(spark, sf, "embeddings")
+    doubled = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
+        "label",
+    )
+    return embedding_near_dup_pairs(
+        e.unionByName(doubled), threshold=0.999, n_planes=4
+    )
+
+
+SQL_NEAR_DUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+  FROM embeddings WHERE vec_id % 10 = 0),
+b AS (
+  SELECT vec_id, v, string_agg(bit, '' ORDER BY p) AS bucket FROM (
+    SELECT e.vec_id, e.v, pl.p,
+           CASE WHEN sum(pl.w * e.v[CAST(pl.d + 1 AS INT)]) >= 0 THEN '1' ELSE '0' END AS bit
+    FROM (SELECT vec_id, {_Q} AS v FROM corpus) e
+    CROSS JOIN (
+      SELECT p, d, strpos('0123456789abcdef', substr(md5(p || '_' || d), 1, 1)) - 9 AS w
+      FROM range(0, 4) pp(p) CROSS JOIN range(0, {N_DIMS}) dd(d)) pl
+    GROUP BY e.vec_id, e.v, pl.p)
+  GROUP BY vec_id, v),
+sims AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         CAST(sum(a.v[CAST(d AS INT)] * c.v[CAST(d AS INT)]) AS DOUBLE)
+           / sqrt(CAST(sum(a.v[CAST(d AS INT)] * a.v[CAST(d AS INT)]) AS DOUBLE))
+           / sqrt(CAST(sum(c.v[CAST(d AS INT)] * c.v[CAST(d AS INT)]) AS DOUBLE)) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY a.vec_id, c.vec_id)
+SELECT id_a, id_b, {_ROUND6.format('sim')} AS cosine_sim
+FROM sims WHERE sim >= 0.999
+"""
+
+
+QUERIES = {
+    "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embed_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "embed_near_dup_pairs": (q_near_dup, SQL_NEAR_DUP),
+}

@@ -1,0 +1,151 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` stages — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested; the
+actual codec calls are stubbed because no image/audio libraries exist
+in this sandbox:
+
+- ``decode_media``      — parses deterministic fake "header" features
+  from the bytes (length, md5 digest, digest-derived width/height/
+  duration). With ``real_codecs=True`` it raises ``NotImplementedError``
+  at the exact point a Pillow/ffmpeg call would go.
+- ``resize_images`` / ``sample_frames`` — same pattern: deterministic
+  fake transform of the metadata, stubbed codec point.
+- ``embed_media``       — fake feature vector (digest-seeded floats) in
+  the exact shape a CLIP-style encoder would return, so downstream
+  similarity ops (operators/similarity.py) run unchanged on media.
+
+Scale notes: mapInPandas streams Arrow batches — peak memory is
+O(batch), not O(partition); binary payloads ride columnar through the
+scan, and metadata-only stages prune the bytes column (select before
+the UDF), so a width/height filter never deserializes pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, content binary, src_url string"
+)
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, digest string, "
+    "width int, height int, duration_s double"
+)
+
+_KINDS = ["image", "audio", "video"]
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents`` (the
+    sandbox stand-in for a WARC/object-store scan): content = utf-8
+    bytes of the text, kind cycles by doc_id."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.concat(F.lit("s3://corpus/"), F.col("doc_id")).alias("src_url"),
+    )
+
+
+def _nibble(hexdigest: str, i: int) -> int:
+    return int(hexdigest[i], 16)
+
+
+def _fake_header(kind: str, raw: bytes) -> tuple[int, int, float, str]:
+    """Deterministic digest-derived pseudo-metadata (width, height,
+    duration, digest). Identical in any engine that can md5 the bytes."""
+    d = hashlib.md5(raw).hexdigest()
+    width = 64 + _nibble(d, 0) * 16
+    height = 64 + _nibble(d, 1) * 16
+    duration = 0.0 if kind == "image" else float(1 + _nibble(d, 2))
+    return width, height, duration, d
+
+
+def decode_media(media: DataFrame, *, real_codecs: bool = False) -> DataFrame:
+    """binary → typed metadata via Arrow-batched mapInPandas."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_codecs:
+                # Pillow / soundfile / pyav decode goes here.
+                raise NotImplementedError("no media codecs in this sandbox")
+            rows = [
+                _fake_header(k, bytes(c)) for k, c in zip(pdf["kind"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "digest": [r[3] for r in rows],
+                    "width": np.array([r[0] for r in rows], dtype=np.int32),
+                    "height": np.array([r[1] for r in rows], dtype=np.int32),
+                    "duration_s": np.array([r[2] for r in rows], dtype=np.float64),
+                }
+            )
+
+    return media.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, *, max_side: int = 128) -> DataFrame:
+    """Metadata-side resize plan (aspect-preserving clamp to max_side).
+
+    Pure column math — the pixel resample itself is the stubbed codec
+    step; the new dims are what the real kernel would produce.
+    """
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        max_side / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return decoded.where(F.col("kind") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("new_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("new_height"),
+    )
+
+
+def sample_frames(decoded: DataFrame, *, fps: float = 1.0) -> DataFrame:
+    """Frame-sampling plan for videos: one row per sampled timestamp.
+
+    ``sequence`` + ``explode`` — frame extraction itself is the codec
+    stub; the sampled timestamps and output cardinality are real.
+    """
+    n = F.floor(F.col("duration_s") * fps).cast("int")
+    ts = F.transform(F.sequence(F.lit(0), n - 1), lambda i: i.cast("double") / fps)
+    return (
+        decoded.where(F.col("kind") == "video")
+        .select("media_id", "duration_s", F.explode(ts).alias("frame_ts"))
+    )
+
+
+def embed_media(media: DataFrame, *, dims: int = 8) -> DataFrame:
+    """Fake CLIP-style encoder: digest-seeded unit-scale floats.
+
+    Real shape, fake values: downstream ANN ops consume this exactly as
+    they would a real encoder's output.
+    """
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for c in pdf["content"]:
+                d = hashlib.md5(bytes(c)).digest()
+                v = np.frombuffer(d[:dims], dtype=np.uint8).astype(np.float64)
+                # single rounding to float32 — matches CAST(b/255.0-0.5 AS FLOAT)
+                vecs.append((v / 255.0 - 0.5).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+
+    return media.mapInPandas(_embed, "media_id long, embedding array<float>")

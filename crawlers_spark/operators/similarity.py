@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; random-hyperplane LSH
+buckets are the approximate scale path (probe only your bucket). An
+IVF-style variant falls out of the same shape (coarse k-means centroid
+id instead of hyperplane signs) — bucket key differs, probe join is
+identical.
+
+Numeric portability: embeddings are quantized to integers
+(``round(x * SCALE)``) before any arithmetic, so dot products and
+norms are *exact* integer sums — independent of summation order and
+bit-identical across Spark, DuckDB, and numpy. The only floating-point
+steps are two sqrt's and one division, written in the same shape on
+every engine. This is what lets the DuckDB oracle hash-match cosine
+scores; a production path can skip quantization and accept FP noise.
+
+Scale notes (10^9+ vectors):
+- ``cosine_topk`` broadcasts the (small) query set; the corpus scan is
+  embarrassingly parallel, partial top-k per partition via window —
+  no corpus shuffle.
+- ``rhp_bucket_udf`` is a vectorized numpy matmul per Arrow batch
+  (no per-row Python); buckets then behave like any other
+  equi-join key: co-partitionable, AQE-skew-splittable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000  # 3 decimal places survive round-trip through float32
+
+_HEX = "0123456789abcdef"
+
+
+def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> → array<bigint>, elementwise round(x*scale)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return _dot(a, a)
+
+
+def round6(c: Column) -> Column:
+    """floor(x*1e6 + 0.5)/1e6 — same FP ops in Spark/DuckDB/numpy, so
+    rounded similarities are bit-identical across engines (plain
+    round() differs: Spark uses BigDecimal HALF_UP, DuckDB its own)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def cosine(a_q: Column, b_q: Column) -> Column:
+    """Cosine over quantized vectors: exact ints, then /sqrt/sqrt."""
+    return (
+        _dot(a_q, b_q).cast("double")
+        / F.sqrt(_norm2(a_q).cast("double"))
+        / F.sqrt(_norm2(b_q).cast("double"))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+
+    Plan: broadcast-nested-loop of corpus × broadcast(queries) with the
+    cosine computed scan-side, then a per-query window top-k. The big
+    side never shuffles until the (tiny) ranked output.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", round6(F.col("cosine_sim")).alias("cosine_sim"))
+    )
+
+
+# ----------------------------------------------- random-hyperplane LSH
+def hyperplane_weight(plane: int, dim: int) -> int:
+    """Deterministic integer weight in [-8, 7]: md5 nibble of 'p_d'.
+
+    Pure data — identical in Python, SQL, and Spark expressions.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()
+    return _HEX.index(h[0]) - 8
+
+
+def rhp_bucket_expr(vec_q: Column, *, n_planes: int, n_dims: int) -> Column:
+    """LSH bucket key: sign-bit string of integer hyperplane dots."""
+    bits = []
+    for p in range(n_planes):
+        w = [hyperplane_weight(p, d) for d in range(n_dims)]
+        dot = F.aggregate(
+            F.zip_with(
+                vec_q,
+                F.array(*[F.lit(x).cast("long") for x in w]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def rhp_bucket_udf(n_planes: int, n_dims: int, scale: int = QUANT_SCALE):
+    """Vectorized numpy variant (the scale path): one int64 matmul per
+    Arrow batch. Bit-identical to ``rhp_bucket_expr`` by construction."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(
+        [[hyperplane_weight(p, d) for d in range(n_dims)] for p in range(n_planes)],
+        dtype=np.int64,
+    )
+
+    @pandas_udf("string")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64) * scale
+        # HALF_UP (away from zero), matching Spark/DuckDB round() — not np.rint
+        M = np.where(V >= 0, np.floor(V + 0.5), np.ceil(V - 0.5)).astype(np.int64)
+        signs = (M @ W.T) >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
+
+    return _bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    use_udf: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Recall < 1 by design (that's the trade); candidates shrink ~2^planes.
+    """
+    n_dims = len(corpus.select(vec_col).first()[0])
+    def with_bucket(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        qv = quantize(F.col(vec_col))
+        if use_udf:
+            bucket = rhp_bucket_udf(n_planes, n_dims)(F.col(vec_col))
+        else:
+            bucket = rhp_bucket_expr(qv, n_planes=n_planes, n_dims=n_dims)
+        return df.select(
+            F.col(id_col).alias(id_alias), qv.alias(vec_alias), bucket.alias("bucket")
+        )
+
+    q = with_bucket(queries, "query_id", "q_vec")
+    c = with_bucket(corpus, "neighbor_id", "c_vec")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", round6(F.col("cosine_sim")).alias("cosine_sim"))
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Near-duplicate (cosine ≥ threshold) pairs via LSH bucketing.
+
+    Pairs are generated only within buckets (hyperplane LSH preserves
+    angular closeness), then exact-cosine verified — same
+    prefilter-then-exact-guard shape as the crawl bloom dedup (§4.3.2).
+    """
+    n_dims = len(vectors.select(vec_col).first()[0])
+    qv = quantize(F.col(vec_col))
+    b = vectors.select(
+        F.col(id_col).alias("vid"),
+        qv.alias("v"),
+        rhp_bucket_expr(qv, n_planes=n_planes, n_dims=n_dims).alias("bucket"),
+    )
+    a = b.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    c = b.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", round6(F.col("cosine_sim")).alias("cosine_sim"))
+    )

@@ -1,0 +1,96 @@
+"""Bulk fetch+extract throughput bench (the BASELINE.json headline).
+
+One mega-wave over the synthetic web fixture — canonicalize → dedup →
+fetch join → extract offers + outlinks — with no politeness loop, so
+the number is engine-bound rather than budget-bound (the per-wave
+driver barrier in the e2e crawl is politeness semantics, not engine
+cost; see BASELINE.md).
+
+Also the scaling-efficiency probe: the same job at two parallelism
+levels (default local[8] vs local[32]) on the same input, reporting
+throughput at both and efficiency = (T_N / T_4N) / 4.
+
+Usage: python scripts/bench_bulk.py [n_pages] [cores ...]
+       (default: 50000 pages at 8 and 32 cores)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crawlers_spark.extraction.extractors import extract_offers, extract_outlinks  # noqa: E402
+from crawlers_spark.functions.canonicalize import with_canonical_url  # noqa: E402
+from crawlers_spark.operators.fetch import build_pages_index, fetch_outer  # noqa: E402
+from crawlers_spark.session import get_spark  # noqa: E402
+from fixtures.gen_pages import ensure_fixture  # noqa: E402
+
+
+def bulk_pipeline(spark, fx: Path):
+    """frontier(all urls) → canon → dedup → fetch → extract. Returns
+    (offers_df, outlinks_df) unevaluated."""
+    pages_path = str(fx / "pages.parquet")
+    pages_index = build_pages_index(spark, pages_path, cache_dir=None)
+    frontier = (
+        with_canonical_url(spark.read.parquet(pages_path).select("url"))
+        .withColumn("src_source", F.regexp_extract("host", r"^(src\d+)", 1))
+        .withColumn("priority", F.lit(100))
+        .withColumn("depth", F.lit(0))
+        .withColumn("retry", F.lit(0))
+        .dropDuplicates(["url_canon"])
+    )
+    fetched = fetch_outer(frontier, pages_index).where(F.col("fetch_ok"))
+    detail = fetched.where(F.col("url_canon").contains("/job/"))
+    offers = extract_offers(
+        detail.select(F.col("url_canon").alias("url"), "src_source", "html")
+    )
+    links = extract_outlinks(fetched.select("url", "src_source", "depth", "html"))
+    return offers, links
+
+
+def run_bulk(n_pages: int, cores: int) -> dict:
+    fx = ensure_fixture(n_pages)
+    spark = get_spark(f"bulk-{cores}", cores=cores, shuffle_partitions=cores)
+    try:
+        # warm the JVM + parquet footer caches so we time the work
+        spark.read.parquet(str(fx / "pages.parquet")).count()
+        t0 = time.perf_counter()
+        offers, links = bulk_pipeline(spark, fx)
+        n_offers = offers.count()
+        n_links = links.count()
+        wall = time.perf_counter() - t0
+        return {
+            "pages": n_pages,
+            "cores": cores,
+            "offers": n_offers,
+            "outlinks": n_links,
+            "wall_s": round(wall, 2),
+            "urls_per_sec": round(n_pages / wall, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    cores_list = [int(c) for c in sys.argv[2:]] or [8, 32]
+    results = [run_bulk(n_pages, c) for c in cores_list]
+    out = {"runs": results}
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        ratio = b["cores"] / a["cores"]
+        out["scaling_efficiency"] = round(
+            (b["urls_per_sec"] / a["urls_per_sec"]) / ratio, 3
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

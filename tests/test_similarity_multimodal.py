@@ -1,0 +1,124 @@
+"""Unit tests for embedding similarity search and multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlers_spark.operators.multimodal import (
+    decode_media,
+    embed_media,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+from crawlers_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+    rhp_bucket_expr,
+    rhp_bucket_udf,
+    quantize,
+)
+
+DIMS = 16
+
+
+def _vec(seed: int) -> list[float]:
+    # deterministic pseudo-random unit-ish vector
+    return [math.sin(seed * 31 + d * 7) for d in range(DIMS)]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [(i, _vec(i)) for i in range(30)]
+    rows.append((100, [2 * x for x in _vec(0)]))   # same direction as vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("float")).alias("embedding")
+    )
+
+
+def test_cosine_topk_finds_scaled_copy(vectors):
+    out = cosine_topk(vectors.where("vec_id = 0"), vectors, k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 100 and rows[0].cosine_sim > 0.999
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in rows)
+
+
+def test_lsh_expr_udf_agree(vectors):
+    """The numpy matmul path must produce the exact buckets of the
+    Catalyst expression path (same integer arithmetic)."""
+    expr = vectors.select(
+        "vec_id",
+        rhp_bucket_expr(quantize(F.col("embedding")), n_planes=6, n_dims=DIMS).alias("b"),
+    )
+    udf = vectors.select("vec_id", rhp_bucket_udf(6, DIMS)(F.col("embedding")).alias("b"))
+    a = {r.vec_id: r.b for r in expr.collect()}
+    b = {r.vec_id: r.b for r in udf.collect()}
+    assert a == b
+
+
+def test_lsh_topk_subset_of_brute_force(vectors):
+    """LSH results are a subset of brute-force candidates with identical
+    scores (recall may drop, precision may not)."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk(vectors.where("vec_id < 5"), vectors, k=30).collect()
+    }
+    approx = lsh_topk(vectors.where("vec_id < 5"), vectors, k=5, n_planes=2).collect()
+    for r in approx:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cosine_sim
+    # the scaled copy shares vec 0's bucket by construction → still found
+    assert any(r.query_id == 0 and r.neighbor_id == 100 for r in approx)
+
+
+def test_near_dup_pairs(vectors):
+    pairs = embedding_near_dup_pairs(vectors, threshold=0.999, n_planes=2).collect()
+    assert any({r.id_a, r.id_b} == {0, 100} for r in pairs)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some payload text") for i in range(9)],
+        "doc_id long, text string",
+    )
+    return synth_media(docs)
+
+
+def test_media_schema_and_decode(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r.kind in ("image", "audio", "video")
+        assert r.n_bytes > 0 and len(r.digest) == 32
+        assert 64 <= r.width <= 304 and 64 <= r.height <= 304
+        assert (r.duration_s == 0.0) == (r.kind == "image")
+
+
+def test_media_real_codecs_stub(media):
+    with pytest.raises(Exception, match="NotImplementedError|no media codecs"):
+        decode_media(media, real_codecs=True).collect()
+
+
+def test_resize_and_frames(media):
+    decoded = decode_media(media)
+    for r in resize_images(decoded, max_side=128).collect():
+        assert max(r.new_width, r.new_height) <= 128
+        # aspect preserved within rounding
+        assert abs(r.new_width / r.new_height - r.width / r.height) < 0.1
+    for r in sample_frames(decoded, fps=1.0).collect():
+        assert 0.0 <= r.frame_ts < r.duration_s
+
+
+def test_embed_media_shape(media):
+    out = embed_media(media, dims=8).collect()
+    assert len(out) == 9
+    for r in out:
+        assert len(r.embedding) == 8
+        assert all(-0.5 <= x <= 0.5 for x in r.embedding)

@@ -1,0 +1,137 @@
+"""Unit tests for training-data text ops (dedup families + analytics).
+
+Mirrors the reference's offline-fixture test style (SURVEY §5.1) on
+small in-memory corpora with known duplicate structure.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlers_spark.functions.textstats import (
+    lang_id,
+    quality_features,
+    quality_ok,
+    token_count_bpe,
+    token_count_ws,
+    winnow_fingerprints,
+)
+from crawlers_spark.operators.textdedup import (
+    exact_dedup,
+    jaccard_on_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    simhash_udf,
+)
+
+BASE = "spark engine crawls the web frontier with salted partitions and bloom filters for dedup at scale"
+NEAR = BASE + " extra"
+FAR = "completely different words about cooking pasta with tomatoes basil and olive oil tonight"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1
+        (4, FAR),
+        (5, "tiny doc"),    # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = {r.doc_id: r.n_copies for r in exact_dedup(corpus, "doc_id", "text").collect()}
+    assert out[1] == 2          # 1 and 2 collapse, min id kept
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+@pytest.mark.parametrize("hash_mode", ["md5", "xxhash64"])
+def test_minhash_lsh_finds_near_dups(corpus, hash_mode):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            corpus, "doc_id", "text", k=3, n_hashes=12, n_bands=4, hash_mode=hash_mode
+        ).collect()
+    }
+    assert (1, 2) in pairs      # exact dup: identical signatures
+    assert (1, 3) in pairs      # near dup: shares most shingles
+    assert not any({a, b} == {1, 4} or {a, b} == {3, 4} for a, b in pairs)
+
+
+def test_jaccard_values(spark, corpus):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    j = {(r.id_a, r.id_b): r.jaccard for r in jaccard_on_pairs(corpus, pairs, "doc_id", "text").collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0   # one extra token → one new shingle
+    assert j[(1, 4)] == 0.0
+
+
+def test_simhash_near_pairs(corpus):
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(
+        corpus, "doc_id", "text", bits=16, max_hamming=3
+    ).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert (1, 4) not in got
+
+
+def test_simhash_udf_64bit(corpus):
+    sigs = {r.doc_id: r.sig for r in corpus.select(
+        "doc_id", simhash_udf(64)(F.col("text")).alias("sig")
+    ).collect()}
+    assert sigs[1] == sigs[2]                     # identical text, identical sig
+    assert bin(sigs[1] ^ sigs[3]).count("1") <= 8  # near text, close sig
+    assert bin(sigs[1] ^ sigs[4]).count("1") > 8   # far text, far sig
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat sat on a mat and it is happy for now"),
+        (2, "le chat est dans la maison et il est pour un moment"),
+        (3, "der hund ist nicht auf das sofa und die katze"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert langs[1] == "en" and langs[2] == "fr" and langs[3] == "de" and langs[4] == "und"
+
+    q = quality_features(F.col("text"))
+    row = df.where("doc_id = 1").select(
+        *[v.alias(k) for k, v in q.items()], quality_ok(F.col("text")).alias("ok")
+    ).collect()[0]
+    assert row.n_tokens == 12 and row.alpha_ratio == 1.0 and row.ok
+    bad = df.where("doc_id = 4").select(quality_ok(F.col("text")).alias("ok")).collect()[0]
+    assert not bad.ok   # too few tokens, no stopwords
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, it's 42!"), (2, "  "), (3, "")],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.ws, r.bpe) for r in df.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+    ).collect()}
+    # hello | world | , | it | ' | s | 42 | !
+    assert got[1] == (4, 8)
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_winnow_substring_containment(spark):
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    contained = " ".join(f"w{i}" for i in range(10, 30))
+    df = spark.createDataFrame([(1, long_doc), (2, contained), (3, FAR)],
+                               "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=4, w=5)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    # a contained substring shares most fingerprints with its container
+    overlap = len(by_doc[1] & by_doc[2]) / len(by_doc[2])
+    assert overlap > 0.5
+    assert not (by_doc[1] & by_doc[3])
