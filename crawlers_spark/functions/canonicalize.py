@@ -77,8 +77,11 @@ def canonicalize_one(raw: str) -> str:
     except ValueError:
         return url  # unparseable: pass through untouched (never drop data)
     scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower().rstrip(".")
-    port = parts.port
+    try:
+        host = (parts.hostname or "").lower().rstrip(".")
+        port = parts.port  # raises ValueError on junk like 'http://::'
+    except ValueError:
+        return url  # unparseable authority: pass through untouched
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT.get(scheme, ""):
         netloc = f"{host}:{port}"

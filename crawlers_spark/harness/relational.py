@@ -442,6 +442,76 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+# --- cube over events --------------------------------------------------
+def q_cube_events(spark, sf):
+    ev = load(spark, sf, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dbl(F.sum(dec("value"))).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY CUBE (date_trunc('day', ts), event_type)
+"""
+
+
+# --- intersect: nations with both customers and suppliers ---------------
+def q_nations_cust_and_supp(spark, sf):
+    nation = load(spark, sf, "nation")
+    cust_n = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    supp_n = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = cust_n.intersect(supp_n)
+    return nation.join(both, nation.n_nationkey == both.nk).select("n_nationkey", "n_name")
+
+
+SQL_INTERSECT = """
+SELECT n_nationkey, n_name FROM nation
+JOIN (SELECT DISTINCT c_nationkey AS nk FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier) t
+ON n_nationkey = nk
+"""
+
+
+# --- approx_count_distinct within error bound ---------------------------
+def q_approx_distinct_bounds(spark, sf):
+    """HLL sketches differ per engine, so the *contract* is oracled:
+    approx within 5% of exact (the bool is what both sides compute)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .select(
+            "event_type",
+            "exact",
+            (F.abs(F.col("approx") - F.col("exact")) <= F.col("exact") * 0.05).alias(
+                "within_5pct"
+            ),
+        )
+    )
+
+
+SQL_APPROX = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact, TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "rel_shipping_priority": (q_shipping_priority, SQL_SHIPPING),
@@ -462,4 +532,7 @@ QUERIES = {
     "rel_sessionize_events": (q_sessionize_events, SQL_SESSION),
     "rel_asof_click_before_purchase": (q_asof_click_before_purchase, SQL_ASOF),
     "rel_hourly_event_windows": (q_hourly_event_windows, SQL_HOURLY),
+    "rel_cube_events": (q_cube_events, SQL_CUBE),
+    "rel_intersect_nations": (q_nations_cust_and_supp, SQL_INTERSECT),
+    "rel_approx_distinct_bounds": (q_approx_distinct_bounds, SQL_APPROX),
 }

@@ -30,9 +30,48 @@ from crawlers_spark.functions.canonicalize import with_canonical_url
 
 
 def build_pages_index(
-    spark: SparkSession, pages_path: str, cache_dir: str | Path | None = None
+    spark: SparkSession,
+    pages_path: str,
+    cache_dir: str | Path | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
-    """pages + ``url_canon`` join key (computed once, reused every wave)."""
+    """pages + ``url_canon`` join key (computed once, reused every wave).
+
+    With ``buckets`` set, the index is written ONCE as a parquet table
+    bucketed by ``url_canon`` — every later fetch join then reports
+    ``HashPartitioning(url_canon)`` from the scan itself, so only the
+    (small) candidate side exchanges and the html payload never crosses
+    a shuffle or the driver. This is the 100 TB layout; the plain
+    parquet cache is the quick path for small corpora.
+    """
+    if buckets is not None:
+        import hashlib
+
+        tag = hashlib.md5(f"{pages_path}|{buckets}".encode()).hexdigest()[:10]
+        table = f"pages_index_b{buckets}_{tag}"
+        if not spark.catalog.tableExists(table):
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = Path(warehouse.removeprefix("file:")) / table
+            if loc.exists():
+                # files survive sessions, in-memory catalog doesn't —
+                # re-register the existing bucketed layout
+                ddl = spark.read.parquet(str(loc)).schema.toDDL()
+                spark.sql(
+                    f"CREATE TABLE {table} ({ddl}) USING parquet "
+                    f"CLUSTERED BY (url_canon) SORTED BY (url_canon) "
+                    f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+                )
+            else:
+                pages = spark.read.parquet(pages_path)
+                indexed = with_canonical_url(pages, "url", "url_canon", host_out=None)
+                (
+                    indexed.write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(buckets, "url_canon")
+                    .sortBy("url_canon")
+                    .saveAsTable(table)
+                )
+        return spark.table(table)
     pages = spark.read.parquet(pages_path)
     indexed = with_canonical_url(pages, "url", "url_canon", host_out=None)
     if cache_dir is not None:
@@ -60,10 +99,12 @@ def fetch_with_misses(candidates: DataFrame, pages_index: DataFrame, columns: tu
 
 
 def fetch_outer(candidates: DataFrame, pages_index: DataFrame, columns: tuple[str, ...] = ("html",)) -> DataFrame:
-    """One outer join instead of inner+anti: adds ``fetch_ok`` flag.
+    """One outer join with a ``fetch_ok`` flag (legacy shape).
 
-    The caller persists the result and splits on the flag — halves the
-    number of probe passes over the pages side per wave.
+    CAUTION — scale trap: candidates sit on the LEFT of a left join, and
+    Spark cannot broadcast the left side, so this plan SHUFFLES the
+    html-bearing pages side. Use ``fetch_split`` (broadcast-candidates)
+    in anything hot; kept for small corpora and tests.
     """
     page_side = pages_index.select(
         "url_canon", F.col("warc_ts").alias("_page_ts"), *columns
@@ -71,3 +112,30 @@ def fetch_outer(candidates: DataFrame, pages_index: DataFrame, columns: tuple[st
     return candidates.join(page_side, "url_canon", "left").withColumn(
         "fetch_ok", F.col("_page_ts").isNotNull()
     ).withColumnRenamed("_page_ts", "warc_ts")
+
+
+def fetch_split(
+    candidates: DataFrame,
+    pages_index: DataFrame,
+    columns: tuple[str, ...] = ("html",),
+    broadcast_candidates: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(fetched, missed) with the corpus-never-moves join strategy.
+
+    - ``fetched`` = pages ⋈ broadcast(candidates), INNER: the wave's
+      candidate batch is politeness-budget-bounded, so it broadcasts;
+      the html column streams map-side from the scan into extraction —
+      zero bytes of page payload ever cross a shuffle.
+    - ``missed``  = candidates ⟕̸ pages_keys (left_anti) against a
+      keys-only projection — parquet column pruning makes that scan read
+      ~2% of the table's bytes, and only join keys shuffle.
+
+    For candidate batches too large to broadcast (bulk replays), pass
+    ``broadcast_candidates=False``; at warehouse scale the equivalent is
+    a bucketed-by-url_canon pages table making this join shuffle-free.
+    """
+    page_side = pages_index.select("url_canon", "warc_ts", *columns)
+    cand = F.broadcast(candidates) if broadcast_candidates else candidates
+    fetched = page_side.join(cand, "url_canon", "inner")
+    missed = candidates.join(pages_index.select("url_canon"), "url_canon", "left_anti")
+    return fetched, missed

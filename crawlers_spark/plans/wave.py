@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from crawlers_spark.extraction.extractors import extract_offers, extract_outlinks
 from crawlers_spark.functions.canonicalize import host_col, with_canonical_url
 from crawlers_spark.operators.dedup import BloomShards
-from crawlers_spark.operators.fetch import build_pages_index, fetch_outer
+from crawlers_spark.operators.fetch import build_pages_index, fetch_split
 from crawlers_spark.operators.frontier import select_wave_topk, with_salt
 from crawlers_spark.operators.politeness import politeness_budget
 from crawlers_spark.operators.robots import robots_flag
@@ -136,16 +136,37 @@ class CrawlEngine:
     def _stage(self, df: DataFrame, table: str, wave: int) -> str:
         n = self.cfg.output_coalesce
         if n is not None:
-            df = df.coalesce(n)
+            # repartition, NOT coalesce: coalesce(4) would collapse the
+            # whole upstream DAG (pandas-UDF extraction included) to 4
+            # tasks; repartition shuffles only the small output rows
+            df = df.repartition(n)
         return self.io.stage(df, table, wave)
 
-    def _read_frontier(self) -> DataFrame:
+    def _frontier_rels(self) -> list[str]:
         """Frontier has replace semantics: newest manifest entry wins."""
         for m in reversed(self.io._manifests()):
             if "frontier" in m["tables"]:
-                dirs = [str(self.io.root / rel) for rel in m["tables"]["frontier"]]
-                return self.spark.read.parquet(*dirs)
-        return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+                return m["tables"]["frontier"]
+        return []
+
+    def _read_frontier(self) -> DataFrame:
+        rels = self._frontier_rels()
+        if not rels:
+            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        return self.spark.read.parquet(*[str(self.io.root / rel) for rel in rels])
+
+    def _rowcount(self, rels: list[str]) -> int:
+        """Row count from parquet footers — a driver-side metadata read,
+        zero Spark jobs. (Counts are observability, not dataflow; on an
+        object store this is the same handful of footer GETs, or comes
+        free from write metrics.)"""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for rel in rels:
+            for f in sorted((self.io.root / rel).glob("*.parquet")):
+                n += pq.ParquetFile(f).metadata.num_rows
+        return n
 
     def _read_bloom(self) -> DataFrame | None:
         for m in reversed(self.io._manifests()):
@@ -160,11 +181,10 @@ class CrawlEngine:
     # ---------------------------------------------------------- one wave
     def run_wave(self, wave: int) -> dict:
         cfg = self.cfg
-        frontier = self._read_frontier().persist()
-        n_frontier = frontier.count()
+        n_frontier = self._rowcount(self._frontier_rels())
         if n_frontier == 0:
-            frontier.unpersist()
             return {"wave": wave, "frontier": 0, "fetched": 0, "quiesced": True}
+        frontier = self._read_frontier().persist()
 
         seen = self._read_seen()
         shards = self._read_bloom() if cfg.use_bloom else None
@@ -188,21 +208,24 @@ class CrawlEngine:
         # O5 bloom prefilter guarded by O4 exact anti-join
         unseen = self.bloom.filter_unseen(allowed, shards, seen)
 
-        # O8 fetch = one outer join against the page corpus; misses → O12
-        attempted = fetch_outer(unseen, self.pages_index).persist()
-        fetched = attempted.where(F.col("fetch_ok")).drop("fetch_ok")
-        missed = attempted.where(~F.col("fetch_ok")).drop("fetch_ok", "warc_ts", "html")
-        n_fetched = fetched.count()
+        # O8 fetch: pages ⋈ broadcast(candidates) — the wave batch is
+        # politeness-bounded so it broadcasts; page html never shuffles.
+        # Misses (corpus 404 analog) → O12 retry.
+        unseen = unseen.persist()
+        fetched, missed = fetch_split(unseen, self.pages_index)
+        fetched = fetched.persist()
 
         # O10 extraction (detail pages only, per-source vectorized UDFs)
         detail = fetched.where(F.col("url_canon").contains(cfg.detail_url_pattern))
         # offer identity is the canonical URL (the reference's dedup key)
         offers = extract_offers(
             detail.select(F.col("url_canon").alias("url"), "src_source", "html")
-        ).withColumn("wave", F.lit(wave).cast("long")).persist()
-        n_offers = offers.count()
+        ).withColumn("wave", F.lit(wave).cast("long"))
 
-        # O9 outlinks → canonicalize → O13 offsite → O18 depth bound
+        # O9 outlinks → canonicalize → O13 offsite → O18 depth bound.
+        # Persisted: filter_unseen fans out into two branches (bloom
+        # "definitely new" + exact anti-join guard) — without the persist
+        # the whole html→outlink pandas-UDF chain runs once per branch.
         links = extract_outlinks(fetched.select("url", "src_source", "depth", "html"))
         discovered = (
             with_canonical_url(links, "out_url", "url_canon")
@@ -219,7 +242,7 @@ class CrawlEngine:
                 F.lit(EPOCH).cast("timestamp").alias("discovered_ts"),
                 F.lit(0).alias("retry"),
             )
-        )
+        ).persist()
 
         # frontier' = (old − attempted/denied) ∪ retryable misses ∪ new links
         attempted_keys = selected.select("url_canon")
@@ -268,6 +291,21 @@ class CrawlEngine:
             merged = self.bloom.merge(shards, delta, wave)
             staged["bloom"] = [self._stage(merged, "bloom", wave)]
 
+        # deterministic wave log (ordering-parity oracle, FIXTURES B6)
+        wave_log = (
+            fetched.select(
+                F.lit(wave).cast("long").alias("wave"), "host", "url_canon",
+                F.col("host_rank").cast("int"),
+            )
+        )
+
+        # stage offers/wave_log first: their footer rowcounts ARE the
+        # wave's fetched/extracted metrics — no extra count() jobs
+        staged["offers"] = [self._stage(offers, "offers", wave)]
+        staged["wave_log"] = [self._stage(wave_log, "wave_log", wave)]
+        n_offers = self._rowcount(staged["offers"])
+        n_fetched = self._rowcount(staged["wave_log"])
+
         # O15 per-partition lineage
         lineage = (
             fetched.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -278,19 +316,9 @@ class CrawlEngine:
             .select("wave", "partition_id", "fetched", "extracted", "bloom_version")
         )
 
-        # deterministic wave log (ordering-parity oracle, FIXTURES B6)
-        wave_log = (
-            fetched.select(
-                F.lit(wave).cast("long").alias("wave"), "host", "url_canon",
-                F.col("host_rank").cast("int"),
-            )
-        )
-
-        staged["offers"] = [self._stage(offers, "offers", wave)]
         staged["seen"] = [self._stage(seen_delta, "seen", wave)]
         staged["frontier"] = [self._stage(next_frontier, "frontier", wave)]
         staged["lineage"] = [self._stage(lineage, "lineage", wave)]
-        staged["wave_log"] = [self._stage(wave_log, "wave_log", wave)]
 
         meta = {
             "frontier_in": n_frontier,
@@ -299,7 +327,7 @@ class CrawlEngine:
         }
         self.io.commit_wave(wave, staged, meta)
 
-        for df in (frontier, selected, flagged, attempted, offers, seen_delta):
+        for df in (frontier, selected, flagged, unseen, fetched, seen_delta, discovered):
             df.unpersist()
         return {"wave": wave, "frontier": n_frontier, "fetched": n_fetched, "offers": n_offers, "quiesced": False}
 

@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # html-heavy scans feed pandas-UDF extraction: smaller input
+        # splits keep every core busy (128m default → 1-2 tasks on the
+        # compressed fixture; at warehouse scale files are many and this
+        # only caps the per-task batch)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

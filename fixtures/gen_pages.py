@@ -89,6 +89,12 @@ def _date_str(family: int, key: str) -> str:
     return f"{day:02d}/{month:02d}/{year:04d}"
 
 
+# extra description words per page (0 = golden-fixture default). Heavy
+# fixtures (~real Common-Crawl page weight) set this so per-page
+# extraction CPU, not task latency, dominates the scaling bench.
+_DESC_EXTRA = 0
+
+
 def _description(key: str) -> str:
     n = 20 + h("dl|" + key) % 30
     toks = [WORDS[h(f"w|{key}|{i}") % len(WORDS)] for i in range(n)]
@@ -98,6 +104,11 @@ def _description(key: str) -> str:
         out.append(t)
         sep = h(f"s|{key}|{i}") % 10
         out.append("\n  " if sep == 0 else ("  " if sep == 1 else " "))
+    if _DESC_EXTRA:
+        # deterministic padding: tile the base tokens to target length
+        # (extraction cost scales with text length, not entropy)
+        reps = _DESC_EXTRA // max(len(toks), 1) + 1
+        out.extend((" ".join(toks) + " ") * reps)
     return "".join(out).rstrip()
 
 
@@ -218,10 +229,12 @@ def host_quota(total_pages: int, i: int) -> int:
     return (total_pages // 2) // (N_HOSTS - 2)
 
 
-def generate(total_pages: int, out_dir: str | Path) -> dict:
+def generate(total_pages: int, out_dir: str | Path, desc_extra: int = 0) -> dict:
     """Write pages/seeds/robots/politeness/expected_offers under out_dir."""
+    global _DESC_EXTRA
     from tests.oracle.extract import extract_offer
 
+    _DESC_EXTRA = desc_extra
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     urls, tss, htmls, texts, langs = [], [], [], [], []
@@ -280,7 +293,9 @@ def generate(total_pages: int, out_dir: str | Path) -> dict:
             "lang": pa.array(langs, pa.string()),
         }
     )
-    pq.write_table(pages, out / "pages.parquet")
+    # small row groups so the Spark scan splits (one 50 MB row group
+    # would make the whole pages scan a single task at any core count)
+    pq.write_table(pages, out / "pages.parquet", row_group_size=2048)
 
     (out / "seeds.json").write_text(json.dumps(seeds, indent=1))
 
@@ -322,15 +337,28 @@ def generate(total_pages: int, out_dir: str | Path) -> dict:
     return {"pages": pages.num_rows, "offers": exp_tbl.num_rows, "out": str(out)}
 
 
-FIXTURE_VERSION = "v3"  # bump when generator/oracle output changes
+FIXTURE_VERSION = "v4"  # bump when generator/oracle output changes
 
 
-def ensure_fixture(total_pages: int, base: str | Path = REPO / "_data") -> Path:
-    """Generate-once cache keyed by scale; returns the fixture dir."""
-    out = Path(base) / f"web{total_pages}"
+def ensure_fixture(
+    total_pages: int, base: str | Path | None = None, desc_extra: int = 0
+) -> Path:
+    """Generate-once cache keyed by (scale, page weight); returns the dir.
+
+    ``base`` defaults to ``$SPARK_GRAFT_DATA_DIR`` or ``<repo>/_data`` —
+    the env override keeps data out of the zip dir when the engine ships
+    via ``spark-submit --py-files``. ``desc_extra`` pads descriptions
+    toward real-web page weight (heavy scaling bench).
+    """
+    import os
+
+    if base is None:
+        base = os.environ.get("SPARK_GRAFT_DATA_DIR", REPO / "_data")
+    name = f"web{total_pages}" + (f"w{desc_extra}" if desc_extra else "")
+    out = Path(base) / name
     marker = out / "_COMPLETE"
     if not (marker.exists() and marker.read_text() == FIXTURE_VERSION):
-        generate(total_pages, out)
+        generate(total_pages, out, desc_extra=desc_extra)
         marker.write_text(FIXTURE_VERSION)
     return out
 

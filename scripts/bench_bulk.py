@@ -28,16 +28,16 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from crawlers_spark.extraction.extractors import extract_offers, extract_outlinks  # noqa: E402
 from crawlers_spark.functions.canonicalize import with_canonical_url  # noqa: E402
-from crawlers_spark.operators.fetch import build_pages_index, fetch_outer  # noqa: E402
+from crawlers_spark.operators.fetch import build_pages_index, fetch_split  # noqa: E402
 from crawlers_spark.session import get_spark  # noqa: E402
 from fixtures.gen_pages import ensure_fixture  # noqa: E402
 
 
 def bulk_pipeline(spark, fx: Path):
     """frontier(all urls) → canon → dedup → fetch → extract. Returns
-    (offers_df, outlinks_df) unevaluated."""
+    (offers_df, outlinks_df, fetched_df) unevaluated."""
     pages_path = str(fx / "pages.parquet")
-    pages_index = build_pages_index(spark, pages_path, cache_dir=None)
+    pages_index = build_pages_index(spark, pages_path, buckets=64)
     frontier = (
         with_canonical_url(spark.read.parquet(pages_path).select("url"))
         .withColumn("src_source", F.regexp_extract("host", r"^(src\d+)", 1))
@@ -46,25 +46,43 @@ def bulk_pipeline(spark, fx: Path):
         .withColumn("retry", F.lit(0))
         .dropDuplicates(["url_canon"])
     )
-    fetched = fetch_outer(frontier, pages_index).where(F.col("fetch_ok"))
+    # bucketed pages index: the join exchanges only the url-only
+    # candidate side; html streams scan→extract with no shuffle and no
+    # driver-side broadcast collect (the bulk candidate set is too big
+    # to broadcast without a serial driver term). No persist: caching
+    # GBs of html thrashes storage memory, and re-running the bucketed
+    # scan+join for the outlink pass is far cheaper than the cache.
+    fetched, _missed = fetch_split(frontier, pages_index, broadcast_candidates=False)
     detail = fetched.where(F.col("url_canon").contains("/job/"))
     offers = extract_offers(
         detail.select(F.col("url_canon").alias("url"), "src_source", "html")
     )
     links = extract_outlinks(fetched.select("url", "src_source", "depth", "html"))
-    return offers, links
+    return offers, links, fetched
+
+
+HEAVY_WORDS = int(__import__("os").environ.get("SPARK_GRAFT_HEAVY_WORDS", "0"))
 
 
 def run_bulk(n_pages: int, cores: int) -> dict:
-    fx = ensure_fixture(n_pages)
+    # SPARK_GRAFT_HEAVY_WORDS pads pages toward real-web weight (~10 KB
+    # at 1500 words) so per-page extraction CPU dominates — the regime
+    # the 100 TB deployment lives in; the default light fixture measures
+    # the latency/IO-bound floor instead.
+    fx = ensure_fixture(n_pages, desc_extra=HEAVY_WORDS)
     spark = get_spark(f"bulk-{cores}", cores=cores, shuffle_partitions=cores)
     try:
-        # warm the JVM + parquet footer caches so we time the work
-        spark.read.parquet(str(fx / "pages.parquet")).count()
+        # steady-state measurement: a full warm pass first (spins up
+        # Python UDF workers, JIT/codegen, footer caches), then time
+        def one_pass():
+            offers, links, fetched = bulk_pipeline(spark, fx)
+            n_o, n_l = offers.count(), links.count()
+            fetched.unpersist()
+            return n_o, n_l
+
+        one_pass()
         t0 = time.perf_counter()
-        offers, links = bulk_pipeline(spark, fx)
-        n_offers = offers.count()
-        n_links = links.count()
+        n_offers, n_links = one_pass()
         wall = time.perf_counter() - t0
         return {
             "pages": n_pages,
