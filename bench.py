@@ -71,6 +71,19 @@ def _bench_queries(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         times[name] = round(time.perf_counter() - t0, 3)
+
+    # engine-default MinHash (xxhash64, JVM-side) — the oracle-checked
+    # registry uses md5 for SQL portability; this is the production path
+    from crawlers_spark.harness.docs import _corpus
+    from crawlers_spark.operators.textdedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        _corpus(spark, SF_DIR), "doc_id", "text",
+        k=3, n_hashes=12, n_bands=4, hash_mode="xxhash64",
+    )
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    times["docs_minhash_lsh_xxhash64"] = round(time.perf_counter() - t0, 3)
     return times
 
 

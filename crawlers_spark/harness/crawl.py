@@ -263,6 +263,37 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# ------------------------------------ O9 outlinks via Python UDTF
+def q_outlink_udtf(spark, sf):
+    """Same contract as ``crawl_outlink_explode`` through Spark 4's
+    Python UDTF surface (SURVEY §2.2 UDF/UDTF row). The engine's hot
+    path stays mapInPandas (vectorized); the UDTF exists for API parity
+    with lateral-table-function workloads."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, out_url string")
+    class OutlinkUDTF:
+        def eval(self, doc_id: int, url_canon: str, host: str):
+            yield doc_id, url_canon + "/next"
+            yield doc_id, f"https://{host}/doc/{doc_id + 1}"
+
+    spark.udtf.register("outlink_udtf", OutlinkUDTF)
+    _frontier(spark, sf).createOrReplaceTempView("_udtf_frontier")
+    return spark.sql(
+        "SELECT u.doc_id, u.out_url FROM _udtf_frontier f, "
+        "LATERAL outlink_udtf(f.doc_id, f.url_canon, f.host) u"
+    )
+
+
+SQL_OUTLINKS_UDTF = f"""
+SELECT doc_id, unnest([
+  expected_canon || '/next',
+  'https://' || host || '/doc/' || (doc_id + 1)
+]) AS out_url
+FROM ({_SQL_URLS}) u
+"""
+
+
 # ----------------------------------- O15 lineage-shaped per-host rollup
 def q_lineage_rollup(spark, sf):
     fr = _frontier(spark, sf)
@@ -291,5 +322,6 @@ QUERIES = {
     "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
     "crawl_retry_policy": (q_retry_policy, SQL_RETRY),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),
+    "crawl_outlink_udtf": (q_outlink_udtf, SQL_OUTLINKS_UDTF),
     "crawl_lineage_rollup": (q_lineage_rollup, SQL_LINEAGE),
 }

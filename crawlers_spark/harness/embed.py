@@ -19,6 +19,7 @@ from crawlers_spark.harness.common import load
 from crawlers_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -104,6 +105,50 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ------------------------------------------------ IVF-bucketed top-k
+def q_ivf_topk(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return ivf_topk(e.where(F.col("vec_id") < 10), e, k=5, n_cells=8, n_probe=2)
+
+
+SQL_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, {_Q} AS v FROM embeddings),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS c
+  FROM e ORDER BY vec_id ASC LIMIT 8),
+dists AS (
+  SELECT e.vec_id, cents.cell,
+         sum(cents.c[CAST(d AS INT)] * cents.c[CAST(d AS INT)])
+           - 2 * sum(e.v[CAST(d AS INT)] * cents.c[CAST(d AS INT)]) AS d2
+  FROM e CROSS JOIN cents CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY e.vec_id, cents.cell),
+ranked_cells AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+  FROM dists),
+ca AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= 1),
+qa AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= 2 AND vec_id < 10),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qa q JOIN ca c USING (cell) WHERE c.vec_id <> q.vec_id),
+sims AS (
+  SELECT p.query_id, p.neighbor_id,
+         CAST(sum(a.v[CAST(d AS INT)] * b.v[CAST(d AS INT)]) AS DOUBLE)
+           / sqrt(CAST(sum(a.v[CAST(d AS INT)] * a.v[CAST(d AS INT)]) AS DOUBLE))
+           / sqrt(CAST(sum(b.v[CAST(d AS INT)] * b.v[CAST(d AS INT)]) AS DOUBLE)) AS sim
+  FROM pairs p JOIN e a ON a.vec_id = p.query_id JOIN e b ON b.vec_id = p.neighbor_id
+  CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY p.query_id, p.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM sims)
+SELECT query_id, rank, neighbor_id, {_ROUND6.format('sim')} AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
 # -------------------------------------- embedding near-dup pairs
 def q_near_dup(spark, sf):
     e = load(spark, sf, "embeddings")
@@ -149,5 +194,6 @@ FROM sims WHERE sim >= 0.999
 QUERIES = {
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embed_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "embed_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embed_near_dup_pairs": (q_near_dup, SQL_NEAR_DUP),
 }

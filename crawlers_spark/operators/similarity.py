@@ -190,6 +190,77 @@ def lsh_topk(
     )
 
 
+# --------------------------------------------------------- IVF top-k
+def ivf_assign(df: DataFrame, centroids: DataFrame, *, id_col: str, vec_q: str, n_probe: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest coarse centroids.
+
+    ``centroids`` is tiny (broadcast); distance uses the same exact
+    quantized-integer arithmetic as ``cosine``. Returns the input ids
+    with a ``cell`` column (one row per probed cell).
+    """
+    c = centroids.select(
+        F.col("cell").alias("cell"), F.col("c_vec").alias("c_vec")
+    )
+    # ||v - c||² = |v|² - 2·v·c + |c|²; |v|² constant per v → rank by (|c|² - 2·v·c)
+    score = (_norm2(F.col("c_vec")) - 2 * _dot(F.col(vec_q), F.col("c_vec"))).alias("d2")
+    win = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        df.crossJoin(F.broadcast(c))
+        .select(df["*"], "cell", score)
+        .withColumn("crank", F.row_number().over(win))
+        .where(F.col("crank") <= n_probe)
+        .drop("d2", "crank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flavored ANN: coarse cells from deterministic seed centroids.
+
+    Centroids are the first ``n_cells`` corpus vectors by id — a
+    training-free coarse quantizer (at warehouse scale, swap in k-means
+    centroids; assignment/probe plumbing is identical). Corpus rows are
+    assigned to 1 cell, queries probe ``n_probe`` cells, exact cosine
+    ranks within the probed cells — same prefilter-then-exact shape as
+    the LSH variant, but with a tunable cell count and multi-probe.
+    """
+    w = Window.orderBy(F.asc(id_col))
+    cents = (
+        corpus.select(id_col, quantize(F.col(vec_col)).alias("c_vec"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_cells)
+        .select((F.col("rn") - 1).alias("cell"), "c_vec")
+    )
+    c_assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("c_q")),
+        cents, id_col="neighbor_id", vec_q="c_q", n_probe=1,
+    )
+    q_assigned = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_q")),
+        cents, id_col="query_id", vec_q="q_q", n_probe=n_probe,
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_q"), F.col("c_q")).alias("cosine_sim"))
+        .distinct()
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", round6(F.col("cosine_sim")).alias("cosine_sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     *,

@@ -99,19 +99,25 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig: array) — sig[i] = min over shingles of h_i(shingle).
 
-    Entirely scan-side: ``n_hashes`` array_min/transform expressions over
-    the shingle array, no explode, no shuffle.
+    Shape: explode distinct shingles once, then ONE hash-aggregate with
+    ``n_hashes`` min() columns — shingle construction runs once per doc
+    (an array_min/transform-per-hash formulation re-evaluates the whole
+    shingle pipeline n_hashes times: higher-order exprs don't CSE), the
+    mins combine map-side, and the only shuffle is the partial-agg
+    exchange on the doc id.
     """
-    sh = F.array_distinct(shingles(F.col(text_col), k))
-
-    # NB: capture via factory, never `lambda s, i=i: ...` — PySpark infers
-    # lambda arity from the Python signature, and a 2-param lambda is
-    # silently treated as an (element, index) function.
-    def _hash_i(i: int):
-        return lambda s: _h(s, str(i), hash_mode)
-
-    sig = F.array(*[F.array_min(F.transform(sh, _hash_i(i))) for i in range(n_hashes)])
-    return df.select(id_col, sig.alias("sig"))
+    ex = df.select(
+        id_col, F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle")
+    )
+    sig_cols = [
+        F.min(_h(F.col("shingle"), str(i), hash_mode)).alias(f"_s{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*sig_cols)
+        .select(id_col, F.array(*[f"_s{i}" for i in range(n_hashes)]).alias("sig"))
+    )
 
 
 def lsh_bands(

@@ -75,6 +75,22 @@ def test_lsh_topk_subset_of_brute_force(vectors):
     assert any(r.query_id == 0 and r.neighbor_id == 100 for r in approx)
 
 
+def test_ivf_topk_subset_of_brute_force(vectors):
+    from crawlers_spark.operators.similarity import ivf_topk
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk(vectors.where("vec_id < 5"), vectors, k=31).collect()
+    }
+    approx = ivf_topk(vectors.where("vec_id < 5"), vectors, k=5, n_cells=4, n_probe=2).collect()
+    assert approx
+    for r in approx:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cosine_sim
+    # scaled copy of vec 0 lands in vec 0's cell (same direction ⇒ same
+    # argmin centroid) → multi-probe query finds it
+    assert any(r.query_id == 0 and r.neighbor_id == 100 for r in approx)
+
+
 def test_near_dup_pairs(vectors):
     pairs = embedding_near_dup_pairs(vectors, threshold=0.999, n_planes=2).collect()
     assert any({r.id_a, r.id_b} == {0, 100} for r in pairs)
