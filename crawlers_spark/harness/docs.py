@@ -30,6 +30,7 @@ from crawlers_spark.functions.textstats import (
 )
 from crawlers_spark.harness.common import load
 from crawlers_spark.operators.textdedup import (
+    dedup_clusters,
     exact_dedup,
     jaccard_on_pairs,
     minhash_lsh_pairs,
@@ -105,6 +106,39 @@ bands AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b USING (band_id, band_key)
 WHERE a.doc_id < b.doc_id
+"""
+
+
+# -------------------------------------- near-dup cluster assembly
+def q_dedup_clusters(spark, sf):
+    return dedup_clusters(_corpus(spark, sf), "doc_id", "text", hash_mode="md5")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+sh AS ({_SQL_SHINGLES3}),
+sig AS (
+  SELECT doc_id, i, min(md5(i || '|' || shingle)) AS s
+  FROM sh CROSS JOIN range(0, 12) t(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 3 AS band_id, md5(string_agg(s, '|' ORDER BY i)) AS band_key
+  FROM sig GROUP BY doc_id, i // 3),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+comp AS (SELECT src AS id, min(lbl) AS cluster FROM reach GROUP BY src)
+SELECT c.doc_id,
+       COALESCE(comp.cluster, c.doc_id) AS cluster,
+       COALESCE(comp.cluster, c.doc_id) = c.doc_id AS is_canonical
+FROM ({_SQL_CORPUS}) c LEFT JOIN comp ON comp.id = c.doc_id
 """
 
 
@@ -314,6 +348,7 @@ SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n - 5 OR pos = 0
 QUERIES = {
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "docs_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "docs_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "docs_simhash": (q_simhash, SQL_SIMHASH),
     "docs_simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
     "docs_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -95,7 +95,50 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event
 """
 
 
+# ------------------------- custom stateful operator (GroupState API)
+def q_stateful_user_totals(spark, sf):
+    """Per-user running totals via ``applyInPandasWithState`` — the
+    custom-stateful-operator surface (SURVEY §2.2 streaming row).
+
+    Value sums go through floor(x*1e6+0.5) int64 cents so the state
+    arithmetic is order-independent and bit-identical to the SQL
+    oracle. Bounded input ⇒ final state equals the batch aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def totals(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            v = pdf["value"].to_numpy(dtype="float64")
+            cents += int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
+            n += len(pdf)
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 1e6]}
+        )
+
+    ev = _stream_events(spark, sf).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_table(out, "update")
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_hourly_windows": (q_hourly_windows, SQL_STREAM_HOURLY),
     "stream_distinct_users_per_type": (q_distinct_users, SQL_STREAM_DISTINCT),
+    "stream_stateful_user_totals": (q_stateful_user_totals, SQL_STREAM_STATEFUL),
 }

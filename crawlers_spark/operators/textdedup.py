@@ -227,6 +227,87 @@ def jaccard_on_pairs(
     )
 
 
+# --------------------------------------------- dedup cluster assembly
+def connected_components(
+    pairs: DataFrame, *, max_iter: int = 25
+) -> DataFrame:
+    """(id, cluster) — cluster = min id reachable over the pair graph.
+
+    Min-label propagation: each round every vertex takes the min of its
+    own and its neighbors' labels; converges in O(graph diameter)
+    rounds — near-dup graphs are unions of small cliques, so diameter
+    is tiny. Each round is one join + one partial-agg shuffle;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1 (the classic iterative-algorithm trap).
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH pairs → connected
+    components → (id, cluster, is_canonical). Keep ``is_canonical``
+    rows to deduplicate the corpus; at 10^10 docs each round is a
+    bounded shuffle over the (tiny) pair-graph vertex set, never the
+    corpus."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, n_hashes=n_hashes, n_bands=n_bands, hash_mode=hash_mode
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster", F.col("id")).alias("cluster"),
+            (F.coalesce("cluster", F.col("id")) == F.col("id")).alias("is_canonical"),
+        )
+    )
+
+
 # -------------------------------------------------------------- SimHash
 _HEX = "0123456789abcdef"
 

@@ -88,6 +88,27 @@ def test_simhash_udf_64bit(corpus):
     assert bin(sigs[1] ^ sigs[4]).count("1") > 8   # far text, far sig
 
 
+def test_connected_components_transitive(spark):
+    from crawlers_spark.operators.textdedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), separate pair (10,11), singleton absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_end_to_end(corpus):
+    from crawlers_spark.operators.textdedup import dedup_clusters
+
+    out = {r.doc_id: (r.cluster, r.is_canonical) for r in dedup_clusters(
+        corpus, "doc_id", "text"
+    ).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (5, True)   # singletons canonical
+
+
 def test_lang_id_and_quality(spark):
     rows = [
         (1, "the cat sat on a mat and it is happy for now"),
