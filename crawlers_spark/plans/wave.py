@@ -299,14 +299,30 @@ class CrawlEngine:
             )
         )
 
-        # stage offers/wave_log first: their footer rowcounts ARE the
-        # wave's fetched/extracted metrics — no extra count() jobs
-        staged["offers"] = [self._stage(offers, "offers", wave)]
-        staged["wave_log"] = [self._stage(wave_log, "wave_log", wave)]
+        # stage the independent tables as CONCURRENT Spark jobs (driver
+        # threads; Spark schedules them in parallel) — staging writes
+        # are the wave's serial floor, and none depends on another
+        # except lineage, which needs the offers footer rowcount.
+        # offers/wave_log footer rowcounts ARE the wave's extracted/
+        # fetched metrics — no count() jobs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = {
+                t: pool.submit(self._stage, df, t, wave)
+                for t, df in (
+                    ("offers", offers),
+                    ("wave_log", wave_log),
+                    ("seen", seen_delta),
+                    ("frontier", next_frontier),
+                )
+            }
+            for t, fut in futs.items():
+                staged[t] = [fut.result()]
         n_offers = self._rowcount(staged["offers"])
         n_fetched = self._rowcount(staged["wave_log"])
 
-        # O15 per-partition lineage
+        # O15 per-partition lineage (needs n_offers → staged last)
         lineage = (
             fetched.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("fetched"))
@@ -315,9 +331,6 @@ class CrawlEngine:
             .withColumn("bloom_version", F.lit(wave if cfg.use_bloom else -1).cast("long"))
             .select("wave", "partition_id", "fetched", "extracted", "bloom_version")
         )
-
-        staged["seen"] = [self._stage(seen_delta, "seen", wave)]
-        staged["frontier"] = [self._stage(next_frontier, "frontier", wave)]
         staged["lineage"] = [self._stage(lineage, "lineage", wave)]
 
         meta = {
