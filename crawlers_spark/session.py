@@ -43,7 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 1024, not the 10000 default: page-sized rows make 10k-row
+        # Arrow batches ~120 MB pandas frames; with 32 concurrent UDF
+        # workers each holding the batch + derived series, that's tens
+        # of GB of allocator churn and extraction stops scaling
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -53,6 +57,11 @@ def get_spark(
         # compressed fixture; at warehouse scale files are many and this
         # only caps the per-task batch)
         .config("spark.sql.files.maxPartitionBytes", "4m")
+        # our joins are build-tiny/probe-huge (url keys vs html pages):
+        # shuffled-hash beats sort-merge — SMJ sorts the html side per
+        # task (Spark ignores bucketed sort order by default), which
+        # thrashes memory at high core counts
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
