@@ -117,6 +117,29 @@ def quality_ok(text: Column, *, min_tokens: int = 10, max_mean_word_len: float =
     )
 
 
+def repetition_ratios(text: Column, *, k: int = 3) -> dict[str, Column]:
+    """Within-document repetition (Gopher-style): fraction of duplicate
+    tokens and duplicate k-gram shingles. High values flag boilerplate
+    or generated spam. Exact integer counts, single final division."""
+    from crawlers_spark.operators.textdedup import shingles
+
+    ws = tokens_ws(text)
+    n_tok = F.size(ws).cast("long")
+    n_uniq_tok = F.size(F.array_distinct(ws)).cast("long")
+    sh = shingles(text, k)
+    n_sh = F.size(sh).cast("long")
+    n_uniq_sh = F.size(F.array_distinct(sh)).cast("long")
+    return {
+        "n_tokens": n_tok,
+        "dup_token_ratio": F.when(
+            n_tok > 0, (n_tok - n_uniq_tok).cast("double") / n_tok.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "dup_shingle_ratio": F.when(
+            n_sh > 0, (n_sh - n_uniq_sh).cast("double") / n_sh.cast("double")
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 4, w: int = 5
 ) -> DataFrame:

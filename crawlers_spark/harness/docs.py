@@ -24,6 +24,7 @@ from crawlers_spark.functions.textstats import (
     lang_id,
     quality_features,
     quality_ok,
+    repetition_ratios,
     token_count_bpe,
     token_count_ws,
     winnow_fingerprints,
@@ -299,6 +300,40 @@ FROM (
 """
 
 
+# -------------------------------------------- repetition (Gopher)
+def q_repetition(spark, sf):
+    c = _corpus(spark, sf)
+    r = repetition_ratios(F.col("text"), k=3)
+    return c.select(
+        "doc_id",
+        r["n_tokens"].alias("n_tokens"),
+        r["dup_token_ratio"].alias("dup_token_ratio"),
+        r["dup_shingle_ratio"].alias("dup_shingle_ratio"),
+    )
+
+
+SQL_REPETITION = rf"""
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CASE WHEN n_tok > 0
+            THEN CAST(n_tok - n_uniq_tok AS DOUBLE) / CAST(n_tok AS DOUBLE)
+            ELSE 0.0 END AS dup_token_ratio,
+       CASE WHEN n_sh > 0
+            THEN CAST(n_sh - n_uniq_sh AS DOUBLE) / CAST(n_sh AS DOUBLE)
+            ELSE 0.0 END AS dup_shingle_ratio
+FROM (
+  SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq_tok,
+         len(sh) AS n_sh, len(list_distinct(sh)) AS n_uniq_sh
+  FROM (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                                    i -> array_to_string(ws[i:i+2], ' '))
+                ELSE [array_to_string(ws, ' ')] END AS sh
+    FROM ({_SQL_WORDS})))
+"""
+
+
 # ------------------------------------------------------ token counting
 def q_token_counts(spark, sf):
     c = _corpus(spark, sf)
@@ -355,5 +390,6 @@ QUERIES = {
     "docs_lang_id": (q_lang_id, SQL_LANG_ID),
     "docs_quality": (q_quality, SQL_QUALITY),
     "docs_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "docs_repetition_ratios": (q_repetition, SQL_REPETITION),
     "docs_winnow_fingerprints": (q_winnow, SQL_WINNOW),
 }

@@ -142,6 +142,23 @@ def test_token_counts(spark):
     assert got[2] == (0, 0) and got[3] == (0, 0)
 
 
+def test_repetition_ratios(spark):
+    from crawlers_spark.functions.textstats import repetition_ratios
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here unique now")],
+        "doc_id long, text string",
+    )
+    r = repetition_ratios(F.col("text"))
+    got = {row.doc_id: (row.d_tok, row.d_sh) for row in df.select(
+        "doc_id",
+        r["dup_token_ratio"].alias("d_tok"),
+        r["dup_shingle_ratio"].alias("d_sh"),
+    ).collect()}
+    assert got[1] == (0.75, 0.5)    # 4 tokens 1 unique; 2 shingles 1 unique
+    assert got[2] == (0.0, 0.0)
+
+
 def test_winnow_substring_containment(spark):
     long_doc = " ".join(f"w{i}" for i in range(40))
     contained = " ".join(f"w{i}" for i in range(10, 30))
