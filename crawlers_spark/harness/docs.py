@@ -353,6 +353,72 @@ FROM ({_SQL_CORPUS})
 """
 
 
+# --------------------------------- end-to-end curation pipeline
+def q_curation(spark, sf):
+    """The training-data curation flow the individual ops exist for:
+    quality gate → language gate → MinHash-LSH near-dup clustering →
+    keep canonical docs → token accounting. One composed Catalyst plan
+    (plus the iterative CC rounds)."""
+    c = _corpus(spark, sf)
+    kept = c.where(quality_ok(F.col("text")) & (lang_id(F.col("text")) == "en"))
+    clustered = dedup_clusters(kept, "doc_id", "text", hash_mode="md5")
+    canon = clustered.where(F.col("is_canonical")).select("doc_id")
+    return kept.join(canon, "doc_id").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+
+
+_SQL_KEPT = rf"""
+  SELECT doc_id, text, ws FROM (
+    SELECT doc_id, text, ws,
+           len(ws) AS n_tok,
+           list_sum(list_transform(ws, w -> length(w))) AS sum_len,
+           len(list_filter(ws, w -> list_contains([{_EN_LIST}], lower(w)))) AS n_stop,
+           (SELECT CASE WHEN h > 0 THEN lang ELSE 'und' END FROM (
+              SELECT l.lang, sum(CASE WHEN list_contains(l.sw, lower(t.w)) THEN 1 ELSE 0 END) AS h
+              FROM unnest(ws) t(w) CROSS JOIN (VALUES {_SQL_LANG_LISTS}) l(lang, sw)
+              GROUP BY l.lang ORDER BY h DESC, l.lang ASC LIMIT 1)) AS lang_guess
+    FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws
+          FROM ({_SQL_CORPUS})))
+  WHERE n_tok >= 10
+    AND (CASE WHEN n_tok > 0 THEN CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) <= 12.0
+    AND (CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) > 0.0
+    AND lang_guess = 'en'
+"""
+
+SQL_CURATION = f"""
+WITH RECURSIVE
+kept AS ({_SQL_KEPT}),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                                      i -> array_to_string(ws[i:i+2], ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM kept),
+sig AS (
+  SELECT doc_id, i, min(md5(i || '|' || shingle)) AS s
+  FROM sh CROSS JOIN range(0, 12) t(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 3 AS band_id, md5(string_agg(s, '|' ORDER BY i)) AS band_key
+  FROM sig GROUP BY doc_id, i // 3),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+comp AS (SELECT src AS id, min(lbl) AS cluster FROM reach GROUP BY src)
+SELECT k.doc_id, CAST(len(k.ws) AS BIGINT) AS n_tokens
+FROM kept k LEFT JOIN comp ON comp.id = k.doc_id
+WHERE COALESCE(comp.cluster, k.doc_id) = k.doc_id
+"""
+
+
 # ------------------------------------------- winnowing fingerprints
 def q_winnow(spark, sf):
     return winnow_fingerprints(
@@ -391,5 +457,6 @@ QUERIES = {
     "docs_quality": (q_quality, SQL_QUALITY),
     "docs_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "docs_repetition_ratios": (q_repetition, SQL_REPETITION),
+    "docs_curation_pipeline": (q_curation, SQL_CURATION),
     "docs_winnow_fingerprints": (q_winnow, SQL_WINNOW),
 }
