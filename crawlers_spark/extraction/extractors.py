@@ -85,7 +85,10 @@ OFFER_SCHEMA = (
 )
 
 
-_LIT_RE = re.compile(r"^\(\?s\)([^.(\[\\+*?{]+)\(\.\*\?\)([^.(\[\\+*?{]+)$")
+# the delimiter classes exclude EVERY regex metacharacter ( . ( ) [ ]
+# { } \ + * ? | ^ $ ) so a selector like '(?s)<h1>|<h2>(.*?)</h2>'
+# can never take the literal-split fast path with changed semantics
+_LIT_RE = re.compile(r"^\(\?s\)([^]\[.(){}\\+*?|^$]+)\(\.\*\?\)([^]\[.(){}\\+*?|^$]+)$")
 
 
 def _extract_first(html: pd.Series, pattern: str) -> pd.Series:

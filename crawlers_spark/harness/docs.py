@@ -68,6 +68,14 @@ _SQL_WORDS = rf"""
   FROM ({_SQL_CORPUS})
 """
 
+# blank-text guard: DuckDB's string_split_regex('') yields [''] (one
+# empty token) while the engine's tokens_ws yields [] — quality /
+# repetition token counts must mirror the engine's 0 (SQL_TOKEN_COUNTS
+# already does). Shingle fragments deliberately keep the unguarded
+# split: simhash_expr/shingles() use raw split on both sides.
+_SQL_WS_GUARD = r"""CASE WHEN trim(text) = '' THEN []
+                         ELSE string_split_regex(trim(text), '\s+') END"""
+
 _SQL_SHINGLES3 = f"""
   SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
     THEN list_distinct(list_transform(range(1, len(ws) - 1),
@@ -96,6 +104,14 @@ def q_minhash_lsh(spark, sf):
     )
 
 
+# engine's candidate_pairs drops LSH buckets larger than max_bucket
+# (default 1000) before pairing; the oracle mirrors the cap exactly so
+# parity holds even when a degenerate bucket appears at larger SFs.
+_SQL_BUCKET_CAP = """
+  SELECT doc_id, band_id, band_key FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= 1000
+"""
+
 SQL_MINHASH_LSH = f"""
 WITH sh AS ({_SQL_SHINGLES3}),
 sig AS (
@@ -103,9 +119,10 @@ sig AS (
   FROM sh CROSS JOIN range(0, 12) t(i) GROUP BY doc_id, i),
 bands AS (
   SELECT doc_id, i // 3 AS band_id, md5(string_agg(s, '|' ORDER BY i)) AS band_key
-  FROM sig GROUP BY doc_id, i // 3)
+  FROM sig GROUP BY doc_id, i // 3),
+sized AS ({_SQL_BUCKET_CAP})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b USING (band_id, band_key)
+FROM sized a JOIN sized b USING (band_id, band_key)
 WHERE a.doc_id < b.doc_id
 """
 
@@ -124,9 +141,10 @@ sig AS (
 bands AS (
   SELECT doc_id, i // 3 AS band_id, md5(string_agg(s, '|' ORDER BY i)) AS band_key
   FROM sig GROUP BY doc_id, i // 3),
+sized AS ({_SQL_BUCKET_CAP}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band_id, band_key)
+  FROM sized a JOIN sized b USING (band_id, band_key)
   WHERE a.doc_id < b.doc_id),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -295,7 +313,7 @@ FROM (
          CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
          CAST(len(list_filter(ws, w -> list_contains([{_EN_LIST}], lower(w)))) AS BIGINT) AS n_stop,
          list_sum(list_transform(ws, w -> length(w))) AS sum_len
-  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws
+  FROM (SELECT doc_id, text, {_SQL_WS_GUARD} AS ws
         FROM ({_SQL_CORPUS})))
 """
 
@@ -330,7 +348,7 @@ FROM (
                 THEN list_transform(range(1, len(ws) - 1),
                                     i -> array_to_string(ws[i:i+2], ' '))
                 ELSE [array_to_string(ws, ' ')] END AS sh
-    FROM ({_SQL_WORDS})))
+    FROM (SELECT doc_id, {_SQL_WS_GUARD} AS ws FROM ({_SQL_CORPUS}))))
 """
 
 
@@ -401,9 +419,10 @@ sig AS (
 bands AS (
   SELECT doc_id, i // 3 AS band_id, md5(string_agg(s, '|' ORDER BY i)) AS band_key
   FROM sig GROUP BY doc_id, i // 3),
+sized AS ({_SQL_BUCKET_CAP}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band_id, band_key)
+  FROM sized a JOIN sized b USING (band_id, band_key)
   WHERE a.doc_id < b.doc_id),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

@@ -67,7 +67,9 @@ FROM ranked WHERE rank <= 5
 # --------------------------------------------- LSH-bucketed top-k
 def q_lsh_topk(spark, sf):
     e = load(spark, sf, "embeddings")
-    return lsh_topk(e.where(F.col("vec_id") < 10), e, k=5, n_planes=4, use_udf=True)
+    return lsh_topk(
+        e.where(F.col("vec_id") < 10), e, n_dims=N_DIMS, k=5, n_planes=4, use_udf=True
+    )
 
 
 _SQL_BUCKETS = f"""
@@ -158,7 +160,7 @@ def q_near_dup(spark, sf):
         "label",
     )
     return embedding_near_dup_pairs(
-        e.unionByName(doubled), threshold=0.999, n_planes=4
+        e.unionByName(doubled), n_dims=N_DIMS, threshold=0.999, n_planes=4
     )
 
 

@@ -9,6 +9,8 @@ see ``operators/multimodal.py``.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from crawlers_spark.harness.common import load
@@ -22,9 +24,13 @@ from crawlers_spark.operators.multimodal import (
 
 _NIB = "strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1"
 
+# synthetic media content is utf-8 text — never a PNG/GIF/BMP/WAV
+# container (the sniffer's magics can't occur in text, see
+# parse_media_header) — so every row takes the 'raw' fallback lane
 _SQL_DECODED = f"""
   SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         'raw' AS container,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS digest,
          CAST(64 + ({_NIB.format(i=1)}) * 16 AS INT) AS width,
@@ -40,6 +46,39 @@ def q_decode(spark, sf):
 
 
 SQL_DECODE = f"SELECT * FROM ({_SQL_DECODED})"
+
+
+# ---------------------------------------- REAL container decode lane
+def q_decode_real(spark, sf):
+    """decode_media over the committed binary fixture of GENUINE
+    PNG/GIF/BMP/WAV containers (fixtures/media_real.parquet) — real
+    width/height/duration parsed from the byte stream, not digest
+    fakes. The oracle is the generator's golden values (dimensions
+    chosen by formula at fixture-build time, independent of the
+    parser), inlined as a VALUES table."""
+    path = Path(__file__).resolve().parents[2] / "fixtures" / "media_real.parquet"
+    return decode_media(spark.read.parquet(str(path)))
+
+
+def _golden_values_sql() -> str:
+    from fixtures.media_real_golden import EXPECTED
+
+    rows = ",\n  ".join(
+        f"({mid}, '{kind}', '{cont}', {nb}, '{dg}', {w}, {h}, {dur!r})"
+        for (mid, kind, cont, nb, dg, w, h, dur) in EXPECTED
+    )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, kind, container,
+       CAST(n_bytes AS BIGINT) AS n_bytes, digest,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(duration_s AS DOUBLE) AS duration_s
+FROM (VALUES
+  {rows}
+) t(media_id, kind, container, n_bytes, digest, width, height, duration_s)
+"""
+
+
+SQL_DECODE_REAL = _golden_values_sql()
 
 
 def q_resize(spark, sf):
@@ -91,6 +130,7 @@ FROM (SELECT doc_id AS media_id, text FROM documents)
 
 QUERIES = {
     "multi_decode_media": (q_decode, SQL_DECODE),
+    "multi_decode_real": (q_decode_real, SQL_DECODE_REAL),
     "multi_resize_plan": (q_resize, SQL_RESIZE),
     "multi_frame_sample": (q_frames, SQL_FRAMES),
     "multi_embed_media": (q_embed, SQL_EMBED),

@@ -6,10 +6,15 @@ partitioning, UDF signature, batch shape) is real and tested; the
 actual codec calls are stubbed because no image/audio libraries exist
 in this sandbox:
 
-- ``decode_media``      — parses deterministic fake "header" features
-  from the bytes (length, md5 digest, digest-derived width/height/
-  duration). With ``real_codecs=True`` it raises ``NotImplementedError``
-  at the exact point a Pillow/ffmpeg call would go.
+- ``decode_media``      — REAL header parse (stdlib ``struct``) for
+  PNG / GIF / BMP / WAV containers: genuine width/height/duration read
+  from the byte stream (see ``parse_media_header``; golden-tested
+  against the committed binary fixture ``fixtures/media_real.parquet``).
+  Unrecognized payloads fall back to deterministic digest-derived
+  pseudo-metadata so the synthetic text-derived corpus stays oracle-
+  checkable. ``real_codecs=True`` raises ``NotImplementedError`` at the
+  exact point a PIXEL/SAMPLE decode (Pillow/ffmpeg) would go — header
+  metadata needs no external codec.
 - ``resize_images`` / ``sample_frames`` — same pattern: deterministic
   fake transform of the metadata, stubbed codec point.
 - ``embed_media``       — fake feature vector (digest-seeded floats) in
@@ -25,6 +30,7 @@ the UDF), so a width/height filter never deserializes pixels.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,7 +42,7 @@ MEDIA_SCHEMA = (
     "media_id long, kind string, content binary, src_url string"
 )
 DECODED_SCHEMA = (
-    "media_id long, kind string, n_bytes long, digest string, "
+    "media_id long, kind string, container string, n_bytes long, digest string, "
     "width int, height int, duration_s double"
 )
 
@@ -72,26 +78,88 @@ def _fake_header(kind: str, raw: bytes) -> tuple[int, int, float, str]:
     return width, height, duration, d
 
 
+def parse_media_header(raw: bytes):
+    """Real container-header parse — pure stdlib ``struct``, no codec
+    library. Returns ``(container, width, height, duration_s)`` or
+    ``None`` when the bytes are not a recognized container.
+
+    Magic checks are strict enough that UTF-8 text can never
+    false-positive: PNG's signature has a non-ASCII byte; GIF
+    additionally requires a NUL inside the logical-screen dimensions
+    (true for any real GIF < 65536px wide); BMP and RIFF/WAV validate
+    their internal size fields against the actual byte length.
+    """
+    n = len(raw)
+    if n >= 24 and raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", raw[16:24])
+        return ("png", w, h, 0.0)
+    if n >= 13 and raw[:6] in (b"GIF87a", b"GIF89a") and 0 in raw[6:10]:
+        w, h = struct.unpack("<HH", raw[6:10])
+        return ("gif", w, h, 0.0)
+    if n >= 26 and raw[:2] == b"BM" and struct.unpack("<I", raw[2:6])[0] == n:
+        w, h = struct.unpack("<ii", raw[18:26])
+        return ("bmp", w, abs(h), 0.0)
+    if (
+        n >= 12
+        and raw[:4] == b"RIFF"
+        and raw[8:12] == b"WAVE"
+        and struct.unpack("<I", raw[4:8])[0] == n - 8
+    ):
+        pos, rate, block_align, data_len = 12, None, None, None
+        while pos + 8 <= n:  # RIFF chunk walk (chunks are word-aligned)
+            cid = raw[pos : pos + 4]
+            clen = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+            if cid == b"fmt " and pos + 24 <= n:
+                _tag, _ch, rate = struct.unpack("<HHI", raw[pos + 8 : pos + 16])
+                block_align = struct.unpack("<H", raw[pos + 20 : pos + 22])[0]
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)
+        if rate and block_align and data_len is not None:
+            return ("wav", 0, 0, data_len / (rate * block_align))
+    return None
+
+
 def decode_media(media: DataFrame, *, real_codecs: bool = False) -> DataFrame:
-    """binary → typed metadata via Arrow-batched mapInPandas."""
+    """binary → typed metadata via Arrow-batched mapInPandas.
+
+    Container headers (PNG/GIF/BMP/WAV) are parsed for REAL; anything
+    else gets the deterministic digest-derived fallback (container
+    'raw'). ``real_codecs=True`` marks where pixel/sample decoding
+    would run — unavailable in this sandbox (no Pillow/ffmpeg).
+    """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_codecs:
-                # Pillow / soundfile / pyav decode goes here.
+                # Pillow / soundfile / pyav PIXEL decode goes here.
                 raise NotImplementedError("no media codecs in this sandbox")
-            rows = [
-                _fake_header(k, bytes(c)) for k, c in zip(pdf["kind"], pdf["content"])
-            ]
+            containers, widths, heights, durations, digests, sizes = [], [], [], [], [], []
+            for k, c in zip(pdf["kind"], pdf["content"]):
+                raw = bytes(c)
+                sizes.append(len(raw))
+                parsed = parse_media_header(raw)
+                if parsed is not None:
+                    cont, w, h, dur = parsed
+                    digests.append(hashlib.md5(raw).hexdigest())
+                else:
+                    cont = "raw"
+                    w, h, dur, d = _fake_header(k, raw)
+                    digests.append(d)
+                containers.append(cont)
+                widths.append(w)
+                heights.append(h)
+                durations.append(dur)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
-                    "digest": [r[3] for r in rows],
-                    "width": np.array([r[0] for r in rows], dtype=np.int32),
-                    "height": np.array([r[1] for r in rows], dtype=np.int32),
-                    "duration_s": np.array([r[2] for r in rows], dtype=np.float64),
+                    "container": containers,
+                    "n_bytes": np.array(sizes, dtype=np.int64),
+                    "digest": digests,
+                    "width": np.array(widths, dtype=np.int32),
+                    "height": np.array(heights, dtype=np.int32),
+                    "duration_s": np.array(durations, dtype=np.float64),
                 }
             )
 

@@ -154,6 +154,7 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     *,
+    n_dims: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -163,8 +164,10 @@ def lsh_topk(
     """Approximate top-k: probe only the query's LSH bucket.
 
     Recall < 1 by design (that's the trade); candidates shrink ~2^planes.
+    ``n_dims`` is explicit (embedding dimensionality is config/metadata,
+    not data): probing it with ``.first()`` would issue a driver-side
+    Spark job inside the operator before the real plan even runs.
     """
-    n_dims = len(corpus.select(vec_col).first()[0])
     def with_bucket(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         qv = quantize(F.col(vec_col))
         if use_udf:
@@ -191,25 +194,58 @@ def lsh_topk(
 
 
 # --------------------------------------------------------- IVF top-k
-def ivf_assign(df: DataFrame, centroids: DataFrame, *, id_col: str, vec_q: str, n_probe: int = 1) -> DataFrame:
+def ivf_centroids(corpus: DataFrame, *, id_col: str, vec_col: str, n_cells: int) -> DataFrame:
+    """ONE-row DataFrame holding ``cents: array<struct<cell,c_vec>>``.
+
+    The coarse quantizer here is training-free (first ``n_cells``
+    vectors by id; swap in a k-means table at warehouse scale). The
+    pick is ``orderBy().limit()`` — Spark plans TakeOrderedAndProject
+    (per-partition top-n, tiny driver merge), NOT a single-partition
+    sort of the corpus (the global-window row_number formulation would
+    shuffle EVERYTHING to one task — the 10^9-vector killer). Cell ids
+    are assigned by array position after an ``array_sort`` on the
+    (unique-id, vec) structs — no window anywhere.
+    """
+    return (
+        corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_v"))
+        .orderBy(F.asc("_id"))
+        .limit(n_cells)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_id"), F.col("_v")))),
+                lambda x, i: F.struct(
+                    i.cast("int").alias("cell"), x["_v"].alias("c_vec")
+                ),
+            ).alias("cents")
+        )
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, *, vec_q: str, n_probe: int = 1) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest coarse centroids.
 
-    ``centroids`` is tiny (broadcast); distance uses the same exact
-    quantized-integer arithmetic as ``cosine``. Returns the input ids
-    with a ``cell`` column (one row per probed cell).
+    ``centroids`` is the one-row array from :func:`ivf_centroids`,
+    broadcast to every task. Assignment is a pure per-row argmin — one
+    projection builds ``array<struct<d2,cell>>`` over all cells,
+    ``array_sort`` orders by (d2, cell) (struct comparison is
+    field-ordered), ``slice(n_probe)`` + ``explode`` emit the probed
+    cells. Scan-side: ZERO exchanges — the per-vector-window variant
+    this replaces shuffled corpus×n_cells rows on the vector id.
+    Distances use the same exact quantized-integer arithmetic as
+    ``cosine``; ||v-c||² = |v|² - 2·v·c + |c|² and |v|² is constant per
+    vector, so ranking by (|c|² - 2·v·c) is equivalent.
     """
-    c = centroids.select(
-        F.col("cell").alias("cell"), F.col("c_vec").alias("c_vec")
+    scores = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (_norm2(c["c_vec"]) - 2 * _dot(F.col(vec_q), c["c_vec"])).alias("d2"),
+            c["cell"].alias("cell"),
+        ),
     )
-    # ||v - c||² = |v|² - 2·v·c + |c|²; |v|² constant per v → rank by (|c|² - 2·v·c)
-    score = (_norm2(F.col("c_vec")) - 2 * _dot(F.col(vec_q), F.col("c_vec"))).alias("d2")
-    win = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
     return (
-        df.crossJoin(F.broadcast(c))
-        .select(df["*"], "cell", score)
-        .withColumn("crank", F.row_number().over(win))
-        .where(F.col("crank") <= n_probe)
-        .drop("d2", "crank")
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_probe", F.explode(F.slice(F.array_sort(scores), 1, n_probe)))
+        .select(*df.columns, F.col("_probe.cell").alias("cell"))
     )
 
 
@@ -225,27 +261,22 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flavored ANN: coarse cells from deterministic seed centroids.
 
-    Centroids are the first ``n_cells`` corpus vectors by id — a
-    training-free coarse quantizer (at warehouse scale, swap in k-means
-    centroids; assignment/probe plumbing is identical). Corpus rows are
-    assigned to 1 cell, queries probe ``n_probe`` cells, exact cosine
-    ranks within the probed cells — same prefilter-then-exact shape as
-    the LSH variant, but with a tunable cell count and multi-probe.
+    Corpus rows are assigned to 1 cell, queries probe ``n_probe``
+    cells, exact cosine ranks within the probed cells — same
+    prefilter-then-exact shape as the LSH variant, but with a tunable
+    cell count and multi-probe. Centroid pick and assignment are both
+    shuffle-free over the corpus (see ``ivf_centroids``/``ivf_assign``);
+    the only corpus-side exchange left is the final top-k window on the
+    (tiny) scored candidate set.
     """
-    w = Window.orderBy(F.asc(id_col))
-    cents = (
-        corpus.select(id_col, quantize(F.col(vec_col)).alias("c_vec"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_cells)
-        .select((F.col("rn") - 1).alias("cell"), "c_vec")
-    )
+    cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
     c_assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("c_q")),
-        cents, id_col="neighbor_id", vec_q="c_q", n_probe=1,
+        cents, vec_q="c_q", n_probe=1,
     )
     q_assigned = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_q")),
-        cents, id_col="query_id", vec_q="q_q", n_probe=n_probe,
+        cents, vec_q="q_q", n_probe=n_probe,
     )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cell")
@@ -264,6 +295,7 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     *,
+    n_dims: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
@@ -274,8 +306,8 @@ def embedding_near_dup_pairs(
     Pairs are generated only within buckets (hyperplane LSH preserves
     angular closeness), then exact-cosine verified — same
     prefilter-then-exact-guard shape as the crawl bloom dedup (§4.3.2).
+    ``n_dims`` is explicit — see ``lsh_topk``.
     """
-    n_dims = len(vectors.select(vec_col).first()[0])
     qv = quantize(F.col(vec_col))
     b = vectors.select(
         F.col(id_col).alias("vid"),

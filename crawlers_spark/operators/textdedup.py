@@ -233,12 +233,21 @@ def connected_components(
 ) -> DataFrame:
     """(id, cluster) — cluster = min id reachable over the pair graph.
 
-    Min-label propagation: each round every vertex takes the min of its
-    own and its neighbors' labels; converges in O(graph diameter)
-    rounds — near-dup graphs are unions of small cliques, so diameter
-    is tiny. Each round is one join + one partial-agg shuffle;
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    doesn't replay rounds 1..N-1 (the classic iterative-algorithm trap).
+    Min-label propagation **with pointer doubling**: each round every
+    vertex takes the min of its own and its neighbors' labels, then
+    chases one more hop (label := label-of-label). Doubling makes
+    convergence O(log diameter) instead of O(diameter) — a
+    ``max_iter=25`` budget covers diameters up to ~2^25, so even
+    pathological chain-shaped duplicate graphs (template/boilerplate
+    chains at 10^10-doc scale) converge. If the loop still exhausts
+    with changes pending we RAISE rather than return silently-wrong
+    labels (the oracle computes full transitive closure — a truncated
+    result would diverge without warning).
+
+    Each round is two joins + one partial-agg shuffle over the (tiny)
+    pair-graph vertex set — never the corpus; ``localCheckpoint``
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1 (the classic iterative-algorithm trap).
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (
@@ -249,6 +258,7 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -258,12 +268,17 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer doubling: label := label(label). A label is always some
+        # vertex id, so the self-join resolves; each round squares the
+        # distance a label can travel.
+        hop = stepped.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            stepped.join(hop, stepped["label"] == hop["pid"], "left")
+            .select("id", F.least("label", F.coalesce("plabel", "label")).alias("label"))
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
@@ -273,8 +288,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} doubling rounds "
+            f"(graph diameter > 2^{max_iter}); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster"))
 
 
@@ -287,6 +308,7 @@ def dedup_clusters(
     n_hashes: int = 12,
     n_bands: int = 4,
     hash_mode: str = "xxhash64",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH pairs → connected
     components → (id, cluster, is_canonical). Keep ``is_canonical``
@@ -294,7 +316,8 @@ def dedup_clusters(
     bounded shuffle over the (tiny) pair-graph vertex set, never the
     corpus."""
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, k=k, n_hashes=n_hashes, n_bands=n_bands, hash_mode=hash_mode
+        df, id_col, text_col, k=k, n_hashes=n_hashes, n_bands=n_bands,
+        hash_mode=hash_mode, max_bucket=max_bucket,
     )
     comp = connected_components(pairs)
     return (
@@ -338,32 +361,53 @@ def simhash_expr(text: Column, *, bits: int = 16) -> Column:
 def simhash_udf(bits: int = 64):
     """Vectorized numpy SimHash (the 100 TB path): Series[str] → Series[long].
 
-    One blake2b per *unique* token per Arrow batch (pandas factorize),
-    then an int8 matrix vote — no per-row Python.
+    Bit-compatible with :func:`simhash_expr` (same md5 bit layout: bit b
+    of a token's hash is bit ``b % 4`` of hex-digest nibble ``b // 4``;
+    a document sets signature bit b iff strictly more token occurrences
+    have it set than not) — ``tests/test_textops.py`` asserts equality
+    bit-for-bit. Signature bit b lives at integer bit b of the long.
+
+    Per Arrow batch: one ``pd.factorize`` over the flattened token
+    column, ONE md5 per *unique* token, a vectorized nibble→bit-matrix
+    gather, and a single ``np.add.reduceat`` segment-sum for the votes.
+    The only Python-level loop is hashlib over unique tokens — the
+    irreducible hashing work; everything per-row/per-token is numpy.
     """
     import hashlib
 
     from pyspark.sql.functions import pandas_udf
 
+    n_bytes = ((bits + 3) // 4 + 1) // 2  # digest bytes covering `bits` nibble-bits
+
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
+        # split(trim(·), '\s+') — blank text yields ONE empty token,
+        # exactly like simhash_expr's F.split (md5('') then votes);
+        # plain str.split() would silently diverge on blank docs
+        split = texts.fillna("").str.strip().str.split(r"\s+", regex=True)
+        lens = split.str.len().to_numpy(dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            bitmat = np.empty((len(uniq), bits), dtype=np.int64)
-            for j, tok in enumerate(uniq):
-                d = hashlib.blake2b(tok.encode(), digest_size=8).digest()
-                v = int.from_bytes(d, "big")
-                bitmat[j] = [(v >> b) & 1 for b in range(bits)]
-            votes = ((bitmat * 2 - 1) * counts[:, None]).sum(axis=0)
-            sig = 0
-            for b in range(bits):
-                if votes[b] > 0:
-                    sig |= 1 << b
-            out[i] = np.int64(np.uint64(sig).astype(np.int64)) if sig < (1 << 63) else np.int64(sig - (1 << 64))
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate([t for t in split if t])
+        codes, uniq = pd.factorize(flat)
+        dig = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:n_bytes] for t in uniq),
+            dtype=np.uint8,
+        ).reshape(len(uniq), n_bytes)
+        nibbles = np.empty((len(uniq), n_bytes * 2), dtype=np.uint8)
+        nibbles[:, 0::2] = dig >> 4  # hex char 2i   = high nibble of byte i
+        nibbles[:, 1::2] = dig & 0x0F  # hex char 2i+1 = low nibble
+        bidx = np.arange(bits)
+        tok_bits = (nibbles[:, bidx // 4] >> (bidx % 4)) & 1  # (uniq, bits)
+        per_token = (tok_bits.astype(np.int64) * 2 - 1)[codes]  # (tokens, bits)
+        nonempty = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
+        votes = np.add.reduceat(per_token, starts, axis=0)
+        packed = ((votes > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = packed.view(np.int64)
         return pd.Series(out)
 
     return _simhash

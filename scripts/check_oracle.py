@@ -5,6 +5,11 @@ sf0.01, compare row count, column names, and order-insensitive values.
 Stricter than the driver (exact sorted-row string equality), so a pass
 here should imply a pass there.
 
+Also writes ``CORRECTNESS_local.json`` in the driver's exact row shape
+({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}
+per query) so the local gate and the driver gate are directly diffable
+(VERDICT r1 item 8).
+
 Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
 """
 
@@ -63,35 +68,52 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, passed, rows_only = [], 0, 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
         t0 = time.perf_counter()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sdf)
         except Exception as exc:
-            failures.append((name, f"SPARK ERROR: {exc}"))
+            rec["err"] = f"SPARK ERROR: {exc}"
+            failures.append((name, rec["err"]))
             print(f"✗ {name}: spark error {exc}")
             continue
         if name not in oracles:
             rows_only += 1
+            rec["rows_match"] = rec["schema_match"] = True  # weak rows-only check
+            rec["err"] = "rows-only (no oracle_sql entry)"
             print(f"~ {name}: rows-only ({len(sdf)} rows, {time.perf_counter()-t0:.1f}s)")
             continue
         try:
             ddf = con.sql(oracles[name]).df()
+            rec["oracle_rows"] = len(ddf)
         except Exception as exc:
-            failures.append((name, f"DUCKDB ERROR: {exc}"))
+            rec["err"] = f"DUCKDB ERROR: {exc}"
+            failures.append((name, rec["err"]))
             print(f"✗ {name}: duckdb error {exc}")
             continue
         problems = []
-        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
+        rec["schema_match"] = sorted(map(str.lower, sdf.columns)) == sorted(
+            map(str.lower, ddf.columns)
+        )
+        rec["rows_match"] = len(sdf) == len(ddf)
+        if not rec["schema_match"]:
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
-        elif len(sdf) != len(ddf):
+        elif not rec["rows_match"]:
             problems.append(f"rows {len(sdf)} vs {len(ddf)}")
         else:
             ddf.columns = [c.lower() for c in ddf.columns]
             sdf.columns = [c.lower() for c in sdf.columns]
             a, b = normalize(sdf), normalize(ddf)
+            rec["hash_match"] = a == b
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, e.g. {diff}")
@@ -102,6 +124,12 @@ def main():
             passed += 1
             print(f"✓ {name} ({len(sdf)} rows, {time.perf_counter()-t0:.1f}s)")
 
+    if not name_filter:
+        import json
+
+        out = REPO / "CORRECTNESS_local.json"
+        out.write_text(json.dumps(report, indent=2))
+        print(f"wrote {out}")
     print(f"\n{passed} passed, {rows_only} rows-only, {len(failures)} failed")
     spark.stop()
     sys.exit(1 if failures else 0)

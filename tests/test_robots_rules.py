@@ -1,0 +1,81 @@
+"""Vectorized robots evaluation vs the stdlib oracle, and the
+extraction fast-path guard. No Spark session needed — pure logic."""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+import pandas as pd
+import pytest
+
+from crawlers_spark.extraction.extractors import _FIELD_RES, _LIT_RE
+from crawlers_spark.operators.robots import USER_AGENT, _allowed_mask
+
+ADVERSARIAL_RULES = [
+    # plain prefix disallow
+    "User-agent: *\nDisallow: /private/\n",
+    # empty disallow = allow everything
+    "User-agent: *\nDisallow:\n",
+    # Allow overriding a broader Disallow — ORDER decides in urllib
+    "User-agent: *\nDisallow: /\nAllow: /public/\n",
+    "User-agent: *\nAllow: /private/ok\nDisallow: /private/\n",
+    # agent-specific entry takes precedence over '*'
+    "User-agent: crawlers-spark\nDisallow: /cs-only/\n\nUser-agent: *\nDisallow: /everyone/\n",
+    # rules for somebody else only
+    "User-agent: other\nDisallow: /\n",
+    # percent-encoding, spaces, query strings in rule paths
+    "User-agent: *\nDisallow: /a%3Cd\nDisallow: /sp ace\nDisallow: /q?x=1\n",
+    # whole-path wildcard rule
+    "User-agent: *\nDisallow: *\n",
+    # empty / garbage files
+    "",
+    "garbage no structure\nDisallow: /y\n",
+    "User-agent: *\nAllow:\nDisallow: /x\n",
+    # crawl-delay lines interleaved must not break rule order
+    "User-agent: *\nCrawl-delay: 2\nDisallow: /slow/\nAllow: /slow/ok\n",
+]
+
+PATHS = [
+    "/", "", "/private/", "/private/ok/page", "/public/a", "/cs-only/z",
+    "/everyone/z", "/a%3Cd/x", "/a<d/x", "/sp ace/y", "/sp%20ace/y",
+    "/q?x=1", "/x", "/y", "/slow/ok", "/slow/no", "/doc/123?b=2&a=1",
+    "/%7Euser/home", "/UPPER/Case", "/dash-dot._~ok",
+]
+
+
+@pytest.mark.parametrize("rules", ADVERSARIAL_RULES)
+def test_vectorized_matches_stdlib_robotparser(rules):
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(rules.splitlines())
+    expect = [rp.can_fetch(USER_AGENT, p) for p in PATHS]
+    got = list(_allowed_mask(rules, pd.Series(PATHS)))
+    assert got == expect, rules
+
+
+def test_vectorized_respects_nondefault_index():
+    # mapInPandas slices hand the gate non-contiguous indexes
+    s = pd.Series(["/private/a", "/open"], index=[7, 42])
+    out = _allowed_mask("User-agent: *\nDisallow: /private/\n", s)
+    assert list(out.index) == [7, 42] and list(out) == [False, True]
+
+
+# ------------------------------------------------- extraction guard
+def test_lit_fast_path_accepts_all_shipping_selectors():
+    for fam, sels in _FIELD_RES.items():
+        for key, pattern in sels.items():
+            assert _LIT_RE.match(pattern), (fam, key, pattern)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "(?s)<h1>|<h2>(.*?)</h2>",   # alternation must NOT look literal
+        "(?s)^<h1>(.*?)</h1>",       # anchors
+        "(?s)<h1>(.*?)</h1>$",
+        "(?s)<h[12]>(.*?)</h1>",     # character class
+        "(?s)<h1>{1}(.*?)</h1>",     # quantifier brace
+        r"(?s)<h1>\s(.*?)</h1>",     # escape
+    ],
+)
+def test_lit_fast_path_rejects_regex_metacharacters(pattern):
+    assert not _LIT_RE.match(pattern)

@@ -68,7 +68,9 @@ def test_lsh_topk_subset_of_brute_force(vectors):
         (r.query_id, r.neighbor_id): r.cosine_sim
         for r in cosine_topk(vectors.where("vec_id < 5"), vectors, k=30).collect()
     }
-    approx = lsh_topk(vectors.where("vec_id < 5"), vectors, k=5, n_planes=2).collect()
+    approx = lsh_topk(
+        vectors.where("vec_id < 5"), vectors, n_dims=DIMS, k=5, n_planes=2
+    ).collect()
     for r in approx:
         assert brute[(r.query_id, r.neighbor_id)] == r.cosine_sim
     # the scaled copy shares vec 0's bucket by construction → still found
@@ -91,8 +93,43 @@ def test_ivf_topk_subset_of_brute_force(vectors):
     assert any(r.query_id == 0 and r.neighbor_id == 100 for r in approx)
 
 
+def test_ivf_plan_has_no_corpus_shuffle(vectors):
+    """The 100 TB contract for IVF (VERDICT r1 items 2): centroid pick
+    is TakeOrderedAndProject (never a single-partition global sort of
+    the corpus) and cell assignment is scan-side (no per-vector window
+    exchange). The ONLY window left is the final per-query top-k."""
+    from crawlers_spark.operators.similarity import ivf_topk
+
+    df = ivf_topk(vectors.where("vec_id < 5"), vectors, k=5, n_cells=4, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(neighbor_id" not in plan
+    # exactly one Window operator: the final per-query rank
+    # ("WindowGroupLimit" = Spark 4's rank pushdown of that same rank)
+    assert plan.count("Window [") == 1
+
+
+def test_ann_plan_building_issues_no_driver_jobs(spark, vectors):
+    """Building ANN plans must not run Spark jobs (the old `.first()`
+    dimensionality probes did — one driver job per operator call)."""
+    from crawlers_spark.operators.similarity import ivf_topk
+
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-build-probe", "building plans only")
+    try:
+        lsh_topk(vectors.where("vec_id < 5"), vectors, n_dims=DIMS, k=3)
+        embedding_near_dup_pairs(vectors, n_dims=DIMS, threshold=0.9)
+        ivf_topk(vectors.where("vec_id < 5"), vectors, k=3, n_cells=4)
+        jobs = sc.statusTracker().getJobIdsForGroup("plan-build-probe")
+        assert list(jobs) == []
+    finally:
+        sc.setJobGroup("", "")
+
+
 def test_near_dup_pairs(vectors):
-    pairs = embedding_near_dup_pairs(vectors, threshold=0.999, n_planes=2).collect()
+    pairs = embedding_near_dup_pairs(
+        vectors, n_dims=DIMS, threshold=0.999, n_planes=2
+    ).collect()
     assert any({r.id_a, r.id_b} == {0, 100} for r in pairs)
 
 
@@ -112,9 +149,30 @@ def test_media_schema_and_decode(media):
     assert len(rows) == 9
     for r in rows:
         assert r.kind in ("image", "audio", "video")
+        assert r.container == "raw"  # text bytes are no known container
         assert r.n_bytes > 0 and len(r.digest) == 32
         assert 64 <= r.width <= 304 and 64 <= r.height <= 304
         assert (r.duration_s == 0.0) == (r.kind == "image")
+
+
+def test_decode_real_containers_golden(spark):
+    """decode_media parses REAL PNG/GIF/BMP/WAV headers: output over
+    the committed binary fixture equals the generator's golden values
+    (dimensions/durations chosen at fixture-build time — the parser
+    cannot self-certify)."""
+    from pathlib import Path
+
+    from fixtures.media_real_golden import EXPECTED
+
+    fx = Path(__file__).resolve().parents[1] / "fixtures" / "media_real.parquet"
+    got = {
+        r.media_id: (r.kind, r.container, r.n_bytes, r.digest, r.width, r.height, r.duration_s)
+        for r in decode_media(spark.read.parquet(str(fx))).collect()
+    }
+    assert len(got) == len(EXPECTED)
+    for mid, kind, cont, nb, dg, w, h, dur in EXPECTED:
+        assert got[mid] == (kind, cont, nb, dg, w, h, dur), mid
+    assert {c for (_, _, c, *_ ) in EXPECTED} == {"png", "gif", "bmp", "wav"}
 
 
 def test_media_real_codecs_stub(media):

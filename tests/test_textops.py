@@ -88,6 +88,26 @@ def test_simhash_udf_64bit(corpus):
     assert bin(sigs[1] ^ sigs[4]).count("1") > 8   # far text, far sig
 
 
+def test_simhash_udf_matches_expr_bit_for_bit(spark, corpus):
+    """The vectorized numpy scale path and the Catalyst expression path
+    are the SAME hash function (md5 nibble-bit layout): signature bit b
+    of the long equals character b of the expression's bit-string."""
+    from crawlers_spark.operators.textdedup import simhash_expr
+
+    edge = spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "répé té ß unicode"), (103, "x")],
+        "doc_id long, text string",
+    )
+    df = corpus.unionByName(edge).select(
+        "doc_id",
+        simhash_expr(F.col("text"), bits=16).alias("s_expr"),
+        simhash_udf(16)(F.col("text")).alias("s_udf"),
+    )
+    for r in df.collect():
+        unpacked = "".join(str((r.s_udf >> b) & 1) for b in range(16))
+        assert unpacked == r.s_expr, (r.doc_id, unpacked, r.s_expr)
+
+
 def test_connected_components_transitive(spark):
     from crawlers_spark.operators.textdedup import connected_components
 
@@ -97,6 +117,29 @@ def test_connected_components_transitive(spark):
     )
     got = {r.id: r.cluster for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """Diameter-64 chain converges well inside max_iter=25: pointer
+    doubling makes rounds O(log diameter), not O(diameter) — plain
+    min-label propagation would need 64 rounds and silently truncate."""
+    from crawlers_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in connected_components(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from crawlers_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(pairs, max_iter=1)
 
 
 def test_dedup_clusters_end_to_end(corpus):
