@@ -107,10 +107,8 @@ def _bench_bulk(spark) -> tuple[float, float]:
     fx = ensure_fixture(BULK_PAGES)
     spark.read.parquet(str(fx / "pages.parquet")).count()  # warm footer cache
     t0 = _t.perf_counter()
-    offers, links, fetched = bulk_pipeline(spark, fx)
-    offers.count()
-    links.count()
-    fetched.unpersist()
+    combined = bulk_pipeline(spark, fx)
+    combined.groupBy("kind").count().collect()  # one job: all outputs forced
     wall = round(_t.perf_counter() - t0, 2)
     return wall, round(BULK_PAGES / wall, 1)
 

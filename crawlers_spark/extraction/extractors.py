@@ -215,3 +215,79 @@ def extract_outlinks(fetched: DataFrame) -> DataFrame:
     return fetched.select("url", "src_source", "depth", "html").mapInPandas(
         _outlink_batches, schema=_LINKS_SCHEMA
     )
+
+
+# ------------------------------------------------- fused single pass
+
+COMBINED_SCHEMA = (
+    "kind string, url string, url_canon string, host string, host_rank int, "
+    "depth int, src_source string, out_url string, title string, company string, "
+    "location string, salary string, description string, publication_ts timestamp, "
+    "extracted_text string"
+)
+
+_META_COLS = ["url", "url_canon", "host", "host_rank", "depth", "src_source"]
+
+
+def extract_page_outputs(fetched: DataFrame, *, detail_pattern: str) -> DataFrame:
+    """ONE html pass producing every per-page output of a wave, as
+    tagged rows (``kind``):
+
+    - ``'page'``  — one row per fetched page (meta passthrough: feeds
+      wave_log / seen-delta / lineage),
+    - ``'offer'`` — extracted job offer for detail pages matching
+      ``detail_pattern`` (url = canonical url, the offer identity),
+    - ``'link'``  — one row per outlink (feeds frontier growth).
+
+    Rationale (the 100 TB shape): offers and outlinks both need the
+    page html, and html is the single biggest column in the pipeline.
+    Two separate mapInPandas passes either decode+transfer the html
+    twice (bulk path) or force caching gigabytes of html between the
+    passes (wave path). The fused pass streams each Arrow batch of html
+    exactly once, emits only the (small) extracted rows, and what gets
+    persisted downstream is html-free. Map-only — no shuffle, fused
+    with the fetch join output.
+    """
+    out_cols = [c.split(" ")[0] for c in COMBINED_SCHEMA.split(", ")]
+
+    def _shape(kind: str, part: pd.DataFrame) -> pd.DataFrame:
+        """Fill the full schema with typed nulls (no pd.concat across
+        heterogenous frames — that upcasts datetime64 to object)."""
+        out = pd.DataFrame(index=part.index)
+        for c in out_cols:
+            if c == "kind":
+                out[c] = kind
+            elif c in part.columns:
+                out[c] = part[c].values
+            elif c == "publication_ts":
+                out[c] = pd.NaT
+            elif c in ("host_rank", "depth"):
+                out[c] = pd.array([None] * len(part), dtype="Int32")
+            else:
+                out[c] = None
+        return out
+
+    def _both(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            yield _shape("page", pdf[_META_COLS])
+            detail = pdf[pdf["url_canon"].str.contains(detail_pattern, regex=False)]
+            if not detail.empty:
+                fam = (
+                    pd.to_numeric(
+                        detail["src_source"].str.replace(r"\D", "", regex=True),
+                        errors="coerce",
+                    ).fillna(0).astype(int) % 4
+                )
+                for family, sub in detail.groupby(fam):
+                    off = _extract_family(sub.assign(url=sub["url_canon"]), int(family))
+                    yield _shape("offer", off.rename(columns={"source": "src_source"}))
+            for links in _outlink_batches(iter([pdf])):
+                yield _shape("link", links)
+
+    cols = [
+        F.col(c) if c in fetched.columns else F.lit(0).cast("int").alias(c)
+        for c in _META_COLS
+    ] + [F.col("html")]
+    return fetched.select(*cols).mapInPandas(_both, schema=COMBINED_SCHEMA)

@@ -39,7 +39,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawlers_spark.extraction.extractors import extract_offers, extract_outlinks
+from crawlers_spark.extraction.extractors import extract_page_outputs
 from crawlers_spark.functions.canonicalize import host_col, with_canonical_url
 from crawlers_spark.operators.dedup import BloomShards
 from crawlers_spark.operators.fetch import build_pages_index, fetch_split
@@ -133,13 +133,24 @@ class CrawlEngine:
         self.io.commit_wave(0, {"frontier": [rel]}, {"seeds": len(self.seeds)})
 
     # ------------------------------------------------------------ helpers
-    def _stage(self, df: DataFrame, table: str, wave: int) -> str:
+    def _stage(self, df: DataFrame, table: str, wave: int, compact: str = "repartition") -> str:
+        """Stage with small-file compaction (``output_coalesce``):
+
+        - ``"repartition"`` — full exchange of the (small) output rows;
+          right when upstream must still run at full parallelism (the
+          wave_log materializer: collapsing it would collapse the
+          pandas-UDF extraction itself to 4 tasks);
+        - ``"coalesce"``    — zero-exchange narrow compaction; right
+          when upstream is already materialized in the cache (offers);
+        - ``"none"``        — plan already ends in a shuffle, AQE's
+          coalescePartitions bounds the file count for free (frontier
+          agg, seen dropDuplicates, bloom shard agg).
+        """
         n = self.cfg.output_coalesce
-        if n is not None:
-            # repartition, NOT coalesce: coalesce(4) would collapse the
-            # whole upstream DAG (pandas-UDF extraction included) to 4
-            # tasks; repartition shuffles only the small output rows
+        if n is not None and compact == "repartition":
             df = df.repartition(n)
+        elif n is not None and compact == "coalesce":
+            df = df.coalesce(n)
         return self.io.stage(df, table, wave)
 
     def _frontier_rels(self) -> list[str]:
@@ -213,20 +224,30 @@ class CrawlEngine:
         # Misses (corpus 404 analog) → O12 retry.
         unseen = unseen.persist()
         fetched, missed = fetch_split(unseen, self.pages_index)
-        fetched = fetched.persist()
 
-        # O10 extraction (detail pages only, per-source vectorized UDFs)
-        detail = fetched.where(F.col("url_canon").contains(cfg.detail_url_pattern))
+        # O9+O10 fused: ONE html pass yields page-meta + offers +
+        # outlinks as tagged rows. What gets persisted is html-free —
+        # at 100 TB the html column never enters the cache and is
+        # decoded exactly once per wave.
+        combined = extract_page_outputs(
+            fetched, detail_pattern=cfg.detail_url_pattern
+        ).persist()
+
         # offer identity is the canonical URL (the reference's dedup key)
-        offers = extract_offers(
-            detail.select(F.col("url_canon").alias("url"), "src_source", "html")
-        ).withColumn("wave", F.lit(wave).cast("long"))
+        offers = (
+            combined.where(F.col("kind") == "offer")
+            .select(
+                "url", F.col("src_source").alias("source"), "title", "company",
+                "location", "salary", "description", "publication_ts",
+                "extracted_text",
+            )
+            .withColumn("wave", F.lit(wave).cast("long"))
+        )
 
-        # O9 outlinks → canonicalize → O13 offsite → O18 depth bound.
-        # Persisted: filter_unseen fans out into two branches (bloom
-        # "definitely new" + exact anti-join guard) — without the persist
-        # the whole html→outlink pandas-UDF chain runs once per branch.
-        links = extract_outlinks(fetched.select("url", "src_source", "depth", "html"))
+        # outlinks → canonicalize → O13 offsite → O18 depth bound
+        links = combined.where(F.col("kind") == "link").select(
+            "url", "src_source", "depth", "out_url"
+        )
         discovered = (
             with_canonical_url(links, "out_url", "url_canon")
             .join(F.broadcast(self.allowed_hosts), "src_source", "left")
@@ -256,7 +277,8 @@ class CrawlEngine:
         )
         exhausted_keys = missed.where(F.col("retry") >= cfg.max_retries).select("url_canon")
 
-        fetched_keys = fetched.select("url_canon")
+        pages_meta = combined.where(F.col("kind") == "page")
+        fetched_keys = pages_meta.select("url_canon")
         fresh_links = (
             self.bloom.filter_unseen(discovered, shards, seen)
             .join(fetched_keys, "url_canon", "left_anti")
@@ -286,37 +308,40 @@ class CrawlEngine:
 
         # O5 bloom shard merge (versioned per wave for resume)
         staged: dict[str, list[str]] = {}
+        bloom_merged = None
         if cfg.use_bloom:
             delta = self.bloom.build_delta(seen_delta, wave)
-            merged = self.bloom.merge(shards, delta, wave)
-            staged["bloom"] = [self._stage(merged, "bloom", wave)]
+            bloom_merged = self.bloom.merge(shards, delta, wave)
 
         # deterministic wave log (ordering-parity oracle, FIXTURES B6)
         wave_log = (
-            fetched.select(
+            pages_meta.select(
                 F.lit(wave).cast("long").alias("wave"), "host", "url_canon",
                 F.col("host_rank").cast("int"),
             )
         )
 
-        # stage the independent tables as CONCURRENT Spark jobs (driver
-        # threads; Spark schedules them in parallel) — staging writes
-        # are the wave's serial floor, and none depends on another
-        # except lineage, which needs the offers footer rowcount.
-        # offers/wave_log footer rowcounts ARE the wave's extracted/
-        # fetched metrics — no count() jobs.
+        # staging writes are the wave's serial floor. The wave_log stage
+        # (the cheapest combined-consumer) runs FIRST and alone: its
+        # write materializes the persisted combined extraction exactly
+        # once at full parallelism. Everything else — offers, seen,
+        # frontier', bloom — is then staged as CONCURRENT Spark jobs
+        # (driver threads) that read the warm cache. Only lineage waits
+        # (it needs the offers footer rowcount). offers/wave_log footer
+        # rowcounts ARE the wave's extracted/fetched metrics — no
+        # count() jobs anywhere.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futs = {
-                t: pool.submit(self._stage, df, t, wave)
-                for t, df in (
-                    ("offers", offers),
-                    ("wave_log", wave_log),
-                    ("seen", seen_delta),
-                    ("frontier", next_frontier),
-                )
-            }
+        staged["wave_log"] = [self._stage(wave_log, "wave_log", wave)]
+        to_stage = [
+            ("offers", offers, "coalesce"),      # cache-fed map-only
+            ("seen", seen_delta, "none"),        # ends in dedup shuffle
+            ("frontier", next_frontier, "none"),  # ends in agg shuffle
+        ]
+        if bloom_merged is not None:
+            to_stage.append(("bloom", bloom_merged, "none"))  # shard agg
+        with ThreadPoolExecutor(max_workers=len(to_stage)) as pool:
+            futs = {t: pool.submit(self._stage, df, t, wave, c) for t, df, c in to_stage}
             for t, fut in futs.items():
                 staged[t] = [fut.result()]
         n_offers = self._rowcount(staged["offers"])
@@ -324,14 +349,14 @@ class CrawlEngine:
 
         # O15 per-partition lineage (needs n_offers → staged last)
         lineage = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            pages_meta.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("fetched"))
             .withColumn("wave", F.lit(wave).cast("long"))
             .withColumn("extracted", F.lit(n_offers).cast("long"))
             .withColumn("bloom_version", F.lit(wave if cfg.use_bloom else -1).cast("long"))
             .select("wave", "partition_id", "fetched", "extracted", "bloom_version")
         )
-        staged["lineage"] = [self._stage(lineage, "lineage", wave)]
+        staged["lineage"] = [self._stage(lineage, "lineage", wave, "none")]
 
         meta = {
             "frontier_in": n_frontier,
@@ -340,7 +365,7 @@ class CrawlEngine:
         }
         self.io.commit_wave(wave, staged, meta)
 
-        for df in (frontier, selected, flagged, unseen, fetched, seen_delta, discovered):
+        for df in (frontier, selected, flagged, unseen, combined, seen_delta, discovered):
             df.unpersist()
         return {"wave": wave, "frontier": n_frontier, "fetched": n_fetched, "offers": n_offers, "quiesced": False}
 
