@@ -381,15 +381,21 @@ def simhash_udf(bits: int = 64):
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        # split(trim(·), '\s+') — blank text yields ONE empty token,
-        # exactly like simhash_expr's F.split (md5('') then votes);
-        # plain str.split() would silently diverge on blank docs
-        split = texts.fillna("").str.strip().str.split(r"\s+", regex=True)
+        # plain C-level whitespace split ≡ split(trim(·), '\s+') for
+        # non-blank text (3× cheaper than the regex split); blank text
+        # must yield ONE empty token exactly like simhash_expr's
+        # F.split (md5('') then votes), so blank rows are patched to
+        # [''] below
+        split = texts.fillna("").str.split()
+        blanks = split.str.len() == 0
+        if blanks.any():
+            split = split.copy()
+            split[blanks] = pd.Series([[""]] * int(blanks.sum()), index=split.index[blanks])
         lens = split.str.len().to_numpy(dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
-        if lens.sum() == 0:
+        if len(texts) == 0:
             return pd.Series(out)
-        flat = np.concatenate([t for t in split if t])
+        flat = np.concatenate(split.to_numpy())
         codes, uniq = pd.factorize(flat)
         dig = np.frombuffer(
             b"".join(hashlib.md5(t.encode()).digest()[:n_bytes] for t in uniq),
@@ -399,15 +405,24 @@ def simhash_udf(bits: int = 64):
         nibbles[:, 0::2] = dig >> 4  # hex char 2i   = high nibble of byte i
         nibbles[:, 1::2] = dig & 0x0F  # hex char 2i+1 = low nibble
         bidx = np.arange(bits)
-        tok_bits = (nibbles[:, bidx // 4] >> (bidx % 4)) & 1  # (uniq, bits)
-        per_token = (tok_bits.astype(np.int64) * 2 - 1)[codes]  # (tokens, bits)
-        nonempty = lens > 0
-        starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
-        votes = np.add.reduceat(per_token, starts, axis=0)
-        packed = ((votes > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(
+        tok_bits = (nibbles[:, bidx // 4] >> (bidx % 4)) & 1  # (uniq, bits) uint8
+        # votes[d][b] = 2·(# token occurrences of doc d with bit b set)
+        # − n_tokens(d). Before voting, (row, token) occurrences are
+        # deduplicated to weighted pairs (one int sort) — natural text
+        # repeats tokens heavily (stopwords), so the bit-matrix gather
+        # shrinks to distinct-tokens-per-doc; the multiplicity rides in
+        # the integer weight
+        n_u = len(uniq)
+        row_ids = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        pairs, cnt = np.unique(row_ids * n_u + codes, return_counts=True)
+        starts = np.searchsorted(pairs // n_u, np.arange(len(texts)))
+        weighted = tok_bits[pairs % n_u].astype(np.int64) * cnt[:, None]
+        bitsums = np.add.reduceat(weighted, starts, axis=0, dtype=np.int64)
+        sig_bits = (2 * bitsums) > lens[:, None]
+        packed = (sig_bits.astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(
             axis=1, dtype=np.uint64
         )
-        out[nonempty] = packed.view(np.int64)
+        out[:] = packed.view(np.int64)
         return pd.Series(out)
 
     return _simhash

@@ -124,7 +124,7 @@ class SnapshotParquetIO(TableIO):
         shutil.rmtree(self.root, ignore_errors=True)
 
 
-class IcebergTableIO(TableIO):  # pragma: no cover - needs a real catalog
+class IcebergTableIO(TableIO):
     """Real-Iceberg binding (activate with iceberg-spark-runtime on the
     classpath and a configured catalog; unavailable in this sandbox)."""
 
