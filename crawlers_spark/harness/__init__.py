@@ -62,6 +62,7 @@ _TAIL = [
     "rel_intersect_nations",
     "rel_nations_cust_no_supp",
     "rel_approx_distinct_bounds",
+    "rel_latest5_events_per_user",
 ]
 
 

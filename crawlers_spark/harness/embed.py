@@ -20,6 +20,7 @@ from crawlers_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    kmeans_centroids,
     lsh_topk,
 )
 
@@ -151,6 +152,77 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ------------------------------------ k-means-trained IVF top-k
+def q_ivf_kmeans_topk(spark, sf):
+    """IVF with a Lloyd-refined coarse quantizer (1 training round):
+    the trained upgrade over the first-n-by-id seed centroids. The
+    oracle replays the training round bit-identically (integer sums,
+    floor(mean+0.5) re-quantization)."""
+    e = load(spark, sf, "embeddings")
+    cents = kmeans_centroids(e, n_dims=N_DIMS, n_cells=8, n_iter=1)
+    return ivf_topk(
+        e.where(F.col("vec_id") < 10), e, k=5, n_cells=8, n_probe=2, centroids=cents
+    )
+
+
+SQL_IVF_KMEANS_TOPK = f"""
+WITH e AS (SELECT vec_id, {_Q} AS v FROM embeddings),
+cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS c
+  FROM e ORDER BY vec_id ASC LIMIT 8),
+d0 AS (
+  SELECT e.vec_id, cents0.cell,
+         sum(cents0.c[CAST(d AS INT)] * cents0.c[CAST(d AS INT)])
+           - 2 * sum(e.v[CAST(d AS INT)] * cents0.c[CAST(d AS INT)]) AS d2
+  FROM e CROSS JOIN cents0 CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY e.vec_id, cents0.cell),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+    FROM d0) WHERE crank = 1),
+upd AS (
+  SELECT a.cell, t.d,
+         CAST(floor(CAST(sum(e.v[CAST(t.d AS INT)]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+  FROM a0 a JOIN e USING (vec_id) CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY a.cell, t.d),
+cents AS (
+  SELECT c0.cell, COALESCE(u.c, c0.c) AS c
+  FROM cents0 c0
+  LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM upd GROUP BY cell) u USING (cell)),
+dists AS (
+  SELECT e.vec_id, cents.cell,
+         sum(cents.c[CAST(d AS INT)] * cents.c[CAST(d AS INT)])
+           - 2 * sum(e.v[CAST(d AS INT)] * cents.c[CAST(d AS INT)]) AS d2
+  FROM e CROSS JOIN cents CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY e.vec_id, cents.cell),
+ranked_cells AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+  FROM dists),
+ca AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= 1),
+qa AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= 2 AND vec_id < 10),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qa q JOIN ca c USING (cell) WHERE c.vec_id <> q.vec_id),
+sims AS (
+  SELECT p.query_id, p.neighbor_id,
+         CAST(sum(a.v[CAST(d AS INT)] * b.v[CAST(d AS INT)]) AS DOUBLE)
+           / sqrt(CAST(sum(a.v[CAST(d AS INT)] * a.v[CAST(d AS INT)]) AS DOUBLE))
+           / sqrt(CAST(sum(b.v[CAST(d AS INT)] * b.v[CAST(d AS INT)]) AS DOUBLE)) AS sim
+  FROM pairs p JOIN e a ON a.vec_id = p.query_id JOIN e b ON b.vec_id = p.neighbor_id
+  CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY p.query_id, p.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM sims)
+SELECT query_id, rank, neighbor_id, {_ROUND6.format('sim')} AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
 # -------------------------------------- embedding near-dup pairs
 def q_near_dup(spark, sf):
     e = load(spark, sf, "embeddings")
@@ -197,5 +269,6 @@ QUERIES = {
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embed_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "embed_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embed_ivf_kmeans_topk": (q_ivf_kmeans_topk, SQL_IVF_KMEANS_TOPK),
     "embed_near_dup_pairs": (q_near_dup, SQL_NEAR_DUP),
 }

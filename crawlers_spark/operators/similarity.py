@@ -221,6 +221,61 @@ def ivf_centroids(corpus: DataFrame, *, id_col: str, vec_col: str, n_cells: int)
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iter: int = 1,
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer in the ``ivf_centroids`` format
+    (ONE-row ``cents`` array) — the trained upgrade over the
+    first-n-by-id seeds, improving cell balance and probe recall.
+
+    Per iteration: (1) assignment is the same scan-side argmin as
+    ``ivf_assign`` — zero shuffle over the corpus; (2) the update is a
+    single partial-agg shuffle of ``n_dims`` integer component sums +
+    a count per cell (map-side combine; never the vectors themselves),
+    so one Lloyd round costs ONE exchange of n_cells·n_dims longs —
+    trivially scale-safe at 10^9 vectors. Means are quantized back to
+    the integer grid with ``floor(sum/count + 0.5)`` (same IEEE ops in
+    any engine — the DuckDB oracle replays training bit-identically).
+    Cells that lose all members keep their previous centroid.
+    """
+    cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    vecs = corpus.select(quantize(F.col(vec_col)).alias("_v"))
+    for _ in range(n_iter):
+        assigned = ivf_assign(vecs, cents, vec_q="_v", n_probe=1)
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.element_at("_v", d + 1)).alias(f"_s{d}") for d in range(n_dims)],
+        )
+        new_c = sums.select(
+            "cell",
+            F.array(
+                *[
+                    F.floor(F.col(f"_s{d}").cast("double") / F.col("_n") + F.lit(0.5)).cast("long")
+                    for d in range(n_dims)
+                ]
+            ).alias("new_vec"),
+        )
+        prev = cents.select(F.explode("cents").alias("c")).select(
+            F.col("c.cell").alias("cell"), F.col("c.c_vec").alias("prev_vec")
+        )
+        cents = (
+            prev.join(new_c, "cell", "left")
+            .select("cell", F.coalesce("new_vec", "prev_vec").alias("c_vec"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("cell"), F.col("c_vec")))
+                ).alias("cents")
+            )
+        )
+    return cents
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, *, vec_q: str, n_probe: int = 1) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest coarse centroids.
 
@@ -258,8 +313,11 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 8,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-flavored ANN: coarse cells from deterministic seed centroids.
+    """IVF-flavored ANN: coarse cells from deterministic seed centroids
+    (or a trained quantizer passed via ``centroids`` — e.g.
+    :func:`kmeans_centroids`).
 
     Corpus rows are assigned to 1 cell, queries probe ``n_probe``
     cells, exact cosine ranks within the probed cells — same
@@ -269,7 +327,11 @@ def ivf_topk(
     the only corpus-side exchange left is the final top-k window on the
     (tiny) scored candidate set.
     """
-    cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    )
     c_assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("c_q")),
         cents, vec_q="c_q", n_probe=1,
