@@ -39,7 +39,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawlers_spark.extraction.extractors import extract_page_outputs
+from crawlers_spark.extraction.extractors import COMBINED_SCHEMA, extract_page_outputs
 from crawlers_spark.functions.canonicalize import host_col, with_canonical_url
 from crawlers_spark.operators.dedup import BloomShards
 from crawlers_spark.operators.fetch import build_pages_index, fetch_split
@@ -54,6 +54,11 @@ FRONTIER_SCHEMA = (
 )
 SEEN_SCHEMA = "url_canon string, first_wave long"
 WAVELOG_SCHEMA = "wave long, host string, url_canon string, host_rank int"
+WAVE_OUT_SCHEMA = COMBINED_SCHEMA + ", wave long"
+# data files under a kind=… leaf dir carry every column EXCEPT kind
+WAVE_OUT_DATA_SCHEMA = (
+    COMBINED_SCHEMA.replace("kind string, ", "") + ", wave long"
+)
 LINEAGE_SCHEMA = (
     "wave long, partition_id int, fetched long, extracted long, bloom_version long"
 )
@@ -133,7 +138,14 @@ class CrawlEngine:
         self.io.commit_wave(0, {"frontier": [rel]}, {"seeds": len(self.seeds)})
 
     # ------------------------------------------------------------ helpers
-    def _stage(self, df: DataFrame, table: str, wave: int, compact: str = "repartition") -> str:
+    def _stage(
+        self,
+        df: DataFrame,
+        table: str,
+        wave: int,
+        compact: str = "repartition",
+        partition_by: str | None = None,
+    ) -> str:
         """Stage with small-file compaction (``output_coalesce``):
 
         - ``"repartition"`` — full exchange of the (small) output rows;
@@ -151,7 +163,7 @@ class CrawlEngine:
             df = df.repartition(n)
         elif n is not None and compact == "coalesce":
             df = df.coalesce(n)
-        return self.io.stage(df, table, wave)
+        return self.io.stage(df, table, wave, partition_by=partition_by)
 
     def _frontier_rels(self) -> list[str]:
         """Frontier has replace semantics: newest manifest entry wins."""
@@ -166,16 +178,17 @@ class CrawlEngine:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         return self.spark.read.parquet(*[str(self.io.root / rel) for rel in rels])
 
-    def _rowcount(self, rels: list[str]) -> int:
+    def _rowcount(self, rels: list[str], sub: str = "") -> int:
         """Row count from parquet footers — a driver-side metadata read,
-        zero Spark jobs. (Counts are observability, not dataflow; on an
-        object store this is the same handful of footer GETs, or comes
-        free from write metrics.)"""
+        zero Spark jobs. ``sub`` narrows to a hive-partition subtree
+        (e.g. ``kind=offer``). (Counts are observability, not dataflow;
+        on an object store this is the same handful of footer GETs, or
+        comes free from write metrics.)"""
         import pyarrow.parquet as pq
 
         n = 0
         for rel in rels:
-            for f in sorted((self.io.root / rel).glob("*.parquet")):
+            for f in sorted((self.io.root / rel / sub).rglob("*.parquet")):
                 n += pq.ParquetFile(f).metadata.num_rows
         return n
 
@@ -186,8 +199,29 @@ class CrawlEngine:
                 return self.spark.read.parquet(*dirs)
         return None
 
+    def _read_wave_out(self, *kinds: str) -> DataFrame:
+        """Committed wave_out rows of the given kinds.
+
+        Reads the ``kind=…`` hive LEAF dirs directly as one multi-path
+        parquet scan — no partition discovery, no per-dir union (a
+        union-of-reads grows the plan linearly with wave count; profiled
+        at +3 s/wave by wave 18 on the 2k fixture).
+        """
+        paths = [
+            str(p)
+            for d in self.io.committed_dirs("wave_out")
+            for k in kinds
+            if (p := Path(d) / f"kind={k}").exists()
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], WAVE_OUT_DATA_SCHEMA)
+        return self.spark.read.parquet(*paths)
+
     def _read_seen(self) -> DataFrame:
-        return self.io.read("seen", SEEN_SCHEMA)
+        """Seen-set = every wave_out key kind (page/denied/exhausted)."""
+        return self._read_wave_out("page", "denied", "exhausted").select(
+            "url_canon", F.col("wave").alias("first_wave")
+        )
 
     # ---------------------------------------------------------- one wave
     def run_wave(self, wave: int) -> dict:
@@ -226,26 +260,59 @@ class CrawlEngine:
         fetched, missed = fetch_split(unseen, self.pages_index)
 
         # O9+O10 fused: ONE html pass yields page-meta + offers +
-        # outlinks as tagged rows. What gets persisted is html-free —
-        # at 100 TB the html column never enters the cache and is
-        # decoded exactly once per wave.
-        combined = extract_page_outputs(
-            fetched, detail_pattern=cfg.detail_url_pattern
-        ).persist()
+        # outlinks as tagged rows. NOTHING html-sized is ever persisted
+        # or cached: the tagged rows go straight into the wave_out
+        # staged write below, and every later consumer reads the small
+        # extracted rows back from that staged dir.
+        combined = extract_page_outputs(fetched, detail_pattern=cfg.detail_url_pattern)
 
-        # offer identity is the canonical URL (the reference's dedup key)
-        offers = (
-            combined.where(F.col("kind") == "offer")
+        retryable = (
+            missed.where(F.col("retry") < cfg.max_retries)
             .select(
-                "url", F.col("src_source").alias("source"), "title", "company",
-                "location", "salary", "description", "publication_ts",
-                "extracted_text",
+                "url", "url_canon", "host", "priority", "depth", "src_source",
+                "discovered_ts", (F.col("retry") + 1).cast("int").alias("retry"),
             )
-            .withColumn("wave", F.lit(wave).cast("long"))
         )
+        exhausted_keys = missed.where(F.col("retry") >= cfg.max_retries).select("url_canon")
+
+        # ONE kind-partitioned staged table carries every durable
+        # per-wave output: 'page' meta (wave log + fetched seen keys),
+        # 'offer' rows, 'link' rows (frontier growth input), plus
+        # robots-'denied' and retry-'exhausted' seen keys. One write
+        # job runs the whole selection→fetch→extract chain exactly
+        # once; per-kind reads directory-prune and per-kind counts come
+        # from the kind subtree's parquet footers. (Round 1 staged five
+        # separate tables — five jobs re-deriving from cached html.)
+        combined_fields = [c.split(" ") for c in COMBINED_SCHEMA.split(", ")]
+
+        def _tagged_keys(keys: DataFrame, kind: str) -> DataFrame:
+            return keys.select(
+                *[
+                    F.lit(kind).alias("kind") if name == "kind"
+                    else F.col("url_canon") if name == "url_canon"
+                    else F.lit(None).cast(typ).alias(name)
+                    for name, typ in combined_fields
+                ]
+            )
+
+        wave_out_df = (
+            combined.unionByName(_tagged_keys(denied_keys, "denied"))
+            .unionByName(_tagged_keys(exhausted_keys, "exhausted"))
+            .withColumn("wave", F.lit(wave).cast("long"))
+            # exchange AFTER the full-width chain: one write task (and
+            # one file) per kind — the seen/offers readers scan one
+            # file per kind per wave instead of output_coalesce many
+            .repartition(F.col("kind"))
+        )
+        staged: dict[str, list[str]] = {}
+        rel_out = self._stage(wave_out_df, "wave_out", wave, compact="none", partition_by="kind")
+        staged["wave_out"] = [rel_out]
+        wo = self.spark.read.parquet(str(self.io.root / rel_out))
+        pages_meta = wo.where(F.col("kind") == "page")
+        fetched_keys = pages_meta.select("url_canon")
 
         # outlinks → canonicalize → O13 offsite → O18 depth bound
-        links = combined.where(F.col("kind") == "link").select(
+        links = wo.where(F.col("kind") == "link").select(
             "url", "src_source", "depth", "out_url"
         )
         discovered = (
@@ -268,17 +335,6 @@ class CrawlEngine:
         # frontier' = (old − attempted/denied) ∪ retryable misses ∪ new links
         attempted_keys = selected.select("url_canon")
         remaining = frontier.join(attempted_keys, "url_canon", "left_anti")
-        retryable = (
-            missed.where(F.col("retry") < cfg.max_retries)
-            .select(
-                "url", "url_canon", "host", "priority", "depth", "src_source",
-                "discovered_ts", (F.col("retry") + 1).cast("int").alias("retry"),
-            )
-        )
-        exhausted_keys = missed.where(F.col("retry") >= cfg.max_retries).select("url_canon")
-
-        pages_meta = combined.where(F.col("kind") == "page")
-        fetched_keys = pages_meta.select("url_canon")
         fresh_links = (
             self.bloom.filter_unseen(discovered, shards, seen)
             .join(fetched_keys, "url_canon", "left_anti")
@@ -299,53 +355,39 @@ class CrawlEngine:
             .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
         )
 
-        # seen' += fetched ∪ robots-denied ∪ retry-exhausted (O4 state)
+        # seen' += fetched ∪ robots-denied ∪ retry-exhausted (O4 state),
+        # read straight off the staged wave_out kinds
         seen_delta = (
-            fetched_keys.unionByName(denied_keys).unionByName(exhausted_keys)
+            wo.where(F.col("kind").isin("page", "denied", "exhausted"))
+            .select("url_canon")
             .dropDuplicates(["url_canon"])
             .withColumn("first_wave", F.lit(wave).cast("long"))
-        ).persist()
+        )
 
         # O5 bloom shard merge (versioned per wave for resume)
-        staged: dict[str, list[str]] = {}
         bloom_merged = None
         if cfg.use_bloom:
             delta = self.bloom.build_delta(seen_delta, wave)
             bloom_merged = self.bloom.merge(shards, delta, wave)
 
-        # deterministic wave log (ordering-parity oracle, FIXTURES B6)
-        wave_log = (
-            pages_meta.select(
-                F.lit(wave).cast("long").alias("wave"), "host", "url_canon",
-                F.col("host_rank").cast("int"),
-            )
-        )
-
-        # staging writes are the wave's serial floor. The wave_log stage
-        # (the cheapest combined-consumer) runs FIRST and alone: its
-        # write materializes the persisted combined extraction exactly
-        # once at full parallelism. Everything else — offers, seen,
-        # frontier', bloom — is then staged as CONCURRENT Spark jobs
-        # (driver threads) that read the warm cache. Only lineage waits
-        # (it needs the offers footer rowcount). offers/wave_log footer
+        # staging is the wave's serial floor: ONE wave_out write above
+        # ran the whole chain; frontier' and bloom now stage as
+        # CONCURRENT jobs that only touch small state (staged wave_out
+        # rows, persisted key-only frames). Only lineage waits — it
+        # needs the offers footer rowcount. Per-kind wave_out footer
         # rowcounts ARE the wave's extracted/fetched metrics — no
         # count() jobs anywhere.
         from concurrent.futures import ThreadPoolExecutor
 
-        staged["wave_log"] = [self._stage(wave_log, "wave_log", wave)]
-        to_stage = [
-            ("offers", offers, "coalesce"),      # cache-fed map-only
-            ("seen", seen_delta, "none"),        # ends in dedup shuffle
-            ("frontier", next_frontier, "none"),  # ends in agg shuffle
-        ]
+        to_stage = [("frontier", next_frontier, "none")]  # ends in agg shuffle
         if bloom_merged is not None:
             to_stage.append(("bloom", bloom_merged, "none"))  # shard agg
         with ThreadPoolExecutor(max_workers=len(to_stage)) as pool:
             futs = {t: pool.submit(self._stage, df, t, wave, c) for t, df, c in to_stage}
             for t, fut in futs.items():
                 staged[t] = [fut.result()]
-        n_offers = self._rowcount(staged["offers"])
-        n_fetched = self._rowcount(staged["wave_log"])
+        n_offers = self._rowcount(staged["wave_out"], sub="kind=offer")
+        n_fetched = self._rowcount(staged["wave_out"], sub="kind=page")
 
         # O15 per-partition lineage (needs n_offers → staged last)
         lineage = (
@@ -365,7 +407,7 @@ class CrawlEngine:
         }
         self.io.commit_wave(wave, staged, meta)
 
-        for df in (frontier, selected, flagged, unseen, combined, seen_delta, discovered):
+        for df in (frontier, selected, flagged, unseen, discovered):
             df.unpersist()
         return {"wave": wave, "frontier": n_frontier, "fetched": n_fetched, "offers": n_offers, "quiesced": False}
 
@@ -386,10 +428,16 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ outputs
     def offers(self) -> DataFrame:
-        return self.io.read("offers", schema=None)
+        return self._read_wave_out("offer").select(
+            "url", F.col("src_source").alias("source"), "title", "company",
+            "location", "salary", "description", "publication_ts",
+            "extracted_text", "wave",
+        )
 
     def wave_log(self) -> DataFrame:
-        return self.io.read("wave_log", WAVELOG_SCHEMA)
+        return self._read_wave_out("page").select(
+            "wave", "host", "url_canon", F.col("host_rank").cast("int").alias("host_rank")
+        )
 
     def lineage(self) -> DataFrame:
         return self.io.read("lineage", LINEAGE_SCHEMA)

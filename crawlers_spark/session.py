@@ -57,6 +57,11 @@ def get_spark(
         # compressed fixture; at warehouse scale files are many and this
         # only caps the per-task batch)
         .config("spark.sql.files.maxPartitionBytes", "4m")
+        # pack tiny state files (wave_out kind leaves, bloom shards)
+        # many-per-task: the 4 MB default openCost with 4 MB partitions
+        # schedules ONE task per file — a 60-file seen scan became 60+
+        # tasks of pure scheduling overhead
+        .config("spark.sql.files.openCostInBytes", "131072")
         # our joins are build-tiny/probe-huge (url keys vs html pages):
         # shuffled-hash beats sort-merge — SMJ sorts the html side per
         # task (Spark ignores bucketed sort order by default), which

@@ -60,11 +60,19 @@ class SnapshotParquetIO(TableIO):
         (self.root / "_wavelog").mkdir(parents=True, exist_ok=True)
 
     # -------------------------------------------------------------- write
-    def stage(self, df: DataFrame, table: str, wave: int) -> str:
-        """Write df as an uncommitted data dir; return its relative path."""
+    def stage(self, df: DataFrame, table: str, wave: int, partition_by: str | None = None) -> str:
+        """Write df as an uncommitted data dir; return its relative path.
+
+        ``partition_by`` hive-partitions the dir (e.g. by row ``kind``)
+        so per-kind reads directory-prune and per-kind row counts come
+        from that subtree's parquet footers.
+        """
         rel = f"{table}/data/w{wave:06d}-{uuid.uuid4().hex[:8]}"
         (self.root / table / "data").mkdir(parents=True, exist_ok=True)
-        df.write.mode("overwrite").parquet(str(self.root / rel))
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(str(self.root / rel))
         return rel
 
     def commit_wave(self, wave: int, table_files: dict[str, list[str]], meta: dict | None = None) -> None:
@@ -97,6 +105,18 @@ class SnapshotParquetIO(TableIO):
             if schema is None:
                 raise ValueError(f"table {table!r} empty and no schema given")
             return self.spark.createDataFrame([], schema)
+        # hive-partitioned staged dirs (stage(partition_by=…)) cannot go
+        # through one multi-path read — Spark refuses partition discovery
+        # over several roots — so union per-dir reads. Plan size grows
+        # with wave count; a real Iceberg deployment compacts manifests
+        # instead (SnapshotParquetIO is the sandbox stand-in).
+        if len(dirs) > 1 and any(
+            p.is_dir() and "=" in p.name for p in Path(dirs[0]).iterdir()
+        ):
+            from functools import reduce
+
+            dfs = [self.spark.read.parquet(d) for d in dirs]
+            return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
         return self.spark.read.parquet(*dirs)
 
     def last_committed_wave(self) -> int:
