@@ -114,6 +114,71 @@ def fetch_outer(candidates: DataFrame, pages_index: DataFrame, columns: tuple[st
     ).withColumnRenamed("_page_ts", "warc_ts")
 
 
+def urllib_transport(timeout_s: float = 10.0, max_workers: int = 16):
+    """Stdlib live-HTTP transport for :func:`live_fetch`: a callable
+    ``urls → [(status, body|None)]`` using ``urllib.request`` over a
+    thread pool (Twisted-downloader analog without dependencies).
+    Unexercisable in this sandbox (no network) — the code path is real;
+    tests inject a deterministic fake transport instead.
+    """
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch_many(urls: list[str]) -> list[tuple[int, bytes | None]]:
+        def one(u: str) -> tuple[int, bytes | None]:
+            try:
+                with urllib.request.urlopen(u, timeout=timeout_s) as r:
+                    return int(getattr(r, "status", 200)), r.read()
+            except Exception:
+                return 0, None  # network errors → status 0, retry path
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            return list(ex.map(one, urls))
+
+    return fetch_many
+
+
+def live_fetch(candidates: DataFrame, transport, *, chunk_size: int = 64) -> DataFrame:
+    """Live-web O8 variant: fetch candidate URLs through an injectable
+    ``transport`` inside ``mapInPandas`` (SURVEY §7.4's design slot,
+    now a real operator).
+
+    Each Arrow batch's URLs go to the transport in ``chunk_size``
+    chunks (bounding in-flight requests per task); output adds
+    ``status int`` (0 = transport error → O12 retry) and
+    ``html binary``. The politeness/top-k operators upstream bound and
+    order the batch per host exactly as for the corpus join, so the
+    live path slots into the wave plan by replacing ``fetch_split``
+    with ``live_fetch`` + a status split. Deterministic testing injects
+    a fake transport (tests/test_live_fetch.py); production wires
+    :func:`urllib_transport` (or any async client with the same
+    signature).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", status int, html binary"
+    out_cols = candidates.schema.fieldNames() + ["status", "html"]
+
+    def gate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            urls = pdf["url"].tolist()
+            results: list[tuple[int, bytes | None]] = []
+            for i in range(0, len(urls), chunk_size):
+                results.extend(transport(urls[i : i + chunk_size]))
+            out = pdf.copy()
+            out["status"] = pd.array([s for s, _ in results], dtype="Int32")
+            out["html"] = [b for _, b in results]
+            yield out[out_cols]
+
+    return candidates.mapInPandas(gate, schema)
+
+
 def fetch_split(
     candidates: DataFrame,
     pages_index: DataFrame,

@@ -31,26 +31,58 @@ def crawl_continuously(
     trigger_seconds: float = 0.0,
     poll_s: float = 0.5,
     timeout_s: float = 3600.0,
+    event_time_wave_s: float | None = None,
 ) -> list[dict]:
     """Run the engine under a streaming trigger until quiesce/max_waves.
 
     Returns the per-wave stats list (same shape as ``CrawlEngine.run``).
+
+    ``event_time_wave_s`` switches pacing from one-wave-per-trigger to
+    **event-time watermark pacing**: the rate source's event timestamps
+    advance a watermark, and wave k only becomes eligible once the
+    watermark passes ``start + k·event_time_wave_s``. Late or bursty
+    trigger firings then cannot run waves faster than event time — the
+    per-host politeness budget (a pure function of the wave number) is
+    anchored to the stream clock rather than trigger cadence. One tick
+    may run several waves (catch-up after a stall) or none (watermark
+    not yet advanced); either way wave numbering, ordering, and resume
+    guarantees are untouched because eligibility only gates WHEN
+    ``run_wave`` fires, never what it computes.
     """
     engine.bootstrap()
-    state: dict = {"stats": [], "done": False, "error": None}
+    state: dict = {"stats": [], "done": False, "error": None, "t0": None}
 
-    def tick(_batch_df, _batch_id):
+    def _eligible_wave(batch_df) -> int | None:
+        """Highest wave index the watermark permits (None = unlimited)."""
+        if event_time_wave_s is None:
+            return None
+        row = batch_df.agg({"timestamp": "max"}).collect()[0]
+        ts = row[0]
+        if ts is None:
+            return -1
+        t = ts.timestamp()
+        if state["t0"] is None:
+            state["t0"] = t
+        return int((t - state["t0"]) / event_time_wave_s) + 1
+
+    def tick(batch_df, _batch_id):
         if state["done"]:
             return
         try:
-            wave = engine.io.last_committed_wave() + 1
-            if wave > max_waves:
-                state["done"] = True
-                return
-            st = engine.run_wave(wave)
-            state["stats"].append(st)
-            if st["quiesced"]:
-                state["done"] = True
+            limit = _eligible_wave(batch_df)
+            while not state["done"]:
+                wave = engine.io.last_committed_wave() + 1
+                if wave > max_waves:
+                    state["done"] = True
+                    return
+                if limit is not None and wave > limit:
+                    return  # watermark hasn't reached this wave yet
+                st = engine.run_wave(wave)
+                state["stats"].append(st)
+                if st["quiesced"]:
+                    state["done"] = True
+                if limit is None:
+                    return  # trigger-paced: one wave per tick
         except Exception as exc:  # surface to the driver thread
             state["error"] = exc
             state["done"] = True
