@@ -170,3 +170,70 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def hashing_tf(
+    df: DataFrame, id_col: str, text_col: str, *, n_features: int = 64
+) -> DataFrame:
+    """Feature-hashing TF document embeddings (the hashing trick).
+
+    token → bucket ``b = first-8-hex-of-md5 mod n_features``; the
+    document vector counts token occurrences per bucket, L1-normalized
+    to exact rationals (count/total — one double division per
+    component, so any engine computing the same integer counts gets
+    bit-identical vectors). Output ``embedding: array<double>`` plugs
+    straight into the ANN operators (operators/similarity.py) —
+    deterministic, model-free featurization bridging the text pipeline
+    into similarity search; a production swap-in is any learned encoder
+    with the same column contract.
+
+    Scale shape: explode → ONE partial-agg shuffle on (doc, bucket) →
+    per-doc array assembly; nothing is ever all-pairs and the widest
+    row is ``n_features`` longs.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens_ws(F.col(text_col))).alias("tok"),
+    )
+    bucketed = tok.select(
+        id_col,
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % n_features).alias("bucket"),
+    )
+    counts = bucketed.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_arrays(F.collect_list("bucket"), F.collect_list("n")).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda b: F.coalesce(F.element_at("m", b.cast("long")), F.lit(0)).cast("double")
+        / F.col("total").cast("double"),
+    )
+    return per_doc.select(id_col, dense.alias("embedding"))
+
+
+def bigram_stats(
+    df: DataFrame, id_col: str, text_col: str, *, top_k: int = 50
+) -> DataFrame:
+    """Corpus-level adjacent-token-pair frequencies — the counting
+    substrate a BPE/WordPiece trainer maximizes over (see
+    ``bpe_train``). One explode + one hash-agg + a global top-k:
+    map-side combine makes the shuffle O(distinct pairs), and the
+    top-k is TakeOrderedAndProject — no single-partition sort.
+    Deterministic tie-break on the pair string.
+    """
+    ws = tokens_ws(F.col(text_col))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
+    )

@@ -63,6 +63,8 @@ _TAIL = [
     "rel_nations_cust_no_supp",
     "rel_approx_distinct_bounds",
     "rel_latest5_events_per_user",
+    "rel_hourly_event_windows",
+    "rel_range_join_30d",
 ]
 
 

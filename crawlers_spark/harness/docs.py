@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from crawlers_spark.functions.textstats import (
     BPE_TOKEN_RE,
     LANG_STOPWORDS,
+    bigram_stats,
+    hashing_tf,
     lang_id,
     quality_features,
     quality_ok,
@@ -438,6 +440,62 @@ WHERE COALESCE(comp.cluster, k.doc_id) = k.doc_id
 """
 
 
+# ---------------------------------- feature-hashing TF embeddings
+def q_hashing_tf(spark, sf):
+    """Deterministic text featurization (hashing trick): document
+    vectors that plug straight into the ANN operators — the model-free
+    bridge from the text pipeline into similarity search."""
+    return hashing_tf(load(spark, sf, "documents"), "doc_id", "text", n_features=64)
+
+
+# value mod 64 of the first 8 md5 hex chars reduces to the last two
+# nibbles (16² ≡ 0 mod 64) — both engines compute exactly that
+SQL_HASHING_TF = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE string_split_regex(trim(text), '\s+') END) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) % 64 AS bucket
+  FROM tok),
+counts AS (SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(n) AS total FROM counts GROUP BY 1),
+grid AS (SELECT t.doc_id, CAST(r.b AS BIGINT) AS bucket, t.total
+         FROM tot t CROSS JOIN range(0, 64) r(b)),
+dense AS (
+  SELECT g.doc_id, g.bucket,
+         CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE) AS v
+  FROM grid g LEFT JOIN counts c USING (doc_id, bucket))
+SELECT doc_id, list(v ORDER BY bucket) AS embedding FROM dense GROUP BY doc_id
+"""
+
+
+# --------------------------------- corpus bigram stats (BPE substrate)
+def q_bigram_stats(spark, sf):
+    """Adjacent-token-pair frequencies over the corpus — the counting
+    substrate a BPE/WordPiece trainer (functions/bpe.py) maximizes
+    over; global top-k with a deterministic tie-break."""
+    return bigram_stats(load(spark, sf, "documents"), "doc_id", "text", top_k=50)
+
+
+SQL_BIGRAMS = r"""
+WITH w AS (
+  SELECT CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents),
+p AS (
+  SELECT unnest(CASE WHEN len(ws) >= 2
+    THEN list_transform(range(1, len(ws)),
+                        i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])
+    ELSE [] END) AS pair
+  FROM w)
+SELECT pair, COUNT(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
 # ------------------------------------------- winnowing fingerprints
 def q_winnow(spark, sf):
     return winnow_fingerprints(
@@ -478,4 +536,6 @@ QUERIES = {
     "docs_repetition_ratios": (q_repetition, SQL_REPETITION),
     "docs_curation_pipeline": (q_curation, SQL_CURATION),
     "docs_winnow_fingerprints": (q_winnow, SQL_WINNOW),
+    "docs_hashing_tf": (q_hashing_tf, SQL_HASHING_TF),
+    "docs_bigram_stats": (q_bigram_stats, SQL_BIGRAMS),
 }

@@ -1,0 +1,67 @@
+"""Distributed BPE training/encoding (functions/bpe.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlers_spark.functions.bpe import (
+    END,
+    _apply_merges,
+    bpe_encode_udf,
+    bpe_train,
+    token_count_bpe_trained,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest"),
+        (4, "widest widest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_train_learns_frequent_pairs(corpus):
+    """The classic BPE toy corpus: 'e s' and 's t' (from newest/widest)
+    and the 'lo' of low/lower dominate — the learned merges must build
+    those multi-char symbols, deterministically."""
+    merges = bpe_train(corpus, "text", n_merges=6)
+    assert merges == bpe_train(corpus, "text", n_merges=6)  # deterministic
+    built = {a + b for a, b in merges}
+    assert any("est" in s or ("es" in s or "st" in s) for s in built)
+    assert any("lo" in s for s in built)
+    # every merge rule concatenates symbols buildable from earlier rules
+    known = {END} | set("abcdefghijklmnopqrstuvwxyz")
+    for a, b in merges:
+        assert a in known and b in known, (a, b, merges)
+        known.add(a + b)
+
+
+def test_bpe_encode_matches_scalar_reference(corpus):
+    merges = bpe_train(corpus, "text", n_merges=4)
+    enc = corpus.select("doc_id", "text", bpe_encode_udf(merges)(F.col("text")).alias("syms"))
+    for r in enc.collect():
+        expect = []
+        for w in r.text.split():
+            expect.extend(_apply_merges(w, merges))
+        assert list(r.syms) == expect
+
+
+def test_trained_tokenizer_compresses(corpus):
+    """More merges → fewer (or equal) tokens per document; zero merges
+    degenerate to characters."""
+    base = {
+        r.doc_id: r.n_tokens
+        for r in token_count_bpe_trained(corpus, "doc_id", "text", []).collect()
+    }
+    merges = bpe_train(corpus, "text", n_merges=8)
+    trained = {
+        r.doc_id: r.n_tokens
+        for r in token_count_bpe_trained(corpus, "doc_id", "text", merges).collect()
+    }
+    assert all(trained[d] <= base[d] for d in base)
+    assert sum(trained.values()) < sum(base.values())
