@@ -426,6 +426,14 @@ class CrawlEngine:
                 break
         return stats
 
+    # ---------------------------------------------------------- maintain
+    def compact(self) -> str | None:
+        """Compact wave_out's per-wave dirs into one (maintenance job
+        for long crawls — bounds the per-wave directory listing; see
+        ``SnapshotParquetIO.compact_table``). Safe at any point between
+        waves: readers and resume see identical state."""
+        return self.io.compact_table("wave_out")
+
     # ------------------------------------------------------------ outputs
     def offers(self) -> DataFrame:
         return self._read_wave_out("offer").select(

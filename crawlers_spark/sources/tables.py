@@ -93,11 +93,12 @@ class SnapshotParquetIO(TableIO):
         return out
 
     def committed_dirs(self, table: str, as_of_wave: int | None = None) -> list[str]:
-        return [
-            str(self.root / rel)
-            for m in self._manifests(as_of_wave)
-            for rel in m["tables"].get(table, [])
-        ]
+        out: list[str] = []
+        for m in self._manifests(as_of_wave):
+            if table in m.get("replaces", []):
+                out = []  # compaction manifest supersedes earlier entries
+            out.extend(str(self.root / rel) for rel in m["tables"].get(table, []))
+        return out
 
     def read(self, table: str, schema: str | None = None, as_of_wave: int | None = None) -> DataFrame:
         dirs = self.committed_dirs(table, as_of_wave)
@@ -128,6 +129,52 @@ class SnapshotParquetIO(TableIO):
         return json.loads(p.read_text())
 
     # ----------------------------------------------------------- maintain
+    def compact_table(self, table: str) -> str | None:
+        """Rewrite every committed dir of ``table`` into ONE dir and
+        commit a superseding manifest entry (``replaces``) — the
+        SnapshotParquetIO analog of Iceberg snapshot compaction.
+
+        Long crawls accumulate one staged dir per wave; per-wave reads
+        then list O(waves) directories. Compaction bounds that: readers
+        before and after see identical rows (the superseding manifest
+        is one atomic rename), ``last_committed_wave`` is unchanged
+        (same wave id; the ``~compact`` name sorts after the base
+        manifest), and time-travel to waves before the compaction still
+        resolves through the older manifests. Superseded data dirs stay
+        on disk for those reads — a retention job may delete manifests
+        older than wave k and then ``vacuum_uncommitted``.
+
+        Returns the new relative dir, or None if there is ≤1 dir.
+        """
+        dirs = self.committed_dirs(table)
+        if len(dirs) <= 1:
+            return None
+        wave = self.last_committed_wave()
+        rel = f"{table}/data/compact-w{wave:06d}-{uuid.uuid4().hex[:8]}"
+        part_col = next(
+            (
+                p.name.split("=", 1)[0]
+                for p in Path(dirs[0]).iterdir()
+                if p.is_dir() and "=" in p.name
+            ),
+            None,
+        )
+        w = self.read(table).write.mode("overwrite")
+        if part_col is not None:
+            w = w.partitionBy(part_col)
+        w.parquet(str(self.root / rel))
+        manifest = {
+            "wave": wave,
+            "tables": {table: [rel]},
+            "replaces": [table],
+            "meta": {"compacted_dirs": len(dirs)},
+        }
+        tmp = self.root / "_wavelog" / f".tmp-{uuid.uuid4().hex}.json"
+        final = self.root / "_wavelog" / f"wave-{wave:06d}~compact-{uuid.uuid4().hex[:8]}.json"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, final)
+        return rel
+
     def vacuum_uncommitted(self) -> int:
         """Drop staged dirs no manifest references (crash leftovers)."""
         live = {rel for m in self._manifests() for rels in m["tables"].values() for rel in rels}

@@ -160,3 +160,47 @@ def test_bloom_equals_exact(spark, fx, crawled):
     assert sorted(map(tuple, nobloom.wave_log().collect())) == sorted(
         map(tuple, eng1.wave_log().collect())
     )
+
+
+def test_compaction_preserves_state_and_resume(spark, fx, crawled):
+    """Mid-crawl wave_out compaction: offers/wave_log/seen identical
+    before and after; a crawl resumed ON TOP of the compacted state
+    finishes identically to the uninterrupted run."""
+    eng1, _ = crawled
+    part = make_engine(spark, fx, "compacted")
+    part.run(max_waves=3)
+
+    before = {
+        "offers": sorted(map(tuple, part.offers().collect())),
+        "log": sorted(map(tuple, part.wave_log().collect())),
+        "seen": sorted(map(tuple, part.seen().collect())),
+    }
+    rel = part.compact()
+    assert rel is not None and part.io.last_committed_wave() == 3
+    assert len(part.io.committed_dirs("wave_out")) == 1
+    after = {
+        "offers": sorted(map(tuple, part.offers().collect())),
+        "log": sorted(map(tuple, part.wave_log().collect())),
+        "seen": sorted(map(tuple, part.seen().collect())),
+    }
+    assert before == after
+
+    # resume with a NEW engine on the compacted state dir
+    import json as _json
+
+    resumed = CrawlEngine(
+        spark,
+        str(fx / "pages.parquet"),
+        _json.loads((fx / "seeds.json").read_text()),
+        spark.read.parquet(str(fx / "robots.parquet")),
+        spark.read.parquet(str(fx / "politeness.parquet")),
+        STATE / "compacted",
+        CrawlConfig(hot_hosts={"src0.example": 4, "src1.example": 4}),
+    )
+    resumed.run(max_waves=40)
+    assert sorted(map(tuple, resumed.wave_log().collect())) == sorted(
+        map(tuple, eng1.wave_log().collect())
+    )
+    assert sorted(r["url"] for r in resumed.offers().collect()) == sorted(
+        r["url"] for r in eng1.offers().collect()
+    )
