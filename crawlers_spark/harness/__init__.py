@@ -65,6 +65,7 @@ _TAIL = [
     "rel_latest5_events_per_user",
     "rel_hourly_event_windows",
     "rel_range_join_30d",
+    "rel_sessionize_events",
 ]
 
 

@@ -196,6 +196,37 @@ GROUP BY host, budget_k
 """
 
 
+# ----------------------------------- O6←O7 politeness from Crawl-delay
+def q_politeness_from_robots(spark, sf):
+    """Per-host politeness derived from robots.txt Crawl-delay
+    directives (urllib.robotparser semantics); hosts without a
+    directive fall back to the default delay."""
+    from crawlers_spark.operators.robots import politeness_from_robots
+
+    fr = _frontier(spark, sf)
+    hosts = fr.select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    rules = F.when(
+        n % 3 == 0,
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (1 + n % 5).cast("string"),
+            F.lit("\nDisallow: /private/\n"),
+        ),
+    ).otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    robots = hosts.withColumn("rules", rules)
+    return politeness_from_robots(robots).select("host", "delay_s", "max_per_wave")
+
+
+SQL_POLITENESS_FROM_ROBOTS = f"""
+SELECT DISTINCT host,
+       CASE WHEN src_n % 3 = 0 THEN CAST(1 + src_n % 5 AS DOUBLE)
+            ELSE 0.5 END AS delay_s,
+       CAST(200 AS INT) AS max_per_wave
+FROM ({_SQL_URLS}) u
+"""
+
+
 # ------------------------------------------------- O13 offsite filter
 def q_offsite_filter(spark, sf):
     fr = _frontier(spark, sf).withColumn(
@@ -319,6 +350,7 @@ QUERIES = {
     "crawl_bloom_dedup_exactness": (q_bloom_dedup, SQL_BLOOM),
     "crawl_robots_gate": (q_robots_gate, SQL_ROBOTS),
     "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
+    "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),
     "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
     "crawl_retry_policy": (q_retry_policy, SQL_RETRY),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),

@@ -129,3 +129,43 @@ def robots_flag(candidates: DataFrame, robots: DataFrame, url_col: str = "url_ca
 def robots_filter(candidates: DataFrame, robots: DataFrame, url_col: str = "url_canon") -> DataFrame:
     """Drop URLs disallowed by their host's robots rules."""
     return robots_flag(candidates, robots, url_col).where(F.col("robots_ok")).drop("robots_ok")
+
+
+def politeness_from_robots(
+    robots: DataFrame,
+    *,
+    default_delay_s: float = 0.5,
+    default_max_per_wave: int = 200,
+) -> DataFrame:
+    """Derive the per-host politeness table from robots.txt
+    ``Crawl-delay`` directives (O6 ← O7 integration).
+
+    ``urllib.robotparser.crawl_delay`` semantics: the directive of the
+    entry matching our agent (falling back to ``*``), else the default.
+    Host-cardinality input → one parse per row inside ``mapInPandas``;
+    the result broadcasts into ``politeness_budget`` like any explicit
+    politeness table (an explicit table still wins where provided).
+    """
+    import numpy as np
+
+    def derive(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            delays = []
+            for rules in pdf["rules"]:
+                rp = urllib.robotparser.RobotFileParser()
+                rp.parse((rules or "").splitlines())
+                d = rp.crawl_delay(USER_AGENT)
+                delays.append(float(d) if d is not None else default_delay_s)
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "delay_s": np.array(delays, dtype=np.float64),
+                    "max_per_wave": np.full(len(pdf), default_max_per_wave, dtype=np.int32),
+                }
+            )
+
+    return robots.select("host", "rules").mapInPandas(
+        derive, "host string, delay_s double, max_per_wave int"
+    )

@@ -89,7 +89,7 @@ class CrawlEngine:
         pages_path: str,
         seeds: list[dict],
         robots: DataFrame,
-        politeness: DataFrame,
+        politeness: DataFrame | None,
         state_root: str | Path,
         config: CrawlConfig | None = None,
     ):
@@ -101,6 +101,12 @@ class CrawlEngine:
         )
         self.seeds = seeds
         self.robots = robots
+        # no explicit politeness table → derive per-host delays from
+        # robots.txt Crawl-delay directives (O6 ← O7)
+        if politeness is None:
+            from crawlers_spark.operators.robots import politeness_from_robots
+
+            politeness = politeness_from_robots(robots)
         self.politeness = politeness
         # offsite map (O13): source -> allowed host, broadcast-sized
         self.allowed_hosts = spark.createDataFrame(

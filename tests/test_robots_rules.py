@@ -79,3 +79,26 @@ def test_lit_fast_path_accepts_all_shipping_selectors():
 )
 def test_lit_fast_path_rejects_regex_metacharacters(pattern):
     assert not _LIT_RE.match(pattern)
+
+
+# ------------------------------ Crawl-delay → politeness derivation
+def test_politeness_from_robots_crawl_delay(spark):
+    from crawlers_spark.operators.robots import politeness_from_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n"),
+            ("b.example", "User-agent: *\nDisallow:\n"),  # no directive
+            # agent-specific entry beats '*'
+            ("c.example", "User-agent: crawlers-spark\nCrawl-delay: 7\n\nUser-agent: *\nCrawl-delay: 1\n"),
+            ("d.example", None),
+        ],
+        "host string, rules string",
+    )
+    got = {r.host: (r.delay_s, r.max_per_wave) for r in politeness_from_robots(
+        robots, default_delay_s=0.5, default_max_per_wave=99
+    ).collect()}
+    assert got["a.example"] == (3.0, 99)
+    assert got["b.example"] == (0.5, 99)
+    assert got["c.example"] == (7.0, 99)
+    assert got["d.example"] == (0.5, 99)
