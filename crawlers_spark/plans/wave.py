@@ -80,6 +80,9 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
     hot_hosts: dict[str, int] = field(default_factory=dict)  # host -> n_salts
+    # compact wave_out every N waves (None = only on explicit compact());
+    # bounds the per-wave kind-leaf listing on long crawls
+    compact_every: int | None = None
 
 
 class CrawlEngine:
@@ -430,6 +433,8 @@ class CrawlEngine:
             stats.append(st)
             if st["quiesced"]:
                 break
+            if self.cfg.compact_every and wave % self.cfg.compact_every == 0:
+                self.compact()
         return stats
 
     # ---------------------------------------------------------- maintain

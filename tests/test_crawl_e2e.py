@@ -204,3 +204,18 @@ def test_compaction_preserves_state_and_resume(spark, fx, crawled):
     assert sorted(r["url"] for r in resumed.offers().collect()) == sorted(
         r["url"] for r in eng1.offers().collect()
     )
+
+
+def test_periodic_compaction_run_identical(spark, fx, crawled):
+    """compact_every=3 interleaves compaction with waves; the crawl
+    output is bit-identical to the uncompacted baseline run."""
+    eng1, _ = crawled
+    eng = make_engine(spark, fx, "autocompact", compact_every=3)
+    eng.run(max_waves=40)
+    assert len(eng.io.committed_dirs("wave_out")) < eng.io.last_committed_wave()
+    assert sorted(map(tuple, eng.wave_log().collect())) == sorted(
+        map(tuple, eng1.wave_log().collect())
+    )
+    assert sorted(map(tuple, eng.offers().collect())) == sorted(
+        map(tuple, eng1.offers().collect())
+    )
