@@ -66,6 +66,8 @@ _TAIL = [
     "rel_hourly_event_windows",
     "rel_range_join_30d",
     "rel_sessionize_events",
+    "rel_window_top3_orders_per_customer",
+    "rel_rollup_revenue",
 ]
 
 

@@ -325,6 +325,77 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# -------------------------------------- sitemap seed discovery (O1+)
+def q_sitemap_seeds(spark, sf):
+    """Round-trip through REAL sitemap XML: per-host <urlset> documents
+    are built from the url table, parsed back by the engine's
+    ElementTree-based ``parse_sitemaps`` — the oracle states the
+    expected entries directly (parse(build(x)) ≡ x)."""
+    from crawlers_spark.extraction.sitemaps import parse_sitemaps
+
+    fr = _frontier(spark, sf)
+    lastmod = F.concat(
+        F.lit("2024-01-"), F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    )
+    # XML-escape the loc ('&' appears in canonical query strings; a raw
+    # ampersand is malformed XML) — the parser unescapes it back
+    esc = F.regexp_replace("url_canon", "&", "&amp;")
+    entry = F.concat(
+        F.lit("<url><loc>"), esc,
+        F.lit("</loc><lastmod>"), lastmod, F.lit("</lastmod></url>"),
+    )
+    sm = fr.groupBy("host").agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(F.array_sort(F.collect_list(entry)), ""),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    return parse_sitemaps(sm).select("host", "kind", "loc", "lastmod")
+
+
+SQL_SITEMAP_SEEDS = f"""
+SELECT host, 'url' AS kind, expected_canon AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod
+FROM ({_SQL_URLS}) u
+"""
+
+
+# --------------------------------------- WARC source (Common Crawl)
+def q_warc_read(spark, sf):
+    """read_warc_pages over the committed real WARC fixture (ISO 28500
+    framing, HTTP-response blocks); oracle = the generator's golden
+    values, independent of the parser."""
+    from pathlib import Path
+
+    from crawlers_spark.sources.warc import read_warc_pages
+
+    path = Path(__file__).resolve().parents[2] / "fixtures" / "warc"
+    df = read_warc_pages(spark, str(path / "*.warc"))
+    return df.select(
+        "url", "warc_ts",
+        F.octet_length("html").alias("n_bytes"), F.md5("html").alias("digest"),
+    )
+
+
+def _warc_golden_sql() -> str:
+    from fixtures.warc_golden import EXPECTED
+
+    rows = ",\n  ".join(
+        f"('{url}', '{ts}', {n}, '{d}')" for (url, ts, n, d) in EXPECTED
+    )
+    return f"""
+SELECT url, CAST(warc_ts AS TIMESTAMP) AS warc_ts,
+       CAST(n_bytes AS INT) AS n_bytes, digest
+FROM (VALUES
+  {rows}
+) t(url, warc_ts, n_bytes, digest)
+"""
+
+
+SQL_WARC_READ = _warc_golden_sql()
+
+
 # ----------------------------------- O15 lineage-shaped per-host rollup
 def q_lineage_rollup(spark, sf):
     fr = _frontier(spark, sf)
@@ -353,6 +424,8 @@ QUERIES = {
     "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),
     "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
     "crawl_retry_policy": (q_retry_policy, SQL_RETRY),
+    "crawl_sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
+    "crawl_warc_read": (q_warc_read, SQL_WARC_READ),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),
     "crawl_outlink_udtf": (q_outlink_udtf, SQL_OUTLINKS_UDTF),
     "crawl_lineage_rollup": (q_lineage_rollup, SQL_LINEAGE),

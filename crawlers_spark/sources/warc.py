@@ -1,0 +1,95 @@
+"""WARC source: read Common-Crawl-style WARC files into the ``pages``
+shape (url, warc_ts, html:binary).
+
+The engine's corpus tables are parquet/Iceberg; real Common Crawl ships
+WARC (ISO 28500) — this connector closes that gap with a pure-stdlib
+record parser (no warcio in the sandbox; the format is simple framing:
+``WARC/1.0`` + CRLF headers + Content-Length-delimited block). Files
+arrive through Spark's ``binaryFile`` source and records are split
+inside ``mapInPandas`` — one task per WARC file (Common Crawl shards
+its crawls into ~1 GB WARC files, so file-level parallelism is the
+natural unit; a 100 TB crawl is ~100k files across executors).
+
+Only ``response`` records are emitted. For records whose block is an
+HTTP response, the HTTP header section is stripped so ``html`` is the
+payload alone (matching what the reference's downloader hands to the
+spider); raw non-HTTP blocks pass through whole.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, warc_file string"
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers: dict, block: bytes) for each record (stdlib-only).
+
+    Framing per ISO 28500: version line, CRLF header lines up to a blank
+    line, ``Content-Length`` octets of block, then CRLF CRLF.
+    """
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        head = data[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break  # not a record boundary — stop rather than mis-frame
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        block_start = head_end + 4
+        yield headers, data[block_start : block_start + length]
+        pos = block_start + length
+
+
+def _strip_http_headers(block: bytes) -> bytes:
+    if block.startswith(b"HTTP/"):
+        sep = block.find(b"\r\n\r\n")
+        if sep >= 0:
+            return block[sep + 4 :]
+    return block
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → DataFrame in the ``pages`` shape.
+
+    ``path`` accepts globs (``dir/*.warc``). Timestamps are the
+    records' ``WARC-Date`` (UTC ISO-8601 per spec).
+    """
+    raw = spark.read.format("binaryFile").load(path)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                urls, tss, htmls = [], [], []
+                for headers, block in iter_warc_records(bytes(row["content"])):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    urls.append(headers.get("warc-target-uri", ""))
+                    tss.append(headers.get("warc-date"))
+                    htmls.append(_strip_http_headers(block))
+                if urls:
+                    yield pd.DataFrame(
+                        {
+                            "url": urls,
+                            "warc_ts": pd.to_datetime(tss, utc=True).tz_localize(None),
+                            "html": htmls,
+                            "warc_file": row["path"],
+                        }
+                    )
+
+    return raw.select("path", "content").mapInPandas(parse, WARC_PAGES_SCHEMA)
