@@ -73,10 +73,18 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.format("binaryFile").load(path)
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
         for pdf in it:
             for _, row in pdf.iterrows():
+                data = bytes(row["content"])
+                if data[:2] == b"\x1f\x8b":
+                    # Common Crawl ships .warc.gz with one gzip member
+                    # per record; gzip.decompress handles concatenated
+                    # members transparently
+                    data = gzip.decompress(data)
                 urls, tss, htmls = [], [], []
-                for headers, block in iter_warc_records(bytes(row["content"])):
+                for headers, block in iter_warc_records(data):
                     if headers.get("warc-type") != "response":
                         continue
                     urls.append(headers.get("warc-target-uri", ""))

@@ -75,3 +75,46 @@ def test_parse_sitemaps_dataframe(spark):
         ("a.example", "url", "https://a.example/x"),
         ("b.example", "sitemap", "https://b.example/s.xml"),
     }
+
+
+def test_warc_gz_member_per_record(spark, tmp_path):
+    """Common-Crawl-style .warc.gz: one gzip member per record,
+    concatenated — reader output identical to the plain file."""
+    import gzip
+
+    from fixtures.gen_warc import build_file
+
+    data, golden = build_file(0)
+    gz = b"".join(gzip.compress(part) for part in _record_spans(data))
+    (tmp_path / "crawl-00000.warc.gz").write_bytes(gz)
+    df = read_warc_pages(spark, str(tmp_path / "*.warc.gz"))
+    got = {
+        r.url: (str(r.warc_ts), r.n, r.d)
+        for r in df.select(
+            "url", "warc_ts", F.octet_length("html").alias("n"), F.md5("html").alias("d")
+        ).collect()
+    }
+    expected_file0 = {u: (ts, n, d) for (u, ts, n, d) in golden}
+    assert {u: got[u] for u in expected_file0} == expected_file0
+    assert len(got) == len(expected_file0)
+
+
+def _record_spans(data: bytes) -> list[bytes]:
+    """Split a WARC byte stream back into per-record chunks (header +
+    block + trailing CRLFCRLF), using the same framing as the reader."""
+    import re
+
+    spans = []
+    pos = 0
+    while pos < len(data):
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= len(data):
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        head = data[pos:head_end].decode()
+        length = int(re.search(r"Content-Length: (\d+)", head).group(1))
+        end = head_end + 4 + length + 4
+        spans.append(data[pos:end])
+        pos = end
+    return spans
