@@ -40,6 +40,31 @@ def with_salt(df: DataFrame, hot_hosts: DataFrame | None = None, url_col: str = 
     return df.withColumn("salt", F.pmod(F.xxhash64(F.col(url_col)), F.col("n_salts")).cast("int"))
 
 
+def detect_hot_hosts(
+    frontier: DataFrame, *, threshold: int, max_salts: int = 64
+) -> DataFrame:
+    """Adaptive O17: derive the (host, n_salts) skew table from the
+    frontier's OBSERVED per-host row counts instead of static config.
+
+    ``n_salts = min(max_salts, ceil(count / threshold))`` for hosts over
+    the threshold. One hash-agg with map-side combine (host-cardinality
+    output → broadcasts into ``with_salt``); counts are a deterministic
+    function of the frontier snapshot, so wave ordering stays
+    reproducible run-to-run and across resume.
+    """
+    return (
+        frontier.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > threshold)
+        .select(
+            "host",
+            F.least(
+                F.lit(max_salts), F.ceil(F.col("_n") / F.lit(threshold))
+            ).cast("int").alias("n_salts"),
+        )
+    )
+
+
 def _order_cols():
     return [F.col("priority").desc(), F.col("discovered_ts").asc(), F.col("url_canon").asc()]
 

@@ -43,7 +43,7 @@ from crawlers_spark.extraction.extractors import COMBINED_SCHEMA, extract_page_o
 from crawlers_spark.functions.canonicalize import host_col, with_canonical_url
 from crawlers_spark.operators.dedup import BloomShards
 from crawlers_spark.operators.fetch import build_pages_index, fetch_split
-from crawlers_spark.operators.frontier import select_wave_topk, with_salt
+from crawlers_spark.operators.frontier import detect_hot_hosts, select_wave_topk, with_salt
 from crawlers_spark.operators.politeness import politeness_budget
 from crawlers_spark.operators.robots import robots_flag
 from crawlers_spark.sources.tables import SnapshotParquetIO
@@ -80,6 +80,9 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
     hot_hosts: dict[str, int] = field(default_factory=dict)  # host -> n_salts
+    # adaptive skew salting (O17): derive hot hosts from the frontier's
+    # observed per-host counts each wave instead of the static table
+    hot_host_threshold: int | None = None
     # compact wave_out every N waves (None = only on explicit compact());
     # bounds the per-wave kind-leaf listing on long crawls
     compact_every: int | None = None
@@ -245,7 +248,12 @@ class CrawlEngine:
 
         # O6 politeness → O2/O17 salted deterministic top-k
         gated = politeness_budget(frontier, self.politeness, wave, cfg.wave_interval_s)
-        salted = with_salt(gated, self.hot_hosts)
+        hot = (
+            detect_hot_hosts(frontier, threshold=cfg.hot_host_threshold)
+            if cfg.hot_host_threshold
+            else self.hot_hosts
+        )
+        salted = with_salt(gated, hot)
         selected = select_wave_topk(salted).persist()
 
         # O7 robots on the selected batch only (cheapest point: post-top-k)

@@ -33,7 +33,8 @@ def make_engine(spark, fx, name, **cfg_kw):
     root = STATE / name
     shutil.rmtree(root, ignore_errors=True)
     seeds = json.loads((fx / "seeds.json").read_text())
-    cfg = CrawlConfig(hot_hosts={"src0.example": 4, "src1.example": 4}, **cfg_kw)
+    cfg_kw.setdefault("hot_hosts", {"src0.example": 4, "src1.example": 4})
+    cfg = CrawlConfig(**cfg_kw)
     return CrawlEngine(
         spark,
         str(fx / "pages.parquet"),
@@ -218,4 +219,23 @@ def test_periodic_compaction_run_identical(spark, fx, crawled):
     )
     assert sorted(map(tuple, eng.offers().collect())) == sorted(
         map(tuple, eng1.offers().collect())
+    )
+
+
+def test_adaptive_hot_host_salting_identical_output(spark, fx, crawled):
+    """O17 adaptive mode: skew salts derived from observed frontier
+    counts. Selection is a per-host top-k, so salting (static OR
+    adaptive) must never change WHICH urls are fetched — only how the
+    work partitions. Output ≡ the static-hot-host baseline, and two
+    adaptive runs are identical to each other."""
+    eng1, _ = crawled
+    a = make_engine(spark, fx, "adaptive_a", hot_hosts={}, hot_host_threshold=10)
+    a.run(max_waves=40)
+    assert sorted(map(tuple, a.wave_log().collect())) == sorted(
+        map(tuple, eng1.wave_log().collect())
+    )
+    b = make_engine(spark, fx, "adaptive_b", hot_hosts={}, hot_host_threshold=10)
+    b.run(max_waves=40)
+    assert sorted(map(tuple, b.wave_log().collect())) == sorted(
+        map(tuple, a.wave_log().collect())
     )
