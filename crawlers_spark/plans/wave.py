@@ -8,15 +8,18 @@ frontier** (O17): each wave is a single Catalyst-planned DAG —
 
     frontier snapshot                         (snapshot read, O16)
       → politeness gate   (broadcast join, O6)
-      → salted two-phase top-k per host       (O2/O17)
+      → salted two-phase top-k per host       (O2/O17; salts static or
+                                               adaptive via observed counts)
       → robots filter     (broadcast join + mapInPandas, O7)
       → bloom prefilter → exact anti-join     (O5 → O4)
       → fetch join against pages_index        (O8; misses → retry, O12)
-      → per-source extraction (mapInPandas)   (O10) → offers
-      → outlink explode → canonicalize →
-        offsite/depth filter → dedup          (O9/O13/O18 → frontier')
-      → atomic commit: offers + seen + frontier' + bloom + lineage
-                                              (O14/O15/O16)
+      → FUSED single-pass extraction          (O9+O10: one html pass →
+                                               tagged page/offer/link rows)
+      → ONE kind-partitioned wave_out write   (O14: offers + wave log +
+                                               seen keys, atomic with)
+      → frontier' + bloom staged concurrently (O13/O18 filters inside
+        off the staged rows                    frontier'; O5 shards)
+      → lineage + manifest commit             (O15/O16)
 
 The only driver-side synchronization is the commit barrier at the end
 of each wave (the reference's page-by-page pacing made explicit). All
