@@ -68,6 +68,7 @@ _TAIL = [
     "rel_sessionize_events",
     "rel_window_top3_orders_per_customer",
     "rel_rollup_revenue",
+    "rel_cube_events",
 ]
 
 

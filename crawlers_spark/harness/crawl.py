@@ -361,6 +361,36 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# ------------------------------------ freshness recrawl scheduling
+def q_recrawl_candidates(spark, sf):
+    """URLs whose sitemap lastmod post-dates their fetch time re-enter
+    the frontier (the incremental-crawl complement of O11 quiesce)."""
+    from crawlers_spark.operators.recrawl import recrawl_candidates
+
+    fr = _frontier(spark, sf)
+    fetched = F.to_timestamp(
+        F.concat(F.lit("2024-01-"), F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+    )
+    seen = fr.select("url_canon", fetched.alias("fetched_ts"))
+    entries = fr.select(
+        "host",
+        F.lit("url").alias("kind"),
+        F.col("url_canon").alias("loc"),
+        F.concat(
+            F.lit("2024-01-"), F.lpad((F.col("doc_id") % 31 + 1).cast("string"), 2, "0")
+        ).alias("lastmod"),
+    )
+    return recrawl_candidates(seen, entries, priority=50)
+
+
+SQL_RECRAWL = f"""
+SELECT expected_canon AS url_canon, host, CAST(50 AS INT) AS priority,
+       CAST('2024-01-' || lpad(CAST(doc_id % 31 + 1 AS VARCHAR), 2, '0') AS TIMESTAMP) AS lastmod_ts
+FROM ({_SQL_URLS}) u
+WHERE doc_id % 31 + 1 > doc_id % 28 + 1
+"""
+
+
 # --------------------------------------- WARC source (Common Crawl)
 def q_warc_read(spark, sf):
     """read_warc_pages over the committed real WARC fixture (ISO 28500
@@ -425,6 +455,7 @@ QUERIES = {
     "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
     "crawl_retry_policy": (q_retry_policy, SQL_RETRY),
     "crawl_sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
+    "crawl_recrawl_candidates": (q_recrawl_candidates, SQL_RECRAWL),
     "crawl_warc_read": (q_warc_read, SQL_WARC_READ),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),
     "crawl_outlink_udtf": (q_outlink_udtf, SQL_OUTLINKS_UDTF),

@@ -1,0 +1,61 @@
+"""Freshness recrawl scheduling — the incremental-crawl complement of
+O11 quiesce.
+
+The reference crawls incrementally: each run stops paginating when a
+page yields only known offers, and cron relaunches it to pick up new
+content (public Scrapy-harness behavior). Quiesce (O11) covers the
+"stop when nothing is new" half; this operator covers "come back when
+something changed": URLs already in the seen-set whose sitemap
+``lastmod`` is newer than the wave we fetched them in re-enter the
+frontier with a freshness priority.
+
+Shape: seen ⋈ sitemap entries on the canonical URL (both sides
+key-only; the entries table is per-host sitemap output —
+``extraction/sitemaps.py`` — orders of magnitude smaller than the
+frontier), filter on the timestamp comparison, emit frontier-shaped
+rows. One equi-join + filter; at 10^10 seen entries this shuffles only
+join keys and the (small) sitemap side can broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawlers_spark.functions.canonicalize import with_canonical_url
+
+
+def recrawl_candidates(
+    seen: DataFrame,
+    sitemap_entries: DataFrame,
+    *,
+    fetched_ts_col: str = "fetched_ts",
+    priority: int = 50,
+) -> DataFrame:
+    """(url_canon, host, priority, lastmod_ts) rows due for recrawl.
+
+    ``seen`` must carry (url_canon, ``fetched_ts_col``); ``sitemap_entries``
+    is ``parse_sitemaps`` output (kind='url' rows: host, loc, lastmod).
+    A URL is due when its sitemap lastmod is strictly newer than the
+    fetch timestamp. URLs never fetched are frontier material already —
+    not recrawl — so the join is inner.
+    """
+    entries = (
+        with_canonical_url(
+            sitemap_entries.where(F.col("kind") == "url").select(
+                F.col("loc").alias("url"), F.col("lastmod")
+            )
+        )
+        .select("url_canon", "host", F.to_timestamp("lastmod").alias("lastmod_ts"))
+        .where(F.col("lastmod_ts").isNotNull())
+    )
+    return (
+        seen.select("url_canon", F.col(fetched_ts_col).alias("_fetched_ts"))
+        .join(F.broadcast(entries), "url_canon")
+        .where(F.col("lastmod_ts") > F.col("_fetched_ts"))
+        .select(
+            "url_canon", "host",
+            F.lit(priority).cast("int").alias("priority"),
+            "lastmod_ts",
+        )
+    )

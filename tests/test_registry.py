@@ -10,7 +10,7 @@ from crawlers_spark import harness
 # rows in registry order. queries()/oracle_sql() therefore front-load
 # anything new or modified this round and rotate only round-1-green,
 # since-untouched queries past position 50.
-N_QUERIES = 63
+N_QUERIES = 64
 DRIVER_CAP = 50
 
 
