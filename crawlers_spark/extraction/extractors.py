@@ -286,8 +286,12 @@ def extract_page_outputs(fetched: DataFrame, *, detail_pattern: str) -> DataFram
             for links in _outlink_batches(iter([pdf])):
                 yield _shape("link", links)
 
+    # missing meta columns fall back to a typed NULL matching the
+    # column's COMBINED_SCHEMA declaration (r2 ADVICE: a blanket
+    # int-0 fallback conflicted with the string-typed meta columns)
+    declared = dict(c.rsplit(" ", 1) for c in COMBINED_SCHEMA.split(", "))
     cols = [
-        F.col(c) if c in fetched.columns else F.lit(0).cast("int").alias(c)
+        F.col(c) if c in fetched.columns else F.lit(None).cast(declared[c]).alias(c)
         for c in _META_COLS
     ] + [F.col("html")]
     return fetched.select(*cols).mapInPandas(_both, schema=COMBINED_SCHEMA)

@@ -444,8 +444,19 @@ WHERE COALESCE(comp.cluster, k.doc_id) = k.doc_id
 def q_hashing_tf(spark, sf):
     """Deterministic text featurization (hashing trick): document
     vectors that plug straight into the ANN operators — the model-free
-    bridge from the text pipeline into similarity search."""
-    return hashing_tf(load(spark, sf, "documents"), "doc_id", "text", n_features=64)
+    bridge from the text pipeline into similarity search.
+
+    Output is exploded to ``(doc_id, bucket, tf)`` rows: the driver's
+    pandas canonicalizer (``sort_values`` over raw columns) cannot sort
+    an ``array<double>`` cell (CORRECTNESS_r02 red row), and the
+    exploded form carries the identical data one scalar per row. The
+    dense-array operator (`functions/textstats.py:hashing_tf`) is
+    unchanged for ANN consumers.
+    """
+    emb = hashing_tf(load(spark, sf, "documents"), "doc_id", "text", n_features=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "tf")
+    ).select("doc_id", F.col("bucket").cast("long").alias("bucket"), "tf")
 
 
 # value mod 64 of the first 8 md5 hex chars reduces to the last two
@@ -469,7 +480,7 @@ dense AS (
   SELECT g.doc_id, g.bucket,
          CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE) AS v
   FROM grid g LEFT JOIN counts c USING (doc_id, bucket))
-SELECT doc_id, list(v ORDER BY bucket) AS embedding FROM dense GROUP BY doc_id
+SELECT doc_id, bucket, v AS tf FROM dense
 """
 
 

@@ -111,20 +111,28 @@ FROM ({_SQL_DECODED}) WHERE kind = 'video'
 
 
 def q_embed(spark, sf):
+    """Exploded to ``(media_id, dim, value)`` rows: an ``array<float>``
+    cell is unsortable by the driver's pandas canonicalizer
+    (CORRECTNESS_r02 red row); the exploded form is the same vector one
+    component per row. ``embed_media`` itself still emits the dense
+    array the ANN operators consume."""
     emb = embed_media(synth_media(load(spark, sf, "documents")), dims=8)
     return emb.select(
+        "media_id", F.posexplode("embedding").alias("dim", "value")
+    ).select(
         "media_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("value").cast("double").alias("value"),
     )
 
 
 SQL_EMBED = """
-SELECT media_id,
-       list_transform(range(0, 8), j -> CAST(CAST(
+SELECT doc_id AS media_id, CAST(j AS BIGINT) AS dim,
+       CAST(CAST(
          (strpos('0123456789abcdef', substr(md5(text), CAST(2*j+1 AS INT), 1)) - 1) * 16.0
           + (strpos('0123456789abcdef', substr(md5(text), CAST(2*j+2 AS INT), 1)) - 1)
-         AS DOUBLE) / 255.0 - 0.5 AS FLOAT) :: DOUBLE) AS embedding
-FROM (SELECT doc_id AS media_id, text FROM documents)
+         AS DOUBLE) / 255.0 - 0.5 AS FLOAT) :: DOUBLE AS value
+FROM documents CROSS JOIN range(0, 8) r(j)
 """
 
 

@@ -92,6 +92,11 @@ class BloomShards:
         )
         return keyed.groupBy("shard_id").applyInPandas(make, BLOOM_SCHEMA)
 
+    def update(self, shards: DataFrame | None, new_seen: DataFrame, version: int, key: str = "url_canon") -> DataFrame:
+        """Unified engine-facing update (same contract as CuckooShards)."""
+        delta = self.build_delta(new_seen, version, key)
+        return self.merge(shards, delta, version)
+
     def merge(self, old: DataFrame | None, delta: DataFrame, version: int) -> DataFrame:
         """OR old and delta shard bits → new shard table at `version`."""
         both = delta if old is None else old.unionByName(delta)
@@ -161,3 +166,222 @@ class BloomShards:
 
 def empty_bloom(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], BLOOM_SCHEMA)
+
+
+# --------------------------------------------------------------- cuckoo
+CUCKOO_SCHEMA = "shard_id int, version long, slots binary, n_items long"
+
+
+class CuckooShards:
+    """Partitioned cuckoo filter — the seen-set prefilter *with
+    deletions* (BASELINE.json north_star: "falling back to a
+    cuckoo-filter DataFrame for deletions"). Same table shape and probe
+    contract as ``BloomShards`` (one row per shard, ``filter_unseen``
+    composition with the exact anti-join guard), plus ``apply`` accepts
+    delete batches — which freshness recrawl (operators/recrawl.py →
+    plans/wave.py ``schedule_recrawls``) needs to evict tombstoned URLs
+    so a recrawled key takes the cheap definitely-new lane again.
+
+    Structure per shard: ``n_buckets × 4`` slots of 16-bit fingerprints
+    (0 = empty), stored packed in one ``slots: binary`` cell. Buckets
+    are the standard pair ``i1 = h(key) mod B`` and
+    ``i2 = i1 XOR mix(fp)`` (an involution, so eviction never needs the
+    original key). Fingerprints are **multiset** entries — two keys
+    colliding on (bucket, fp) occupy two slots — so deleting one key can
+    never create a false negative for another, which is the property
+    the definitely-new fast path depends on.
+
+    Scale shape: updates are a ``cogroup``-``applyInPandas`` per shard
+    (parallelism = n_shards; size shards so one shard's ops fit an
+    executor); probes are a broadcast join + vectorized numpy membership
+    test per Arrow batch, identical to the bloom probe. All key hashing
+    is JVM-side ``xxhash64``; Python only touches fixed-width ints.
+    """
+
+    FP_MIX = np.uint64(0x5BD1E995)
+
+    def __init__(self, n_shards: int = 32, buckets_per_shard: int = 1 << 14, slots: int = 4):
+        assert buckets_per_shard & (buckets_per_shard - 1) == 0, "buckets must be 2^k"
+        self.n_shards = n_shards
+        self.n_buckets = buckets_per_shard
+        self.slots = slots
+
+    # ------------------------------------------------------------ hashing
+    def _keyed(self, df: DataFrame, key: str) -> DataFrame:
+        """JVM-side shard / fingerprint / primary-bucket columns."""
+        return (
+            df.withColumn(
+                "shard_id",
+                F.pmod(F.xxhash64(F.col(key), F.lit(7)), F.lit(self.n_shards)).cast("int"),
+            )
+            # fp ∈ [1, 65535] — 0 is the empty-slot sentinel
+            .withColumn(
+                "_fp",
+                (F.pmod(F.xxhash64(F.col(key), F.lit(13)), F.lit(65535)) + 1).cast("int"),
+            )
+            .withColumn(
+                "_i1",
+                F.pmod(F.xxhash64(F.col(key), F.lit(29)), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        mixed = (fp.astype(np.uint64) * self.FP_MIX) & np.uint64(self.n_buckets - 1)
+        return (i.astype(np.uint64) ^ mixed).astype(np.int64)
+
+    # ------------------------------------------------------------- update
+    def apply(
+        self,
+        shards: DataFrame | None,
+        inserts: DataFrame | None,
+        deletes: DataFrame | None,
+        version: int,
+        key: str = "url_canon",
+    ) -> DataFrame:
+        """New shard table at ``version`` after inserts then deletes.
+
+        Raises (executor-side) on capacity exhaustion or on deleting a
+        fingerprint that is not present — both indicate caller bugs
+        (deleting a never-inserted key silently would eventually corrupt
+        another key's membership), so the failure mode is loud.
+        """
+        some = next(df for df in (inserts, deletes, shards) if df is not None)
+        spark = some.sparkSession
+        ops = spark.createDataFrame([], "shard_id int, _fp int, _i1 int, _op int")
+        for df, op in ((inserts, 1), (deletes, -1)):
+            if df is not None:
+                tagged = (
+                    self._keyed(df.select(key).dropDuplicates([key]), key)
+                    .select("shard_id", "_fp", "_i1")
+                    .withColumn("_op", F.lit(op))
+                )
+                ops = ops.unionByName(tagged)
+        if shards is None:
+            shards = spark.createDataFrame([], CUCKOO_SCHEMA)
+        n_buckets, slots, alt = self.n_buckets, self.slots, self._alt
+
+        def upd(op_key, op_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+            if shard_pdf.empty:
+                table = np.zeros((n_buckets, slots), dtype=np.uint16)
+                n_items = 0
+            else:
+                table = (
+                    np.frombuffer(shard_pdf["slots"].iloc[0], dtype=np.uint16)
+                    .reshape(n_buckets, slots)
+                    .copy()
+                )
+                n_items = int(shard_pdf["n_items"].iloc[0])
+            for phase in (1, -1):  # inserts first, then deletes
+                sub = op_pdf[op_pdf["_op"] == phase]
+                if sub.empty:
+                    continue
+                fps = sub["_fp"].to_numpy(np.uint16)
+                i1s = sub["_i1"].to_numpy(np.int64)
+                i2s = alt(i1s, fps)
+                if phase == 1:
+                    for fp, i1, i2 in zip(fps, i1s, i2s):
+                        n_items += 1
+                        empt = np.flatnonzero(table[i1] == 0)
+                        if empt.size:
+                            table[i1, empt[0]] = fp
+                            continue
+                        empt = np.flatnonzero(table[i2] == 0)
+                        if empt.size:
+                            table[i2, empt[0]] = fp
+                            continue
+                        # eviction chain — deterministic victim slot
+                        cur_fp, cur_i = fp, int(i2)
+                        for kick in range(500):
+                            victim = kick % slots
+                            cur_fp, table[cur_i, victim] = table[cur_i, victim], cur_fp
+                            cur_i = int(alt(np.array([cur_i]), np.array([cur_fp], np.uint16))[0])
+                            empt = np.flatnonzero(table[cur_i] == 0)
+                            if empt.size:
+                                table[cur_i, empt[0]] = cur_fp
+                                break
+                        else:
+                            raise RuntimeError(
+                                f"cuckoo shard over capacity ({n_items}/{n_buckets * slots})"
+                                " — raise buckets_per_shard or n_shards"
+                            )
+                else:
+                    for fp, i1, i2 in zip(fps, i1s, i2s):
+                        hit = np.flatnonzero(table[i1] == fp)
+                        if not hit.size:
+                            hit = np.flatnonzero(table[i2] == fp)
+                            i1 = i2
+                        if not hit.size:
+                            raise RuntimeError(
+                                "cuckoo delete of absent fingerprint — deleting a key "
+                                "that was never inserted corrupts the filter"
+                            )
+                        table[i1, hit[0]] = 0
+                        n_items -= 1
+            return pd.DataFrame(
+                {
+                    "shard_id": [int(op_key[0])],
+                    "version": [version],
+                    "slots": [table.tobytes()],
+                    "n_items": [n_items],
+                }
+            )
+
+        return (
+            ops.groupBy("shard_id")
+            .cogroup(shards.select("shard_id", "slots", "n_items").groupBy("shard_id"))
+            .applyInPandas(upd, CUCKOO_SCHEMA)
+        )
+
+    # unified engine-facing update contract shared with BloomShards
+    def update(self, shards: DataFrame | None, new_seen: DataFrame, version: int, key: str = "url_canon") -> DataFrame:
+        return self.apply(shards, inserts=new_seen, deletes=None, version=version, key=key)
+
+    def delete(self, shards: DataFrame, gone: DataFrame, version: int, key: str = "url_canon") -> DataFrame:
+        return self.apply(shards, inserts=None, deletes=gone, version=version, key=key)
+
+    # -------------------------------------------------------------- probe
+    def split_new_vs_maybe(self, candidates: DataFrame, shards: DataFrame, key: str = "url_canon") -> DataFrame:
+        """Adds ``maybe_seen``: False ⇒ definitely new (no false negatives
+        by the multiset-copies argument above)."""
+        n_buckets, slots, alt = self.n_buckets, self.slots, self._alt
+        keyed = self._keyed(candidates, key)
+        joined = keyed.join(F.broadcast(shards.select("shard_id", "slots")), "shard_id", "left")
+
+        out_fields = candidates.schema.fieldNames() + ["maybe_seen"]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+        ) + ", maybe_seen boolean"
+
+        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                res = pdf.copy()
+                res["maybe_seen"] = True
+                has = pdf["slots"].notna()
+                if has.any():
+                    for slots_bytes, idx in pdf[has].groupby("slots", sort=False).groups.items():
+                        table = np.frombuffer(slots_bytes, dtype=np.uint16).reshape(
+                            n_buckets, slots
+                        )
+                        sub = pdf.loc[idx]
+                        fps = sub["_fp"].to_numpy(np.uint16)
+                        i1s = sub["_i1"].to_numpy(np.int64)
+                        i2s = alt(i1s, fps)
+                        hit = (table[i1s] == fps[:, None]).any(axis=1) | (
+                            table[i2s] == fps[:, None]
+                        ).any(axis=1)
+                        res.loc[idx, "maybe_seen"] = hit
+                res.loc[~has, "maybe_seen"] = False
+                yield res[out_fields]
+
+        return joined.mapInPandas(probe, schema)
+
+    def filter_unseen(self, candidates: DataFrame, shards: DataFrame | None, seen: DataFrame, key: str = "url_canon") -> DataFrame:
+        """Same O5→O4 composition as BloomShards: prefilter, exact guard."""
+        if shards is None:
+            return anti_join_seen(candidates, seen, key)
+        flagged = self.split_new_vs_maybe(candidates, shards, key)
+        definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+        return definitely_new.unionByName(anti_join_seen(maybe, seen, key))

@@ -84,18 +84,32 @@ def parse_media_header(raw: bytes):
     ``None`` when the bytes are not a recognized container.
 
     Magic checks are strict enough that UTF-8 text can never
-    false-positive: PNG's signature has a non-ASCII byte; GIF
-    additionally requires a NUL inside the logical-screen dimensions
-    (true for any real GIF < 65536px wide); BMP and RIFF/WAV validate
-    their internal size fields against the actual byte length.
+    false-positive: PNG's signature has a non-ASCII byte; GIF is
+    validated STRUCTURALLY — nonzero dims, the logical-screen flags
+    byte's global-color-table length must land the cursor on a valid
+    block introducer (extension 0x21 / image descriptor 0x2C / trailer
+    0x3B) and the file must end with the 0x3B trailer (r2 ADVICE: the
+    old NUL-in-dims heuristic silently rejected any real GIF with both
+    dims in 256..65535); BMP and RIFF/WAV validate their internal size
+    fields against the actual byte length.
     """
     n = len(raw)
     if n >= 24 and raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
         w, h = struct.unpack(">II", raw[16:24])
         return ("png", w, h, 0.0)
-    if n >= 13 and raw[:6] in (b"GIF87a", b"GIF89a") and 0 in raw[6:10]:
+    if n >= 14 and raw[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", raw[6:10])
-        return ("gif", w, h, 0.0)
+        flags = raw[10]
+        gct_bytes = (3 << ((flags & 0x07) + 1)) if flags & 0x80 else 0
+        first_block = 13 + gct_bytes
+        if (
+            w > 0
+            and h > 0
+            and n > first_block
+            and raw[first_block] in (0x21, 0x2C, 0x3B)
+            and raw[-1] == 0x3B
+        ):
+            return ("gif", w, h, 0.0)
     if n >= 26 and raw[:2] == b"BM" and struct.unpack("<I", raw[2:6])[0] == n:
         w, h = struct.unpack("<ii", raw[18:26])
         return ("bmp", w, abs(h), 0.0)

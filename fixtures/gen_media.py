@@ -99,6 +99,12 @@ def build_rows() -> list[dict]:
         container = ("png", "gif", "bmp", "wav")[i % 4]
         width = 16 + (7 * i) % 48
         height = 12 + (5 * i) % 40
+        if container == "gif" and i % 8 == 1:
+            # r2 ADVICE: dims in 256..65535 put NO NUL byte in the GIF
+            # logical-screen-descriptor dimension words — exactly the
+            # shape the old NUL-sniff silently mis-binned as 'raw'
+            width += 256
+            height += 300
         if container == "png":
             content, kind, w, h, dur = _png(width, height, i), "image", width, height, 0.0
         elif container == "gif":

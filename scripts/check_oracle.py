@@ -29,8 +29,30 @@ import pandas as pd  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the DRIVER's canonicalization step exactly: pandas
+    ``sort_values`` over the raw output columns. A list/array cell makes
+    the multi-column sort go through ``factorize`` and raise
+    ``TypeError: unhashable type: 'list'`` — the precise crash recorded
+    against `docs_hashing_tf` / `multi_embed_media` in CORRECTNESS_r02.
+    Running it here means any query whose output shape the driver cannot
+    canonicalize fails LOCALLY the day it is written (VERDICT r2 item 8).
+    """
+    cols = sorted(df.columns)
+    # belt-and-braces: a SINGLE list-typed column can sneak past pandas'
+    # sort (lists are py-comparable) but still isn't driver-hashable
+    for c in cols:
+        for cell in df[c].head(100):
+            if isinstance(cell, (list, dict, set)) or type(cell).__name__ == "ndarray":
+                raise TypeError(
+                    f"unhashable cell type {type(cell).__name__} in column {c!r}"
+                    " — the driver's sort_values canonicalizer would crash on this"
+                )
+    return df[cols].sort_values(by=cols, kind="mergesort")
+
+
 def normalize(df: pd.DataFrame) -> list[tuple]:
-    df = df[sorted(df.columns)]
+    df = driver_canon(df)
 
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
