@@ -97,9 +97,18 @@ def bpe_train(
 
     Stops early when no pair reaches ``min_count``. Returns the ordered
     merge list (the model)."""
+    # count pairs WITHIN words only: encoding a whole document flattens
+    # its words into one array, and the phantom cross-word pairs
+    # ('</w>', next-word-first-char) can win the argmax and burn a merge
+    # round on a rule _apply_merges can never apply (the end marker is
+    # always word-final). Exploding to words first makes the counted
+    # pairs exactly the mergeable ones.
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
+    ).where(F.col("_w") != "")
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        syms = df.select(bpe_encode_udf(merges)(F.col(text_col)).alias("syms"))
+        syms = words.select(bpe_encode_udf(merges)(F.col("_w")).alias("syms"))
         best = (
             _pair_counts(syms)
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))

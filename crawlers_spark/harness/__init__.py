@@ -34,41 +34,72 @@ from crawlers_spark.harness import crawl, docs, embed, media, relational, stream
 
 _MODULES = [relational, crawl, docs, embed, media, stream]
 
-# Registry ORDER is part of the driver contract: CORRECTNESS_r01.json
-# recorded exactly the first 50 registry entries (the cut fell mid-
-# module, right after entry #50), i.e. the driver gate caps at 50
-# queries in registry order. Queries are therefore emitted with the
-# previously-uncountersigned ones (streaming + multimodal) FIRST so
-# every query gets a driver row across rounds, and a handful of simple
-# relational queries countersigned green in round 1 — and untouched
-# since — rotate to the tail. The full set still runs in pytest and
+# Registry ORDER is part of the driver contract: the external gate
+# records exactly the first 50 registry entries (CORRECTNESS_r01/r02
+# both cut there). Rotation policy (r2 ADVICE + VERDICT item 3):
+#
+# 1. anything NEW or MODIFIED this round (query body, oracle SQL, or a
+#    fixture/golden it reads) goes in the first-50 window — modified
+#    queries must NEVER ride the tail past external re-verification;
+# 2. the previous round's tail rotates back INTO the window so every
+#    query regains a fresh driver row within ~2 rounds — including the
+#    five whose DuckDB oracle changed in r2 (rel_mktsegment_summary,
+#    rel_hourly_event_windows, rel_range_join_30d, rel_rollup_revenue,
+#    rel_cube_events), which r2 wrongly labeled "untouched";
+# 3. only queries DRIVER-GREEN in CORRECTNESS_r02.json and untouched
+#    since rotate to the tail.
+#
+# The full set still runs in pytest (tests/test_driver_shape.py) and
 # scripts/check_oracle.py regardless of position.
 _FRONT = [
-    "stream_hourly_windows",
-    "stream_distinct_users_per_type",
-    "stream_stateful_user_totals",
-    "multi_decode_media",
-    "multi_decode_real",
-    "multi_resize_plan",
-    "multi_frame_sample",
+    # modified this round (red-row shape fixes; media fixture regen;
+    # recrawl_candidates gained a url column)
+    "docs_hashing_tf",
     "multi_embed_media",
-]
-_TAIL = [
-    # round-1 driver rows: all green (CORRECTNESS_r01.json); unmodified
+    "multi_decode_real",
+    "crawl_recrawl_candidates",
+    # new this round (cuckoo deletions + tombstone seen semantics + BPE
+    # trainer round statistics)
+    "crawl_cuckoo_dedup_exactness",
+    "crawl_recrawl_seen_semantics",
+    "docs_bpe_round1_pair_counts",
+    # r2 tail rotating back in — driver rows are 2 rounds old, and the
+    # five starred ones had oracle edits in r2 (ADVICE high)
+    "rel_mktsegment_summary",      # *
+    "rel_hourly_event_windows",    # *
+    "rel_range_join_30d",          # *
+    "rel_rollup_revenue",          # *
+    "rel_cube_events",             # *
     "rel_semi_join_suppliers",
     "rel_dedup_latest_event",
     "rel_global_top10_orders",
-    "rel_mktsegment_summary",
     "rel_intersect_nations",
     "rel_nations_cust_no_supp",
     "rel_approx_distinct_bounds",
     "rel_latest5_events_per_user",
-    "rel_hourly_event_windows",
-    "rel_range_join_30d",
     "rel_sessionize_events",
     "rel_window_top3_orders_per_customer",
-    "rel_rollup_revenue",
-    "rel_cube_events",
+]
+_TAIL = [
+    # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
+    # this round — re-enters the window next round
+    "stream_hourly_windows",
+    "stream_distinct_users_per_type",
+    "stream_stateful_user_totals",
+    "multi_decode_media",
+    "multi_resize_plan",
+    "multi_frame_sample",
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_region_revenue",
+    "rel_anti_join_customers_no_orders",
+    "rel_distinct_users_per_type",
+    "rel_json_event_props",
+    "rel_salted_part_revenue_top20",
+    "rel_asof_click_before_purchase",
+    "crawl_canonicalize_urls",
+    "crawl_seen_antijoin",
+    "crawl_frontier_topk_per_host",
 ]
 
 

@@ -148,6 +148,67 @@ def q_bloom_dedup(spark, sf):
 SQL_BLOOM = SQL_SEEN_ANTI  # exact same contract as the plain anti-join
 
 
+# ------------------- O5+ cuckoo prefilter with deletions (recrawl path)
+def q_cuckoo_dedup(spark, sf):
+    """Cuckoo-filter seen gate with interleaved inserts + DELETES ≡
+    plain NOT IN over the surviving set — the recrawl deletion path
+    (north star: "cuckoo-filter DataFrame for deletions"),
+    exactness-guarded like bloom. Inserts doc_id%3==0, then deletes
+    the doc_id%15==0 subset; survivors are the seen-set."""
+    from crawlers_spark.operators.dedup import CuckooShards
+
+    fr = _frontier(spark, sf)
+    ins = fr.where(F.col("doc_id") % 3 == 0).select("url_canon")
+    dels = fr.where(F.col("doc_id") % 15 == 0).select("url_canon")
+    cuckoo = CuckooShards(n_shards=8, buckets_per_shard=1 << 12)
+    shards = cuckoo.apply(None, ins, None, version=0)
+    shards = cuckoo.delete(shards, dels, version=1)
+    seen = (
+        fr.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 15 != 0))
+        .select("url_canon", F.lit(0).cast("long").alias("first_wave"))
+    )
+    return cuckoo.filter_unseen(fr, shards, seen).select("doc_id", "url_canon")
+
+
+SQL_CUCKOO = f"""
+SELECT doc_id, expected_canon AS url_canon FROM ({_SQL_URLS}) u
+WHERE expected_canon NOT IN (
+  SELECT expected_canon FROM ({_SQL_URLS}) s
+  WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0)
+"""
+
+
+# --------------------- O11+ tombstone-aware seen set (recrawl semantics)
+def q_recrawl_seen(spark, sf):
+    """Latest-event-wins seen semantics under recrawl tombstones: every
+    url fetched at wave doc_id%4; doc_id%6==0 refetched at wave 10;
+    doc_id%2==0 tombstoned at wave 5. Survivors = odd doc_ids' original
+    fetches plus the wave-10 refetches — the exact subtraction the wave
+    engine's ``_read_seen`` applies (same operator function)."""
+    from crawlers_spark.operators.recrawl import seen_after_tombstones
+
+    fr = _frontier(spark, sf)
+    fetches = fr.select("url_canon", (F.col("doc_id") % 4).cast("long").alias("first_wave"))
+    refetch = fr.where(F.col("doc_id") % 6 == 0).select(
+        "url_canon", F.lit(10).cast("long").alias("first_wave")
+    )
+    tombs = fr.where(F.col("doc_id") % 2 == 0).select(
+        "url_canon", F.lit(5).cast("long").alias("wave")
+    )
+    return seen_after_tombstones(fetches.unionByName(refetch), tombs)
+
+
+SQL_RECRAWL_SEEN = f"""
+WITH base AS (
+  SELECT expected_canon AS url_canon, CAST(doc_id % 4 AS BIGINT) AS first_wave, doc_id
+  FROM ({_SQL_URLS}) u
+  UNION ALL
+  SELECT expected_canon, CAST(10 AS BIGINT), doc_id FROM ({_SQL_URLS}) v WHERE doc_id % 6 = 0)
+SELECT url_canon, first_wave FROM base
+WHERE doc_id % 2 = 1 OR first_wave > 5
+"""
+
+
 # ---------------------------------------------------- O7 robots.txt gate
 def q_robots_gate(spark, sf):
     from crawlers_spark.operators.robots import robots_flag
@@ -384,7 +445,8 @@ def q_recrawl_candidates(spark, sf):
 
 
 SQL_RECRAWL = f"""
-SELECT expected_canon AS url_canon, host, CAST(50 AS INT) AS priority,
+SELECT expected_canon AS url, expected_canon AS url_canon, host,
+       CAST(50 AS INT) AS priority,
        CAST('2024-01-' || lpad(CAST(doc_id % 31 + 1 AS VARCHAR), 2, '0') AS TIMESTAMP) AS lastmod_ts
 FROM ({_SQL_URLS}) u
 WHERE doc_id % 31 + 1 > doc_id % 28 + 1
@@ -449,6 +511,8 @@ QUERIES = {
     "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),
     "crawl_seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTI),
     "crawl_bloom_dedup_exactness": (q_bloom_dedup, SQL_BLOOM),
+    "crawl_cuckoo_dedup_exactness": (q_cuckoo_dedup, SQL_CUCKOO),
+    "crawl_recrawl_seen_semantics": (q_recrawl_seen, SQL_RECRAWL_SEEN),
     "crawl_robots_gate": (q_robots_gate, SQL_ROBOTS),
     "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
     "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),

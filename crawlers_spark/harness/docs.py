@@ -484,6 +484,47 @@ SELECT doc_id, bucket, v AS tf FROM dense
 """
 
 
+# -------------------------- BPE training round 1 pair counts (trainer)
+def q_bpe_pair_counts(spark, sf):
+    """One BPE training round's statistics, verbatim from the trainer's
+    own operators (functions/bpe.py): per-word character symbols +
+    '</w>', adjacent-pair hash-agg, deterministic top-50 — exactly the
+    distribution the first argmax (merge rule 1) is taken over."""
+    from crawlers_spark.functions.bpe import _pair_counts, bpe_encode_udf
+
+    docs = load(spark, sf, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_w")
+    ).where(F.col("_w") != "")
+    syms = words.select(bpe_encode_udf([])(F.col("_w")).alias("syms"))
+    return (
+        _pair_counts(syms)
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(50)
+        .select("a", "b", F.col("n").cast("long").alias("n"))
+    )
+
+
+SQL_BPE_PAIRS = r"""
+WITH w AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE string_split_regex(trim(text), '\s+') END) AS word
+  FROM documents),
+s AS (
+  SELECT list_append(list_transform(range(1, len(word) + 1),
+                                    i -> word[CAST(i AS INT):CAST(i AS INT)]),
+                     '</w>') AS syms
+  FROM w WHERE word <> ''),
+p AS (
+  SELECT unnest(list_transform(range(1, len(syms)),
+                               i -> {'a': syms[CAST(i AS INT)],
+                                     'b': syms[CAST(i + 1 AS INT)]})) AS pr
+  FROM s)
+SELECT pr['a'] AS a, pr['b'] AS b, COUNT(*) AS n
+FROM p GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 50
+"""
+
+
 # --------------------------------- corpus bigram stats (BPE substrate)
 def q_bigram_stats(spark, sf):
     """Adjacent-token-pair frequencies over the corpus — the counting
@@ -549,4 +590,5 @@ QUERIES = {
     "docs_winnow_fingerprints": (q_winnow, SQL_WINNOW),
     "docs_hashing_tf": (q_hashing_tf, SQL_HASHING_TF),
     "docs_bigram_stats": (q_bigram_stats, SQL_BIGRAMS),
+    "docs_bpe_round1_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
 }

@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 from crawlers_spark.functions.canonicalize import with_canonical_url
 
 
+def seen_after_tombstones(base: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Latest-event-wins seen semantics: a fetch row ``(url_canon,
+    first_wave)`` survives iff no tombstone for that key has
+    ``wave >= first_wave`` (a tombstone deletes every fetch at or
+    before it; a later refetch re-establishes membership).
+
+    Used by the wave engine's ``_read_seen`` (plans/wave.py) and
+    exposed directly for the oracle cross-check. Scale shape: the
+    tombstone side is recrawl-batch-sized, so this is one broadcast
+    join + filter on the seen scan — the big side never shuffles.
+    """
+    latest = tombstones.groupBy("url_canon").agg(F.max("wave").alias("_tomb_wave"))
+    return (
+        base.join(F.broadcast(latest), "url_canon", "left")
+        .where(F.col("_tomb_wave").isNull() | (F.col("first_wave") > F.col("_tomb_wave")))
+        .select(*base.columns)
+    )
+
+
 def recrawl_candidates(
     seen: DataFrame,
     sitemap_entries: DataFrame,
@@ -32,13 +51,14 @@ def recrawl_candidates(
     fetched_ts_col: str = "fetched_ts",
     priority: int = 50,
 ) -> DataFrame:
-    """(url_canon, host, priority, lastmod_ts) rows due for recrawl.
+    """(url, url_canon, host, priority, lastmod_ts) rows due for recrawl.
 
     ``seen`` must carry (url_canon, ``fetched_ts_col``); ``sitemap_entries``
     is ``parse_sitemaps`` output (kind='url' rows: host, loc, lastmod).
     A URL is due when its sitemap lastmod is strictly newer than the
     fetch timestamp. URLs never fetched are frontier material already —
-    not recrawl — so the join is inner.
+    not recrawl — so the join is inner. ``url`` is the sitemap ``loc``
+    (pre-canonicalization) — the fetchable form a frontier row needs.
     """
     entries = (
         with_canonical_url(
@@ -46,7 +66,7 @@ def recrawl_candidates(
                 F.col("loc").alias("url"), F.col("lastmod")
             )
         )
-        .select("url_canon", "host", F.to_timestamp("lastmod").alias("lastmod_ts"))
+        .select("url", "url_canon", "host", F.to_timestamp("lastmod").alias("lastmod_ts"))
         .where(F.col("lastmod_ts").isNotNull())
     )
     return (
@@ -54,7 +74,7 @@ def recrawl_candidates(
         .join(F.broadcast(entries), "url_canon")
         .where(F.col("lastmod_ts") > F.col("_fetched_ts"))
         .select(
-            "url_canon", "host",
+            "url", "url_canon", "host",
             F.lit(priority).cast("int").alias("priority"),
             "lastmod_ts",
         )

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from crawlers_spark.extraction.extractors import COMBINED_SCHEMA, extract_page_outputs
 from crawlers_spark.functions.canonicalize import host_col, with_canonical_url
-from crawlers_spark.operators.dedup import BloomShards
+from crawlers_spark.operators.dedup import BloomShards, CuckooShards
 from crawlers_spark.operators.fetch import build_pages_index, fetch_split
 from crawlers_spark.operators.frontier import detect_hot_hosts, select_wave_topk, with_salt
 from crawlers_spark.operators.politeness import politeness_budget
@@ -68,6 +68,27 @@ LINEAGE_SCHEMA = (
 
 EPOCH = "2024-01-01 00:00:00"
 
+_COMBINED_FIELDS = [c.split(" ") for c in COMBINED_SCHEMA.split(", ")]
+
+
+def _tagged_keys(keys: DataFrame, kind: str, carry: dict[str, str] | None = None) -> DataFrame:
+    """Key-only rows shaped to COMBINED_SCHEMA with a ``kind`` tag —
+    how robots-denied / retry-exhausted / tombstone keys ride in the
+    same kind-partitioned wave_out table as real extraction rows.
+    ``carry`` maps schema columns to source columns to preserve (e.g.
+    tombstones store their triggering sitemap lastmod in
+    ``publication_ts``); everything else is a typed NULL."""
+    carry = carry or {}
+    return keys.select(
+        *[
+            F.lit(kind).alias("kind") if name == "kind"
+            else F.col("url_canon") if name == "url_canon"
+            else F.col(carry[name]).cast(typ).alias(name) if name in carry
+            else F.lit(None).cast(typ).alias(name)
+            for name, typ in _COMBINED_FIELDS
+        ]
+    )
+
 
 @dataclass
 class CrawlConfig:
@@ -79,9 +100,15 @@ class CrawlConfig:
     output_coalesce: int | None = 4  # small-scale file compaction; None at TB scale
     detail_url_pattern: str = "/job/"  # matches /private/job/ too
     use_bloom: bool = True
+    # seen-set prefilter: "bloom" (default; deletions left stale, exactness
+    # guard keeps results correct), "cuckoo" (true deletions — the north
+    # star's recrawl path), or "none" (exact anti-join only). None here
+    # derives from use_bloom for back-compat.
+    seen_filter: str | None = None
     bloom_shards: int = 32
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
+    cuckoo_buckets_per_shard: int = 1 << 14
     hot_hosts: dict[str, int] = field(default_factory=dict)  # host -> n_salts
     # adaptive skew salting (O17): derive hot hosts from the frontier's
     # observed per-host counts each wave instead of the static table
@@ -129,9 +156,21 @@ class CrawlEngine:
             if self.cfg.hot_hosts
             else None
         )
-        self.bloom = BloomShards(
-            self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard, self.cfg.bloom_hashes
-        )
+        mode = self.cfg.seen_filter or ("bloom" if self.cfg.use_bloom else "none")
+        if mode not in ("bloom", "cuckoo", "none"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo|none, got {mode!r}")
+        self.filter_mode = mode
+        if mode == "cuckoo":
+            self.filter = CuckooShards(
+                self.cfg.bloom_shards, self.cfg.cuckoo_buckets_per_shard
+            )
+        else:
+            self.filter = BloomShards(
+                self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard, self.cfg.bloom_hashes
+            )
+        # state-table name for the filter shards; None disables the prefilter
+        self.filter_table = {"bloom": "bloom", "cuckoo": "cuckoo"}.get(mode)
+        self.bloom = self.filter  # back-compat alias
 
     # ------------------------------------------------------------ seeding
     def bootstrap(self) -> None:
@@ -207,10 +246,15 @@ class CrawlEngine:
                 n += pq.ParquetFile(f).metadata.num_rows
         return n
 
-    def _read_bloom(self) -> DataFrame | None:
+    def _read_filter(self) -> DataFrame | None:
+        """Latest committed shard table of the active seen-filter
+        (bloom or cuckoo), or None if the prefilter is disabled / not
+        yet built."""
+        if self.filter_table is None:
+            return None
         for m in reversed(self.io._manifests()):
-            if "bloom" in m["tables"]:
-                dirs = [str(self.io.root / rel) for rel in m["tables"]["bloom"]]
+            if self.filter_table in m["tables"]:
+                dirs = [str(self.io.root / rel) for rel in m["tables"][self.filter_table]]
                 return self.spark.read.parquet(*dirs)
         return None
 
@@ -232,10 +276,56 @@ class CrawlEngine:
             return self.spark.createDataFrame([], WAVE_OUT_DATA_SCHEMA)
         return self.spark.read.parquet(*paths)
 
+    def _kind_paths(self, *kinds: str) -> list[str]:
+        return [
+            str(p)
+            for d in self.io.committed_dirs("wave_out")
+            for k in kinds
+            if (p := Path(d) / f"kind={k}").exists()
+        ]
+
     def _read_seen(self) -> DataFrame:
-        """Seen-set = every wave_out key kind (page/denied/exhausted)."""
-        return self._read_wave_out("page", "denied", "exhausted").select(
+        """Seen-set = every wave_out key kind (page/denied/exhausted),
+        MINUS keys tombstoned by a later recrawl wave (``kind=tombstone``,
+        written by ``schedule_recrawls``) that have not been refetched
+        since. A key may appear multiple times (fetch → tombstone →
+        refetch) — consumers are anti-joins, which are multiplicity-
+        insensitive, so no dedup shuffle here.
+
+        Scale shape: the tombstone side is recrawl-batch-sized (≪ seen),
+        so the subtraction is one broadcast join + filter on the seen
+        scan — the 10^10-row side never shuffles. The no-tombstones
+        fast path (every crawl until the first recrawl) is a pure
+        multi-path scan, unchanged from round 2.
+        """
+        base = self._read_wave_out("page", "denied", "exhausted").select(
             "url_canon", F.col("wave").alias("first_wave")
+        )
+        if not self._kind_paths("tombstone"):
+            return base
+        from crawlers_spark.operators.recrawl import seen_after_tombstones
+
+        tombs = self._read_wave_out("tombstone").select("url_canon", "wave")
+        return seen_after_tombstones(base, tombs)
+
+    def _merge_frontier(self, *parts: DataFrame) -> DataFrame:
+        """Union frontier-shaped inputs and collapse per url_canon with
+        the deterministic merge (max priority, min everything else)."""
+        from functools import reduce
+
+        merged = reduce(lambda a, b: a.unionByName(b), parts)
+        return (
+            merged.groupBy("url_canon")
+            .agg(
+                F.min("url").alias("url"),
+                F.min("host").alias("host"),
+                F.max("priority").alias("priority"),
+                F.min("depth").alias("depth"),
+                F.min("src_source").alias("src_source"),
+                F.min("discovered_ts").alias("discovered_ts"),
+                F.min("retry").alias("retry"),
+            )
+            .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
         )
 
     # ---------------------------------------------------------- one wave
@@ -247,7 +337,7 @@ class CrawlEngine:
         frontier = self._read_frontier().persist()
 
         seen = self._read_seen()
-        shards = self._read_bloom() if cfg.use_bloom else None
+        shards = self._read_filter()
 
         # O6 politeness → O2/O17 salted deterministic top-k
         gated = politeness_budget(frontier, self.politeness, wave, cfg.wave_interval_s)
@@ -270,8 +360,8 @@ class CrawlEngine:
         allowed = flagged.where(F.col("robots_ok")).drop("robots_ok")
         denied_keys = flagged.where(~F.col("robots_ok")).select("url_canon")
 
-        # O5 bloom prefilter guarded by O4 exact anti-join
-        unseen = self.bloom.filter_unseen(allowed, shards, seen)
+        # O5 bloom/cuckoo prefilter guarded by O4 exact anti-join
+        unseen = self.filter.filter_unseen(allowed, shards, seen)
 
         # O8 fetch: pages ⋈ broadcast(candidates) — the wave batch is
         # politeness-bounded so it broadcasts; page html never shuffles.
@@ -303,18 +393,6 @@ class CrawlEngine:
         # once; per-kind reads directory-prune and per-kind counts come
         # from the kind subtree's parquet footers. (Round 1 staged five
         # separate tables — five jobs re-deriving from cached html.)
-        combined_fields = [c.split(" ") for c in COMBINED_SCHEMA.split(", ")]
-
-        def _tagged_keys(keys: DataFrame, kind: str) -> DataFrame:
-            return keys.select(
-                *[
-                    F.lit(kind).alias("kind") if name == "kind"
-                    else F.col("url_canon") if name == "url_canon"
-                    else F.lit(None).cast(typ).alias(name)
-                    for name, typ in combined_fields
-                ]
-            )
-
         wave_out_df = (
             combined.unionByName(_tagged_keys(denied_keys, "denied"))
             .unionByName(_tagged_keys(exhausted_keys, "exhausted"))
@@ -359,21 +437,7 @@ class CrawlEngine:
             self.bloom.filter_unseen(discovered, shards, seen)
             .join(fetched_keys, "url_canon", "left_anti")
         )
-        next_frontier = (
-            remaining.unionByName(retryable)
-            .unionByName(fresh_links)
-            .groupBy("url_canon")
-            .agg(
-                F.min("url").alias("url"),
-                F.min("host").alias("host"),
-                F.max("priority").alias("priority"),
-                F.min("depth").alias("depth"),
-                F.min("src_source").alias("src_source"),
-                F.min("discovered_ts").alias("discovered_ts"),
-                F.min("retry").alias("retry"),
-            )
-            .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
-        )
+        next_frontier = self._merge_frontier(remaining, retryable, fresh_links)
 
         # seen' += fetched ∪ robots-denied ∪ retry-exhausted (O4 state),
         # read straight off the staged wave_out kinds
@@ -384,11 +448,11 @@ class CrawlEngine:
             .withColumn("first_wave", F.lit(wave).cast("long"))
         )
 
-        # O5 bloom shard merge (versioned per wave for resume)
-        bloom_merged = None
-        if cfg.use_bloom:
-            delta = self.bloom.build_delta(seen_delta, wave)
-            bloom_merged = self.bloom.merge(shards, delta, wave)
+        # O5 filter shard merge (versioned per wave for resume) —
+        # bloom OR-merge or cuckoo insert, same unified contract
+        filter_merged = None
+        if self.filter_table is not None:
+            filter_merged = self.filter.update(shards, seen_delta, wave)
 
         # staging is the wave's serial floor: ONE wave_out write above
         # ran the whole chain; frontier' and bloom now stage as
@@ -400,8 +464,8 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         to_stage = [("frontier", next_frontier, "none")]  # ends in agg shuffle
-        if bloom_merged is not None:
-            to_stage.append(("bloom", bloom_merged, "none"))  # shard agg
+        if filter_merged is not None:
+            to_stage.append((self.filter_table, filter_merged, "none"))  # shard agg
         with ThreadPoolExecutor(max_workers=len(to_stage)) as pool:
             futs = {t: pool.submit(self._stage, df, t, wave, c) for t, df, c in to_stage}
             for t, fut in futs.items():
@@ -415,7 +479,7 @@ class CrawlEngine:
             .agg(F.count("*").alias("fetched"))
             .withColumn("wave", F.lit(wave).cast("long"))
             .withColumn("extracted", F.lit(n_offers).cast("long"))
-            .withColumn("bloom_version", F.lit(wave if cfg.use_bloom else -1).cast("long"))
+            .withColumn("bloom_version", F.lit(wave if self.filter_table else -1).cast("long"))
             .select("wave", "partition_id", "fetched", "extracted", "bloom_version")
         )
         staged["lineage"] = [self._stage(lineage, "lineage", wave, "none")]
@@ -447,6 +511,128 @@ class CrawlEngine:
             if self.cfg.compact_every and wave % self.cfg.compact_every == 0:
                 self.compact()
         return stats
+
+    # --------------------------------------------------------- recrawl
+    def schedule_recrawls(self, sitemap_entries: DataFrame, *, priority: int = 120) -> dict:
+        """Freshness recrawl (SURVEY §3.2 stop-and-come-back): URLs whose
+        sitemap ``lastmod`` post-dates their last fetch are tombstoned
+        OUT of the seen-set and re-enqueued with freshness priority
+        (120 > seed 100, so recrawls fetch first); subsequent ``run()``
+        waves then refetch exactly them.
+
+        One atomic 'recrawl wave' commit:
+        - ``wave_out`` gains ``kind='tombstone'`` rows — ``_read_seen``
+          subtracts a key whose latest tombstone postdates its latest
+          fetch, so the refetch candidate passes the exact anti-join;
+        - ``frontier`` := merge(frontier ∪ due rows);
+        - cuckoo mode: due fingerprints are DELETED from the shard
+          table (the north star's "cuckoo-filter … for deletions"), so
+          refetch candidates take the definitely-new fast lane. Bloom
+          mode leaves the filter stale-positive — still exact (the
+          guard anti-joins the tombstone-aware seen), costing one extra
+          exact probe per recrawled URL until the next filter rebuild.
+
+        Idempotent under repeated sitemaps: a key already tombstone-
+        pending (tombstone newer than last fetch) is excluded, so the
+        cuckoo delete can never fire twice for one fetch generation.
+        ``fetched_ts`` is the same pure wave-clock politeness uses:
+        EPOCH + wave · wave_interval_s.
+        """
+        from crawlers_spark.operators.recrawl import recrawl_candidates
+
+        wave = self.io.last_committed_wave() + 1
+        pages = self._read_wave_out("page").select("url_canon", "wave")
+        last_fetch = pages.groupBy("url_canon").agg(F.max("wave").alias("_w"))
+        if self._kind_paths("tombstone"):
+            pending = (
+                self._read_wave_out("tombstone")
+                .groupBy("url_canon")
+                .agg(F.max("wave").alias("_tomb_wave"))
+            )
+            last_fetch = (
+                last_fetch.join(F.broadcast(pending), "url_canon", "left")
+                .where(F.col("_tomb_wave").isNull() | (F.col("_w") > F.col("_tomb_wave")))
+                .select("url_canon", "_w")
+            )
+        interval = int(self.cfg.wave_interval_s)
+        seen_ts = last_fetch.select(
+            "url_canon",
+            F.expr(
+                f"timestampadd(SECOND, CAST(_w * {interval} AS INT), TIMESTAMP '{EPOCH}')"
+            ).alias("fetched_ts"),
+        )
+        due = recrawl_candidates(seen_ts, sitemap_entries, priority=priority)
+        # a URL already recrawled FOR this lastmod is not due again: the
+        # wave clock is much coarser than real sitemap dates, so the
+        # fetched_ts comparison alone would re-trigger forever. Each
+        # tombstone records its triggering lastmod (publication_ts);
+        # due requires lastmod strictly newer than the last one acted on.
+        if self._kind_paths("tombstone"):
+            prev = (
+                self._read_wave_out("tombstone")
+                .groupBy("url_canon")
+                .agg(F.max("publication_ts").alias("_prev_lastmod"))
+            )
+            due = (
+                due.join(F.broadcast(prev), "url_canon", "left")
+                .where(
+                    F.col("_prev_lastmod").isNull()
+                    | (F.col("lastmod_ts") > F.col("_prev_lastmod"))
+                )
+                .drop("_prev_lastmod")
+            )
+        due = due.persist()
+
+        # frontier rows need src_source: reverse the seed host→source map
+        host_src = self.allowed_hosts.groupBy("allowed_host").agg(
+            F.min("src_source").alias("src_source")
+        )
+        recrawl_rows = (
+            due.join(F.broadcast(host_src), due.host == host_src.allowed_host)
+            .select(
+                "url", "url_canon", "host", F.col("priority").cast("int").alias("priority"),
+                F.lit(0).cast("int").alias("depth"), "src_source",
+                F.col("lastmod_ts").alias("discovered_ts"),
+                F.lit(0).cast("int").alias("retry"),
+            )
+        )
+
+        staged: dict[str, list[str]] = {}
+        tomb_df = (
+            _tagged_keys(
+                due.select("url_canon", "lastmod_ts"),
+                "tombstone",
+                carry={"publication_ts": "lastmod_ts"},
+            )
+            .withColumn("wave", F.lit(wave).cast("long"))
+            .repartition(F.col("kind"))
+        )
+        staged["wave_out"] = [
+            self._stage(tomb_df, "wave_out", wave, compact="none", partition_by="kind")
+        ]
+        n_due = self._rowcount(staged["wave_out"], sub="kind=tombstone")
+        if n_due == 0:
+            # nothing due → no commit (the staged empty dir is crash
+            # debris for vacuum_uncommitted); state is untouched
+            due.unpersist()
+            return {"wave": None, "recrawled": 0}
+        next_frontier = self._merge_frontier(self._read_frontier(), recrawl_rows)
+        staged["frontier"] = [self._stage(next_frontier, "frontier", wave, "none")]
+        if self.filter_mode == "cuckoo":
+            shards = self._read_filter()
+            if shards is not None:
+                tomb_keys = self.spark.read.parquet(
+                    str(self.io.root / staged["wave_out"][0])
+                ).select("url_canon")
+                staged[self.filter_table] = [
+                    self._stage(
+                        self.filter.delete(shards, tomb_keys, wave),
+                        self.filter_table, wave, "none",
+                    )
+                ]
+        self.io.commit_wave(wave, staged, {"recrawled": n_due})
+        due.unpersist()
+        return {"wave": wave, "recrawled": n_due}
 
     # ---------------------------------------------------------- maintain
     def compact(self) -> str | None:

@@ -41,6 +41,28 @@ def test_bpe_train_learns_frequent_pairs(corpus):
         known.add(a + b)
 
 
+def test_bpe_train_golden_hand_computed(corpus):
+    """Exact merge sequence on the classic toy corpus, hand-computed
+    (word freqs: low×5 lower×2 newest×6 widest×2; ties break count
+    DESC then pair ASC):
+
+      r1: (e,s)=8 ties (s,t)(t,</w>)(w,e) → 'e'<'s'<'t'<'w' ⇒ (e,s)
+      r2: (es,t)=8 ties (t,</w>) → 'es'<'t' ⇒ (es,t)
+      r3: (est,</w>)=8 ⇒ (est,</w>)
+      r4: (l,o)=7 ties (o,w) ⇒ (l,o)
+      r5: (lo,w)=7 ⇒ (lo,w)
+      r6: (e,w)=6 ties (n,e)(w,est</w>) ⇒ (e,w)
+    """
+    assert bpe_train(corpus, "text", n_merges=6) == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", END),
+        ("l", "o"),
+        ("lo", "w"),
+        ("e", "w"),
+    ]
+
+
 def test_bpe_encode_matches_scalar_reference(corpus):
     merges = bpe_train(corpus, "text", n_merges=4)
     enc = corpus.select("doc_id", "text", bpe_encode_udf(merges)(F.col("text")).alias("syms"))

