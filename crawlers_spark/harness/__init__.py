@@ -63,6 +63,7 @@ _FRONT = [
     "crawl_cuckoo_dedup_exactness",
     "crawl_recrawl_seen_semantics",
     "docs_bpe_round1_pair_counts",
+    "docs_token_counts_bpe_trained",
     # r2 tail rotating back in — driver rows are 2 rounds old, and the
     # five starred ones had oracle edits in r2 (ADVICE high)
     "rel_mktsegment_summary",      # *
@@ -100,6 +101,7 @@ _TAIL = [
     "crawl_canonicalize_urls",
     "crawl_seen_antijoin",
     "crawl_frontier_topk_per_host",
+    "embed_near_dup_pairs",
 ]
 
 

@@ -525,6 +525,70 @@ FROM p GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 50
 """
 
 
+# ------------------- token counts under the TRAINED BPE model (VERDICT
+# r2 item 7: docs_token_counts gains a trained variant). The model is
+# bpe_train(sf0.001 documents, n_merges=6) pinned as constants so the
+# DuckDB oracle can replay the encode; tests/test_bpe.py asserts the
+# trainer still reproduces this exact list (determinism pin).
+PINNED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"),
+    ("o", "r"), ("t", "</w>"), ("er", "</w>"),
+]
+
+
+def q_token_counts_bpe_trained(spark, sf):
+    """Per-doc token counts under the trained tokenizer: the pinned
+    6-merge BPE model applied per word (char symbols + '</w>', merges
+    in training order), summed per document. One Arrow encode pass +
+    map-side-combinable count — the production shape for token-budget
+    accounting over a 100 TB corpus."""
+    from crawlers_spark.functions.bpe import token_count_bpe_trained
+
+    docs = load(spark, sf, "documents")
+    return token_count_bpe_trained(docs, "doc_id", "text", PINNED_MERGES).select(
+        "doc_id", F.col("n_tokens").alias("n_tokens_bpe_trained")
+    )
+
+
+def _sql_merge_pass(inner: str, a: str, b: str) -> str:
+    """One greedy left-to-right merge pass (a,b)->ab over a symbol list,
+    as a DuckDB left fold: the accumulator is the output joined by
+    chr(31); a merge fires when the last emitted symbol is ``a`` and the
+    next input is ``b`` — provably the scalar _apply_merges semantics
+    for a single rule, since a merged ``ab`` can never equal ``a``."""
+    sep = "chr(31)"
+    return (
+        f"string_split(list_reduce({inner}, (acc, x) -> "
+        f"CASE WHEN (acc = '{a}' OR acc LIKE '%' || {sep} || '{a}') AND x = '{b}' "
+        f"THEN substring(acc, 1, length(acc) - {len(a)}) || '{a}{b}' "
+        f"ELSE acc || {sep} || x END), {sep})"
+    )
+
+
+def _sql_bpe_trained() -> str:
+    expr = "syms"
+    for a, b in PINNED_MERGES:
+        expr = _sql_merge_pass(expr, a, b)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+                             ELSE string_split_regex(trim(text), '\s+') END) AS word
+  FROM documents),
+s AS (
+  SELECT doc_id, list_append(list_transform(range(1, len(word) + 1),
+                                            i -> word[CAST(i AS INT):CAST(i AS INT)]),
+                             '</w>') AS syms
+  FROM w WHERE word <> ''),
+m AS (SELECT doc_id, len({expr}) AS n FROM s),
+agg AS (SELECT doc_id, SUM(n) AS n FROM m GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens_bpe_trained
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+SQL_BPE_TRAINED_COUNTS = _sql_bpe_trained()
+
+
 # --------------------------------- corpus bigram stats (BPE substrate)
 def q_bigram_stats(spark, sf):
     """Adjacent-token-pair frequencies over the corpus — the counting
@@ -591,4 +655,5 @@ QUERIES = {
     "docs_hashing_tf": (q_hashing_tf, SQL_HASHING_TF),
     "docs_bigram_stats": (q_bigram_stats, SQL_BIGRAMS),
     "docs_bpe_round1_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "docs_token_counts_bpe_trained": (q_token_counts_bpe_trained, SQL_BPE_TRAINED_COUNTS),
 }

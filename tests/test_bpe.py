@@ -87,3 +87,28 @@ def test_trained_tokenizer_compresses(corpus):
     }
     assert all(trained[d] <= base[d] for d in base)
     assert sum(trained.values()) < sum(base.values())
+
+
+def test_pinned_merges_reproducible(spark):
+    """The oracle-pinned model (harness/docs.py PINNED_MERGES) is the
+    deterministic output of bpe_train on the sf0.001 documents corpus —
+    if the trainer or the corpus changes, this pin (and the DuckDB
+    oracle replaying it) must be retrained together."""
+    from crawlers_spark.harness.docs import PINNED_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert bpe_train(docs, "text", n_merges=6) == PINNED_MERGES
+
+
+def test_token_count_bpe_trained_matches_scalar(corpus):
+    from crawlers_spark.harness.docs import PINNED_MERGES
+
+    got = {
+        r.doc_id: r.n_tokens
+        for r in token_count_bpe_trained(corpus, "doc_id", "text", PINNED_MERGES).collect()
+    }
+    want = {
+        r.doc_id: sum(len(_apply_merges(w, PINNED_MERGES)) for w in r.text.split())
+        for r in corpus.collect()
+    }
+    assert got == want
