@@ -242,17 +242,21 @@ def q_politeness(spark, sf):
         (F.lit(0.5) + (n % 3) * F.lit(0.75)).alias("delay_s"),
         (F.lit(3) + n % 4).cast("int").alias("max_per_wave"),
     )
-    gated = politeness_budget(fr, politeness, wave=5, wave_interval_s=1.0)
+    # wave 4 is a cadence wave for the slow (delay > interval) hosts, so
+    # the result exercises the max(1, floor) budget floor: such hosts
+    # get exactly 1 fetch per cadence window instead of never fetching
+    gated = politeness_budget(fr, politeness, wave=4, wave_interval_s=1.0)
     return gated.groupBy("host", "budget_k").agg(F.count(F.lit(1)).alias("n_candidates"))
 
 
 SQL_POLITENESS = f"""
 SELECT host, budget_k, COUNT(*) AS n_candidates FROM (
   SELECT host,
-         CAST(LEAST(3 + src_n % 4, FLOOR(1.0 / (0.5 + (src_n % 3) * 0.75))) AS INT) AS budget_k,
+         CAST(LEAST(3 + src_n % 4,
+                    GREATEST(1, FLOOR(1.0 / (0.5 + (src_n % 3) * 0.75)))) AS INT) AS budget_k,
          CAST(CEIL((0.5 + (src_n % 3) * 0.75) / 1.0) AS INT) AS cadence
   FROM ({_SQL_URLS}) u) g
-WHERE 5 % cadence = 0 AND budget_k > 0
+WHERE 4 % cadence = 0 AND budget_k > 0
 GROUP BY host, budget_k
 """
 

@@ -10,8 +10,13 @@ batch".
 Model: a wave represents a fixed scheduling interval of
 ``wave_interval_s`` seconds. For each host,
 
-    budget_k   = min(max_per_wave, floor(wave_interval_s / delay_s))
+    budget_k   = min(max_per_wave, max(1, floor(wave_interval_s / delay_s)))
     gate       = wave % max(1, ceil(delay_s / wave_interval_s)) == 0
+
+(the inner ``max(1, …)`` matters when ``delay_s > wave_interval_s``:
+the cadence gate already spaces such a host's waves ≥ delay_s apart,
+and without it the floor is 0 and the host would never fetch at all —
+``max_per_wave = 0`` remains an explicit full block)
 
 so a host whose crawl-delay exceeds the wave interval only fetches on
 its cadence waves, and no host ever exceeds its per-interval budget —
@@ -54,7 +59,9 @@ def politeness_budget(
         "budget_k",
         F.least(
             F.col("max_per_wave").cast("int"),
-            F.floor(F.lit(wave_interval_s) / F.col("delay_s")).cast("int"),
+            F.greatest(
+                F.lit(1), F.floor(F.lit(wave_interval_s) / F.col("delay_s")).cast("int")
+            ),
         ),
     ).withColumn(
         "_cadence", F.greatest(F.lit(1), F.ceil(F.col("delay_s") / F.lit(wave_interval_s)).cast("int"))

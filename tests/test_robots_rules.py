@@ -102,3 +102,30 @@ def test_politeness_from_robots_crawl_delay(spark):
     assert got["b.example"] == (0.5, 99)
     assert got["c.example"] == (7.0, 99)
     assert got["d.example"] == (0.5, 99)
+
+
+def test_politeness_slow_host_fetches_on_cadence_waves(spark):
+    """A host whose crawl-delay exceeds the wave interval must fetch
+    exactly on its cadence waves with budget 1 — not never (the
+    floor(interval/delay)=0 bug): cadence spacing already enforces the
+    delay. max_per_wave=0 stays a full block."""
+    from crawlers_spark.operators.politeness import politeness_budget
+
+    fr = spark.createDataFrame(
+        [("slow.example", "u1"), ("blocked.example", "u2"), ("fast.example", "u3")],
+        "host string, url_canon string",
+    )
+    pol = spark.createDataFrame(
+        [("slow.example", 180.0, 5), ("blocked.example", 1.0, 0), ("fast.example", 1.0, 5)],
+        "host string, delay_s double, max_per_wave int",
+    )
+    out = {
+        w: {r.host: r.budget_k for r in politeness_budget(fr, pol, w, 60.0).collect()}
+        for w in (0, 1, 2, 3, 4, 5, 6)
+    }
+    for w in (0, 3, 6):  # cadence = ceil(180/60) = 3
+        assert out[w].get("slow.example") == 1, (w, out[w])
+    for w in (1, 2, 4, 5):
+        assert "slow.example" not in out[w], (w, out[w])
+    assert all("blocked.example" not in v for v in out.values())
+    assert all(v.get("fast.example") == 5 for v in out.values())
