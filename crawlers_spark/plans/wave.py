@@ -36,6 +36,7 @@ assert this by comparing full wave logs across runs.
 from __future__ import annotations
 
 import json
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -44,7 +45,12 @@ from pyspark.sql import functions as F
 
 from crawlers_spark.extraction.extractors import COMBINED_SCHEMA, extract_page_outputs
 from crawlers_spark.functions.canonicalize import host_col, with_canonical_url
-from crawlers_spark.operators.dedup import BloomShards, CuckooShards
+from crawlers_spark.operators.dedup import (
+    BLOOM_SCHEMA,
+    CUCKOO_SCHEMA,
+    BloomShards,
+    CuckooShards,
+)
 from crawlers_spark.operators.fetch import build_pages_index, fetch_split
 from crawlers_spark.operators.frontier import detect_hot_hosts, select_wave_topk, with_salt
 from crawlers_spark.operators.politeness import politeness_budget
@@ -171,6 +177,9 @@ class CrawlEngine:
         # state-table name for the filter shards; None disables the prefilter
         self.filter_table = {"bloom": "bloom", "cuckoo": "cuckoo"}.get(mode)
         self.bloom = self.filter  # back-compat alias
+        # per-wave barrier breakdown (seconds per segment), appended by
+        # run_wave; scripts/profile_wave.py aggregates it for BASELINE.md
+        self.wave_profile: list[dict] = []
 
     # ------------------------------------------------------------ seeding
     def bootstrap(self) -> None:
@@ -230,7 +239,11 @@ class CrawlEngine:
         rels = self._frontier_rels()
         if not rels:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
-        return self.spark.read.parquet(*[str(self.io.root / rel) for rel in rels])
+        # explicit schema: skips driver-side footer/schema inference —
+        # profiled at a measurable slice of the ~2 s/wave plan_build
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            *[str(self.io.root / rel) for rel in rels]
+        )
 
     def _rowcount(self, rels: list[str], sub: str = "") -> int:
         """Row count from parquet footers — a driver-side metadata read,
@@ -331,7 +344,17 @@ class CrawlEngine:
     # ---------------------------------------------------------- one wave
     def run_wave(self, wave: int) -> dict:
         cfg = self.cfg
+        prof: dict[str, float] = {"wave": wave}
+        _t = time.monotonic()
+
+        def _lap(seg: str) -> None:
+            nonlocal _t
+            now = time.monotonic()
+            prof[seg] = round(now - _t, 3)
+            _t = now
+
         n_frontier = self._rowcount(self._frontier_rels())
+        _lap("frontier_footers")
         if n_frontier == 0:
             return {"wave": wave, "frontier": 0, "fetched": 0, "quiesced": True}
         frontier = self._read_frontier().persist()
@@ -403,7 +426,9 @@ class CrawlEngine:
             .repartition(F.col("kind"))
         )
         staged: dict[str, list[str]] = {}
+        _lap("plan_build")
         rel_out = self._stage(wave_out_df, "wave_out", wave, compact="none", partition_by="kind")
+        _lap("stage_wave_out")
         staged["wave_out"] = [rel_out]
         wo = self.spark.read.parquet(str(self.io.root / rel_out))
         pages_meta = wo.where(F.col("kind") == "page")
@@ -470,8 +495,10 @@ class CrawlEngine:
             futs = {t: pool.submit(self._stage, df, t, wave, c) for t, df, c in to_stage}
             for t, fut in futs.items():
                 staged[t] = [fut.result()]
+        _lap("stage_frontier_filter")
         n_offers = self._rowcount(staged["wave_out"], sub="kind=offer")
         n_fetched = self._rowcount(staged["wave_out"], sub="kind=page")
+        _lap("out_footers")
 
         # O15 per-partition lineage (needs n_offers → staged last)
         lineage = (
@@ -483,6 +510,7 @@ class CrawlEngine:
             .select("wave", "partition_id", "fetched", "extracted", "bloom_version")
         )
         staged["lineage"] = [self._stage(lineage, "lineage", wave, "none")]
+        _lap("stage_lineage")
 
         meta = {
             "frontier_in": n_frontier,
@@ -490,9 +518,13 @@ class CrawlEngine:
             "offers": n_offers,
         }
         self.io.commit_wave(wave, staged, meta)
+        _lap("commit")
 
         for df in (frontier, selected, flagged, unseen, discovered):
             df.unpersist()
+        _lap("unpersist")
+        prof["fetched"] = n_fetched
+        self.wave_profile.append(prof)
         return {"wave": wave, "frontier": n_frontier, "fetched": n_fetched, "offers": n_offers, "quiesced": False}
 
     # ------------------------------------------------------------- driver
@@ -638,9 +670,27 @@ class CrawlEngine:
     def compact(self) -> str | None:
         """Compact wave_out's per-wave dirs into one (maintenance job
         for long crawls — bounds the per-wave directory listing; see
-        ``SnapshotParquetIO.compact_table``). Safe at any point between
-        waves: readers and resume see identical state."""
-        return self.io.compact_table("wave_out")
+        ``SnapshotParquetIO.compact_table``), then checkpoint the
+        manifest log so steady-state reads parse O(compact_every)
+        manifests instead of O(total waves) — without this the DRIVER
+        side of every wave grows linearly with crawl age even though
+        the data listing is bounded. Safe at any point between waves:
+        readers and resume see identical state."""
+        rel = self.io.compact_table("wave_out")
+        # frontier + filter shards are latest-version-wins state; the
+        # checkpoint must not fold their historical snapshots together
+        self.io.checkpoint(snapshot_tables=("frontier", "bloom", "cuckoo"))
+        return rel
+
+    def expire(self, keep_waves: int = 100) -> dict:
+        """Retention: drop manifests + data dirs more than ``keep_waves``
+        below the current wave (``SnapshotParquetIO.expire_snapshots``).
+        Bounds DISK growth the way ``compact`` bounds listing growth;
+        time travel below the horizon is gone. Requires a checkpoint at
+        or above the horizon — call ``compact()`` first."""
+        return self.io.expire_snapshots(
+            before_wave=self.io.last_committed_wave() - keep_waves
+        )
 
     # ------------------------------------------------------------ outputs
     def offers(self) -> DataFrame:

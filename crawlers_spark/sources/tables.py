@@ -58,6 +58,9 @@ class SnapshotParquetIO(TableIO):
         self.spark = spark
         self.root = Path(root)
         (self.root / "_wavelog").mkdir(parents=True, exist_ok=True)
+        # manifest files are immutable once renamed into place, so a
+        # per-instance parse cache is safe (keyed by filename)
+        self._manifest_cache: dict[str, dict] = {}
 
     # -------------------------------------------------------------- write
     def stage(self, df: DataFrame, table: str, wave: int, partition_by: str | None = None) -> str:
@@ -84,13 +87,82 @@ class SnapshotParquetIO(TableIO):
         os.replace(tmp, final)  # POSIX atomic: wave is now visible
 
     # --------------------------------------------------------------- read
-    def _manifests(self, as_of_wave: int | None = None) -> list[dict]:
+    def _load(self, p: Path) -> dict:
+        m = self._manifest_cache.get(p.name)
+        if m is None:
+            m = self._manifest_cache[p.name] = json.loads(p.read_text())
+        return m
+
+    def _manifests(self, as_of_wave: int | None = None, use_checkpoint: bool = True) -> list[dict]:
+        """Committed manifests in commit order.
+
+        Without checkpoints every call parses O(waves) JSON files, which
+        makes per-wave driver cost quadratic over a thousand-wave crawl.
+        A CHECKPOINT manifest (``…~zcheck…``, written by
+        ``checkpoint()``) folds everything before it into one entry —
+        the Iceberg metadata-checkpoint analog — so steady-state reads
+        parse only the checkpoint plus the manifests committed since.
+        ``use_checkpoint=False`` forces the full history (vacuum needs
+        superseded dirs to stay live for time travel).
+        """
+        files = sorted((self.root / "_wavelog").glob("wave-*.json"))
+        if use_checkpoint:
+            for i in range(len(files) - 1, -1, -1):
+                if "~zcheck" not in files[i].name:
+                    continue
+                ckpt = self._load(files[i])
+                if as_of_wave is None or ckpt["wave"] <= as_of_wave:
+                    files = [files[i]] + files[i + 1 :]
+                    break
         out = []
-        for p in sorted((self.root / "_wavelog").glob("wave-*.json")):
-            m = json.loads(p.read_text())
+        for p in files:
+            m = self._load(p)
             if as_of_wave is None or m["wave"] <= as_of_wave:
                 out.append(m)
         return out
+
+    def checkpoint(self, snapshot_tables: tuple[str, ...] = ()) -> None:
+        """Fold the full manifest history into one checkpoint manifest.
+
+        Captures the committed dirs of every table at the current wave:
+        cumulative (with ``replaces`` applied) for append-style tables
+        like ``wave_out``/``lineage``, but only the LAST writing
+        manifest's dirs for ``snapshot_tables`` — tables the engine
+        reads with latest-manifest-wins semantics (frontier, bloom/
+        cuckoo shard versions), where folding the full history would
+        union every historical snapshot. The checkpoint's name sorts
+        after that wave's ordinary and ``~compact`` manifests, so newer
+        commits strictly follow it; older manifest files stay on disk
+        untouched for time travel below the checkpoint wave. Typically
+        called right after ``compact_table`` so the folded entry is
+        small.
+        """
+        ms = self._manifests(use_checkpoint=False)
+        if not ms:
+            return
+        tables: dict[str, list[str]] = {}
+        for m in ms:
+            for t in m.get("replaces", []):
+                tables[t] = []
+            for t, rels in m["tables"].items():
+                if t in snapshot_tables:
+                    tables[t] = list(rels)  # latest writer wins
+                else:
+                    tables.setdefault(t, []).extend(rels)
+        manifest = {
+            "wave": ms[-1]["wave"],
+            "tables": tables,
+            "replaces": sorted(tables),
+            "meta": {"checkpoint": True, "folded_manifests": len(ms)},
+        }
+        tmp = self.root / "_wavelog" / f".tmp-{uuid.uuid4().hex}.json"
+        final = (
+            self.root
+            / "_wavelog"
+            / f"wave-{ms[-1]['wave']:06d}~zcheck-{uuid.uuid4().hex[:8]}.json"
+        )
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, final)
 
     def committed_dirs(self, table: str, as_of_wave: int | None = None) -> list[str]:
         out: list[str] = []
@@ -176,8 +248,17 @@ class SnapshotParquetIO(TableIO):
         return rel
 
     def vacuum_uncommitted(self) -> int:
-        """Drop staged dirs no manifest references (crash leftovers)."""
-        live = {rel for m in self._manifests() for rels in m["tables"].values() for rel in rels}
+        """Drop staged dirs no manifest references (crash leftovers).
+
+        Scans the FULL manifest history (``use_checkpoint=False``):
+        dirs superseded by compaction are still referenced by old
+        manifests and must stay on disk for time travel."""
+        live = {
+            rel
+            for m in self._manifests(use_checkpoint=False)
+            for rels in m["tables"].values()
+            for rel in rels
+        }
         removed = 0
         for data_dir in self.root.glob("*/data"):
             for d in data_dir.iterdir():
@@ -186,6 +267,41 @@ class SnapshotParquetIO(TableIO):
                     shutil.rmtree(d, ignore_errors=True)
                     removed += 1
         return removed
+
+    def expire_snapshots(self, before_wave: int) -> dict:
+        """Retention (the Iceberg ``expire_snapshots`` analog): drop
+        manifest files strictly below ``before_wave``, then vacuum the
+        data dirs only those manifests referenced. Time travel below
+        ``before_wave`` is gone afterwards; current reads are untouched.
+
+        Requires a checkpoint at or above ``before_wave`` to already
+        exist (otherwise cumulative tables would lose committed dirs
+        that only old manifests pin) — raises if none does.
+        """
+        if before_wave <= 0:
+            return {"manifests_expired": 0, "dirs_vacuumed": 0}
+        files = sorted((self.root / "_wavelog").glob("wave-*.json"))
+        ckpt_ok = any(
+            "~zcheck" in p.name and self._load(p)["wave"] >= before_wave - 1
+            for p in files
+        )
+        if not ckpt_ok:
+            raise RuntimeError(
+                f"no checkpoint at wave >= {before_wave - 1}: run checkpoint() first"
+            )
+        expired = 0
+        for p in files:
+            if "~zcheck" not in p.name and self._load(p)["wave"] < before_wave:
+                p.unlink()
+                self._manifest_cache.pop(p.name, None)
+                expired += 1
+        # old checkpoints below the newest surviving one are also dead
+        ckpts = [p for p in sorted((self.root / "_wavelog").glob("wave-*~zcheck*.json"))]
+        for p in ckpts[:-1]:
+            p.unlink()
+            self._manifest_cache.pop(p.name, None)
+            expired += 1
+        return {"manifests_expired": expired, "dirs_vacuumed": self.vacuum_uncommitted()}
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
