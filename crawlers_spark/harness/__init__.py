@@ -64,6 +64,7 @@ _FRONT = [
     "crawl_recrawl_seen_semantics",
     "docs_bpe_round1_pair_counts",
     "docs_token_counts_bpe_trained",
+    "crawl_pagerank_priorities",
     # r2 tail rotating back in — driver rows are 2 rounds old, and the
     # five starred ones had oracle edits in r2 (ADVICE high)
     "rel_mktsegment_summary",      # *
@@ -84,6 +85,7 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "crawl_outlink_udtf",
     "stream_hourly_windows",
     "stream_distinct_users_per_type",
     "stream_stateful_user_totals",

@@ -510,7 +510,79 @@ GROUP BY ROLLUP (host)
 """
 
 
+# ----------------------------------- O2 link-graph PageRank priorities
+def q_pagerank_priorities(spark, sf):
+    """Fixed-point PageRank quantized onto the frontier priority axis
+    (operators/linkrank.py; the engine hook is
+    ``CrawlEngine.apply_linkrank``) over a deterministic doc-id graph:
+    doc k (k%4 ≠ 0) links to its century hub k − k%100 and to k+1;
+    k%4 = 0 pages are dangling. All arithmetic is bigint with floor
+    division, so the oracle restates the 3-round recurrence VERBATIM —
+    including the bin()-length integer log2 quantization — and the
+    match is exact, not approximate."""
+    from crawlers_spark.operators.linkrank import pagerank_priorities
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def u(k):
+        return F.concat(
+            F.lit("https://h"), (k % 10).cast("string"),
+            F.lit(".example/p/"), k.cast("string"),
+        )
+
+    linked = docs.where(d % 4 != 0)
+    hub = linked.select(u(d).alias("src_canon"), u(d - d % 100).alias("dst_canon"))
+    nxt = linked.select(u(d).alias("src_canon"), u(d + 1).alias("dst_canon"))
+    return pagerank_priorities(hub.unionByName(nxt), iterations=3)
+
+
+def _pagerank_sql(scale: int = 10**12, d_pct: int = 85) -> str:
+    """Unroll the fixed-point recurrence (linkrank.py docstring) as
+    DuckDB CTEs. `//` ≡ Spark `div` on non-negative bigints; DuckDB's
+    SUM promotes to HUGEINT, which is value-identical here (everything
+    fits int64) and is cast back before bin()."""
+    url = lambda k: f"'https://h' || (({k}) % 10) || '.example/p/' || ({k})"  # noqa: E731
+    steps = [f"""
+WITH raw_edges AS (
+  SELECT {url('doc_id')} AS src, {url('doc_id - doc_id % 100')} AS dst
+  FROM documents WHERE doc_id % 4 <> 0
+  UNION ALL
+  SELECT {url('doc_id')}, {url('doc_id + 1')}
+  FROM documents WHERE doc_id % 4 <> 0),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT id, {scale} // nn.n AS rank FROM nodes, nn)"""]
+    prev = "r0"
+    for i in (1, 2, 3):
+        steps.append(f"""
+m{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS m
+         FROM {prev} r LEFT JOIN deg d ON r.id = d.src WHERE d.src IS NULL),
+s{i} AS (SELECT e.dst, SUM(r.rank // d.deg) AS in_sum
+         FROM edges e JOIN {prev} r ON e.src = r.id JOIN deg d ON e.src = d.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n.id,
+                ({scale} - ({d_pct} * {scale}) // 100) // nn.n
+                + ({d_pct} * (COALESCE(s.in_sum, 0) + m{i}.m // nn.n)) // 100 AS rank
+         FROM nodes n LEFT JOIN s{i} s ON n.id = s.dst, m{i}, nn)""")
+        prev = f"r{i}"
+    return ",".join(steps) + f"""
+SELECT r.id AS url_canon,
+       CAST(LEAST(119, GREATEST(0,
+         length(bin(CAST(r.rank * {1 << 20} AS BIGINT)
+                    // ({scale} // nn.n))) - 21 + 100)) AS INT) AS priority
+FROM {prev} r, nn
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 QUERIES = {
+    "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_canonicalize_urls": (q_canonicalize, SQL_CANON),
     "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),
     "crawl_seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTI),

@@ -1,0 +1,171 @@
+"""Link-graph PageRank for frontier prioritization (O2 priority source).
+
+The reference's scheduler orders requests by a static per-request
+``priority`` (Scrapy `Request.priority`; SURVEY §2.1 O2). A web-scale
+frontier wants a *link-derived* priority — crawl pages that many
+crawled pages point to first. This module computes PageRank over the
+outlink graph as a batch DataFrame job; ``CrawlEngine`` can fold the
+result into frontier priorities between waves (see
+``pagerank_priorities`` and tests/test_linkrank.py::test_engine_hook).
+
+Design for a 1000-executor cluster:
+
+- **Fixed-point bigint arithmetic** (``SCALE = 10**12``). Floating-point
+  addition is not associative, so a distributed power iteration that
+  sums doubles is non-reproducible run-to-run (reduction order changes
+  with partitioning). All mass here is integer micro-units with floor
+  division: sums are exact and ORDER-INDEPENDENT, so the result is
+  bit-identical at any parallelism — and the DuckDB oracle can restate
+  the whole iteration verbatim (harness/crawl.py). Quantization error
+  is ≤ out_degree ulps of 1e-12 per vertex per round — irrelevant for
+  ranking.
+- **Per-iteration shuffle budget**: one (src-keyed) join of edges
+  against ranks, one dst-keyed partial-agg shuffle, one vertex-keyed
+  left join. The dangling-mass and vertex-count terms are 1-row
+  aggregates crossJoined back (broadcast, no driver collect).
+- **Lineage truncation**: ``localCheckpoint`` per round, same idiom as
+  ``connected_components`` (operators/textdedup.py) — round N's plan
+  must not replay rounds 1..N-1.
+
+Semantics (classic damped PageRank, d = damping_pct/100):
+
+    rank'(v) = (1-d)/N  +  d * ( Σ_{(u,v)∈E} rank(u)/deg(u)  +  m/N )
+
+with m = Σ rank(u) over dangling vertices (no out-edges): their mass is
+redistributed uniformly, so total mass stays ~1 and ranks are
+comparable across graphs. In fixed point (all ops bigint, ``div`` =
+floor division, non-negative operands so Spark's ``div`` ≡ DuckDB's
+``//``):
+
+    base    = (SCALE - (d_pct * SCALE) div 100) div N
+    rank'_s = base + (d_pct * (in_sum + m div N)) div 100
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12  # 85 * (SCALE + slack) stays far under int64
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(id, rank_scaled) — damped PageRank after ``iterations`` power
+    rounds, in SCALE-fixed-point bigints (rank ≈ rank_scaled / 1e12).
+
+    ``nodes``: one ``id`` column (every vertex, including sinks).
+    ``edges``: ``(src, dst)``; callers should pre-``distinct()`` —
+    parallel edges would double-count mass.
+    """
+    edges = edges.select("src", "dst").persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n1 = nodes.agg(F.count("*").alias("n"))  # 1 row, crossJoined (broadcast)
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select("id", F.expr(f"{SCALE} div n").alias("rank_scaled"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        # project deg's `src` away immediately: it is the SAME attribute
+        # as edges.src, and keeping it would make the in_sum join below
+        # an ambiguous self-join
+        withdeg = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
+            ranks["id"].alias("id"), "rank_scaled", "deg"
+        )
+        m1 = withdeg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("m")
+        )
+        live = withdeg.where(F.col("deg").isNotNull())
+        in_sum = (
+            edges.join(live, edges["src"] == live["id"])
+            .select(edges["dst"].alias("dst"), F.expr("rank_scaled div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(in_sum, nodes["id"] == in_sum["dst"], "left")
+            .crossJoin(F.broadcast(m1))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "id",
+                F.expr(
+                    f"({SCALE} - ({damping_pct} * {SCALE}) div 100) div n"
+                    f" + ({damping_pct} * (coalesce(in_sum, 0) + m div n)) div 100"
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return ranks
+
+
+def pagerank_priorities(
+    outlinks: DataFrame,
+    *,
+    iterations: int = 3,
+    anchor: int = 100,
+    lo: int = 0,
+    hi: int = 119,
+) -> DataFrame:
+    """(url_canon, priority) from a crawled outlink table
+    ``(src_canon, dst_canon)`` — PageRank quantized onto the frontier's
+    integer priority axis, so the scheduler's existing
+    (priority DESC, discovered_ts, url ASC) ordering
+    (operators/frontier.py) needs no change.
+
+    Anchoring: priority = anchor + floor(log2(rank / uniform)), i.e. a
+    page of exactly average rank ties with fresh seeds (anchor=100,
+    plans/wave.py seed priority) and each doubling of link mass is one
+    level up, clamped to [lo, hi]. Default hi=119 keeps the whole
+    link-derived band strictly below freshness recrawls (120), so
+    recrawl-due URLs always fetch first."""
+    nodes = (
+        outlinks.select(F.col("src_canon").alias("id"))
+        .unionByName(outlinks.select(F.col("dst_canon").alias("id")))
+        .distinct()
+    )
+    edges = outlinks.select(
+        F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+    ).distinct()
+    ranks = pagerank_fixed(edges, nodes, iterations=iterations)
+    # Quantize by log2 of rank relative to the uniform mass 1/N — a pure
+    # per-row expression (a percent_rank/ntile would be a GLOBAL window =
+    # single-partition sort of every url). ratio 1 ⇒ average page ⇒ mid
+    # priority; each doubling of rank is one level up.
+    #
+    # floor(log2(·)) is computed in EXACT integer arithmetic: a float
+    # log2 of a bigint ratio differs by ULPs between libm / JVM Math and
+    # flips the floor at power-of-two boundaries — non-portable across
+    # engines.  Instead: t = (rank·2^20) div uniform (a bigint; for any
+    # real y ≥ 2^-20, floor(log2(floor(y·2^20))) = floor(log2(y·2^20))
+    # since [2^k, 2^(k+1)) has integer endpoints), and floor(log2(t)) =
+    # bit_length(t) − 1 = length(bin(t)) − 1 — pure string/int ops that
+    # DuckDB states verbatim (harness/crawl.py).  rank ≤ SCALE=1e12 so
+    # t ≤ 2^20·1e12 < 2^63.  rank ≥ base ≈ 0.15·uniform > uniform·2^-20,
+    # so t ≥ 1 always (the lo clamp still guards the degenerate case).
+    uniform = (
+        ranks.crossJoin(
+            F.broadcast(
+                nodes.agg(F.count("*").alias("n")).select(
+                    F.expr(f"{SCALE} div n").alias("uniform_scaled")
+                )
+            )
+        )
+    )
+    t = F.expr(f"(rank_scaled * {1 << 20}) div uniform_scaled")
+    return uniform.select(
+        F.col("id").alias("url_canon"),
+        F.least(
+            F.lit(hi),
+            F.greatest(
+                F.lit(lo),
+                (F.length(F.bin(t)) - F.lit(21) + F.lit(anchor)).cast("int"),
+            ),
+        ).alias("priority"),
+    )

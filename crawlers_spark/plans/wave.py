@@ -666,6 +666,60 @@ class CrawlEngine:
         due.unpersist()
         return {"wave": wave, "recrawled": n_due}
 
+    # -------------------------------------------------------- linkrank
+    def apply_linkrank(self, *, iterations: int = 3) -> dict:
+        """Fold link-graph PageRank into frontier priorities (O2 priority
+        source; operators/linkrank.py). The reference orders requests by
+        a static per-request priority (Scrapy ``Request.priority``,
+        SURVEY §2.1 O2); at web scale the frontier should prefer pages
+        many *crawled* pages point to. Between waves:
+
+        1. edges = canonicalized (page url → out_url) from every staged
+           ``kind='link'`` row (the engine already persists these —
+           nothing html-sized is re-read);
+        2. fixed-point PageRank (bit-identical at any parallelism);
+        3. frontier priority := max(current, quantized rank) — the rank
+           axis is anchored so an average-rank page ties with seeds
+           (100) and each doubling of link mass is +1, capped at 119 so
+           freshness recrawls (120) always keep precedence; max() only
+           ever promotes, so the deterministic merge contract
+           (`_merge_frontier`) is unchanged.
+
+        Commits as one atomic maintenance wave (frontier is
+        latest-version-wins state, same as ``schedule_recrawls``), so a
+        kill between linkrank and the next fetch wave resumes with
+        either the old or the new priorities — never a mix.
+
+        Scale: 2 key-keyed shuffles per PageRank round over the edge
+        table + one frontier equi-join; no global sort, no collect.
+        """
+        from crawlers_spark.operators.linkrank import pagerank_priorities
+
+        wave = self.io.last_committed_wave() + 1
+        if not self._kind_paths("link"):
+            return {"wave": None, "boosted": 0}
+        links = self._read_wave_out("link").select("url", "out_url")
+        edges = with_canonical_url(
+            with_canonical_url(links, "url", "src_canon", host_out=None),
+            "out_url", "dst_canon", host_out=None,
+        ).select("src_canon", "dst_canon")
+        pr = pagerank_priorities(edges, iterations=iterations)
+        boosted = (
+            self._read_frontier()
+            .join(pr.withColumnRenamed("priority", "_lr_pri"), "url_canon", "left")
+            .withColumn(
+                "priority",
+                F.greatest(F.col("priority"), F.coalesce(F.col("_lr_pri"), F.lit(0)))
+                .cast("int"),
+            )
+            .drop("_lr_pri")
+            .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
+        )
+        staged = {"frontier": [self._stage(boosted, "frontier", wave, "none")]}
+        n = self._rowcount(staged["frontier"])
+        self.io.commit_wave(wave, staged, {"linkrank_frontier": n})
+        return {"wave": wave, "boosted": n}
+
     # ---------------------------------------------------------- maintain
     def compact(self) -> str | None:
         """Compact wave_out's per-wave dirs into one (maintenance job
