@@ -63,7 +63,10 @@ def pagerank_fixed(
     parallel edges would double-count mass.
     """
     edges = edges.select("src", "dst").persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # deg is re-joined twice per round — persist the aggregate once so
+    # the per-round DAG starts at the cached (src, deg) rows instead of
+    # re-running the degree shuffle every iteration
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     n1 = nodes.agg(F.count("*").alias("n"))  # 1 row, crossJoined (broadcast)
 
     ranks = (
@@ -102,6 +105,7 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     edges.unpersist()
+    deg.unpersist()
     return ranks
 
 
