@@ -75,38 +75,45 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     for _ in range(iterations):
-        # project deg's `src` away immediately: it is the SAME attribute
-        # as edges.src, and keeping it would make the in_sum join below
-        # an ambiguous self-join
-        withdeg = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
-            ranks["id"].alias("id"), "rank_scaled", "deg"
-        )
-        m1 = withdeg.where(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("m")
-        )
-        live = withdeg.where(F.col("deg").isNotNull())
-        in_sum = (
-            edges.join(live, edges["src"] == live["id"])
-            .select(edges["dst"].alias("dst"), F.expr("rank_scaled div deg").alias("share"))
-            .groupBy("dst")
-            .agg(F.sum("share").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(in_sum, nodes["id"] == in_sum["dst"], "left")
-            .crossJoin(F.broadcast(m1))
-            .crossJoin(F.broadcast(n1))
-            .select(
-                "id",
-                F.expr(
-                    f"({SCALE} - ({damping_pct} * {SCALE}) div 100) div n"
-                    f" + ({damping_pct} * (coalesce(in_sum, 0) + m div n)) div 100"
-                ).alias("rank_scaled"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _power_round(ranks, edges, deg, nodes, n1, damping_pct).localCheckpoint()
     edges.unpersist()
     deg.unpersist()
     return ranks
+
+
+def _power_round(ranks, edges, deg, nodes, n1, damping_pct: int) -> DataFrame:
+    """One un-checkpointed power round (exposed for the plan-shape test:
+    the only exchanges are the src-keyed edge join, the dst-keyed
+    partial agg, and the vertex left join — the 1-row m/n terms come
+    back as broadcast nested-loop joins, never a shuffle)."""
+    # project deg's `src` away immediately: it is the SAME attribute
+    # as edges.src, and keeping it would make the in_sum join below
+    # an ambiguous self-join
+    withdeg = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
+        ranks["id"].alias("id"), "rank_scaled", "deg"
+    )
+    m1 = withdeg.where(F.col("deg").isNull()).agg(
+        F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("m")
+    )
+    live = withdeg.where(F.col("deg").isNotNull())
+    in_sum = (
+        edges.join(live, edges["src"] == live["id"])
+        .select(edges["dst"].alias("dst"), F.expr("rank_scaled div deg").alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("in_sum"))
+    )
+    return (
+        nodes.join(in_sum, nodes["id"] == in_sum["dst"], "left")
+        .crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "id",
+            F.expr(
+                f"({SCALE} - ({damping_pct} * {SCALE}) div 100) div n"
+                f" + ({damping_pct} * (coalesce(in_sum, 0) + m div n)) div 100"
+            ).alias("rank_scaled"),
+        )
+    )
 
 
 def pagerank_priorities(

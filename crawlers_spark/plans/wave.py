@@ -122,6 +122,10 @@ class CrawlConfig:
     # compact wave_out every N waves (None = only on explicit compact());
     # bounds the per-wave kind-leaf listing on long crawls
     compact_every: int | None = None
+    # fold link-graph PageRank into frontier priorities every N fetch
+    # waves (None = only on explicit apply_linkrank()); each application
+    # is its own atomic maintenance wave between fetch waves
+    linkrank_every: int | None = None
 
 
 class CrawlEngine:
@@ -536,6 +540,18 @@ class CrawlEngine:
             wave = self.io.last_committed_wave() + 1
             if wave > max_waves:
                 break
+            # linkrank cadence is a pure function of the COMMITTED wave
+            # number (every (k+1)th wave slot is a linkrank maintenance
+            # wave), so an interrupted run resumes onto the exact same
+            # fetch/maintenance schedule. A no-op application (no link
+            # rows yet) commits nothing and falls through to fetching
+            # the same wave number.
+            if (
+                self.cfg.linkrank_every
+                and wave % (self.cfg.linkrank_every + 1) == 0
+                and self.apply_linkrank()["wave"] is not None
+            ):
+                continue
             st = self.run_wave(wave)
             stats.append(st)
             if st["quiesced"]:

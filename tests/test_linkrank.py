@@ -116,6 +116,34 @@ def test_parallel_edges_are_collapsed(spark):
     assert got_dup == got_one
 
 
+def test_plan_shape_broadcasts_scalars(spark):
+    """100 TB contract: per power round the dangling-mass and
+    vertex-count terms join back as BROADCAST nested-loop joins (1-row
+    sides), never a cartesian of big sides; the only shuffles are the
+    src-keyed edge join, the dst-keyed partial agg, and the vertex
+    left join."""
+    from pyspark.sql import functions as F2
+
+    from crawlers_spark.operators.linkrank import SCALE, _power_round
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    nodes = spark.createDataFrame([(v,) for v in NODES], "id string")
+    deg = edges.groupBy("src").agg(F2.count("*").alias("deg"))
+    n1 = nodes.agg(F2.count("*").alias("n"))
+    ranks = nodes.crossJoin(F2.broadcast(n1)).select(
+        "id", F2.expr(f"{SCALE} div n").alias("rank_scaled")
+    )
+    plan = (
+        _power_round(ranks, edges, deg, nodes, n1, 85)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no global sort anywhere in the round (the scheduler's ordering
+    # lives in the frontier top-k, not here)
+    assert "Sort [" not in plan or "SortMergeJoin" in plan
+
+
 # ------------------------------------------------------- engine hook
 @pytest.fixture(scope="module")
 def fx():
@@ -155,6 +183,50 @@ def test_engine_hook(spark, fx):
     got = sorted(r.url_canon for r in eng.seen().select("url_canon").distinct().collect())
     exp = sorted(r.url_canon for r in plain.seen().select("url_canon").distinct().collect())
     assert got == exp
+
+
+def test_linkrank_cadence_in_run(spark, fx):
+    """linkrank_every=k folds PageRank in every (k+1)th wave slot; the
+    crawl still reaches exactly the reachable page set (priorities only
+    reorder), and the cadence is resume-deterministic because it is a
+    pure function of the committed wave number."""
+    from tests.test_crawl_e2e import _reachable_expected
+
+    eng = make_engine(spark, fx, "linkrank_cadence", linkrank_every=2)
+    calls = []
+    orig = eng.apply_linkrank
+    eng.apply_linkrank = lambda **kw: (calls.append(1), orig(**kw))[1]
+    eng.run(max_waves=40)
+    assert calls, "cadence should have triggered at least one linkrank wave"
+
+    got = sorted(r.url for r in eng.offers().select("url").distinct().collect())
+    exp = sorted(r.url for r in _reachable_expected(spark, fx).select("url").collect())
+    assert got == exp
+
+    # kill-and-resume onto the same schedule: interrupt after 4 wave
+    # slots (slot 3 was a linkrank wave), resume with a NEW engine on
+    # the same dir — offers and per-wave log match the uninterrupted run
+    import json
+
+    from crawlers_spark.plans.wave import CrawlConfig, CrawlEngine
+    from tests.test_crawl_e2e import STATE
+
+    half = make_engine(spark, fx, "linkrank_resume", linkrank_every=2)
+    half.run(max_waves=4)
+    resumed = CrawlEngine(
+        spark, str(fx / "pages.parquet"),
+        json.loads((fx / "seeds.json").read_text()),
+        spark.read.parquet(str(fx / "robots.parquet")),
+        spark.read.parquet(str(fx / "politeness.parquet")),
+        STATE / "linkrank_resume",
+        CrawlConfig(
+            hot_hosts={"src0.example": 4, "src1.example": 4}, linkrank_every=2
+        ),
+    )
+    resumed.run(max_waves=40)
+    wl_a = sorted((r.url_canon, r.wave) for r in eng.wave_log().collect())
+    wl_b = sorted((r.url_canon, r.wave) for r in resumed.wave_log().collect())
+    assert wl_a == wl_b
 
 
 def test_engine_hook_noop_without_links(spark, fx):
