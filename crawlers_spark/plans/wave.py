@@ -269,10 +269,13 @@ class CrawlEngine:
         yet built."""
         if self.filter_table is None:
             return None
+        from crawlers_spark.operators.dedup import BLOOM_SCHEMA, CUCKOO_SCHEMA
+
+        shard_schema = CUCKOO_SCHEMA if self.filter_mode == "cuckoo" else BLOOM_SCHEMA
         for m in reversed(self.io._manifests()):
             if self.filter_table in m["tables"]:
                 dirs = [str(self.io.root / rel) for rel in m["tables"][self.filter_table]]
-                return self.spark.read.parquet(*dirs)
+                return self.spark.read.schema(shard_schema).parquet(*dirs)
         return None
 
     def _read_wave_out(self, *kinds: str) -> DataFrame:
@@ -291,7 +294,10 @@ class CrawlEngine:
         ]
         if not paths:
             return self.spark.createDataFrame([], WAVE_OUT_DATA_SCHEMA)
-        return self.spark.read.parquet(*paths)
+        # explicit schema: skips driver-side footer schema inference,
+        # which grows with the number of committed wave leaves (profiled
+        # at 2.2 s cold / 0.12 s warm vs 0.04 s explicit on 7 leaves)
+        return self.spark.read.schema(WAVE_OUT_DATA_SCHEMA).parquet(*paths)
 
     def _kind_paths(self, *kinds: str) -> list[str]:
         return [
@@ -434,7 +440,7 @@ class CrawlEngine:
         rel_out = self._stage(wave_out_df, "wave_out", wave, compact="none", partition_by="kind")
         _lap("stage_wave_out")
         staged["wave_out"] = [rel_out]
-        wo = self.spark.read.parquet(str(self.io.root / rel_out))
+        wo = self.spark.read.schema(WAVE_OUT_SCHEMA).parquet(str(self.io.root / rel_out))
         pages_meta = wo.where(F.col("kind") == "page")
         fetched_keys = pages_meta.select("url_canon")
 

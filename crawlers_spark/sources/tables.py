@@ -190,6 +190,9 @@ class SnapshotParquetIO(TableIO):
 
             dfs = [self.spark.read.parquet(d) for d in dirs]
             return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+        if schema is not None:
+            # explicit schema skips the per-call driver-side footer read
+            return self.spark.read.schema(schema).parquet(*dirs)
         return self.spark.read.parquet(*dirs)
 
     def last_committed_wave(self) -> int:
