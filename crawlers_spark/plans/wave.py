@@ -146,14 +146,17 @@ class CrawlEngine:
             spark, pages_path, cache_dir=Path(state_root) / "_cache"
         )
         self.seeds = seeds
-        self.robots = robots
+        # robots/politeness are broadcast state joined against EVERY
+        # wave batch; persist them so each wave's broadcast build reads
+        # the cached rows instead of re-scanning the source per wave
+        self.robots = robots.persist()
         # no explicit politeness table → derive per-host delays from
         # robots.txt Crawl-delay directives (O6 ← O7)
         if politeness is None:
             from crawlers_spark.operators.robots import politeness_from_robots
 
-            politeness = politeness_from_robots(robots)
-        self.politeness = politeness
+            politeness = politeness_from_robots(self.robots)
+        self.politeness = politeness.persist()
         # offsite map (O13): source -> allowed host, broadcast-sized
         self.allowed_hosts = spark.createDataFrame(
             [(s["source"], s["allowed_host"]) for s in seeds],
