@@ -185,7 +185,7 @@ def extract_offers(fetched: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- outlinks
 
-_LINKS_SCHEMA = "url string, src_source string, depth int, out_url string"
+_LINKS_SCHEMA = "url string, src_source string, depth int, out_url string, anchor string"
 
 
 def _outlink_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,12 +193,19 @@ def _outlink_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if pdf.empty:
             continue
         html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
-        links = html.str.findall(r'<a[^>]*\bhref="([^"]+)"')
+        # (href, anchor-text) pairs in one pass; anchor = text up to the
+        # first nested tag — enough for the fixture's flat <a>text</a>
+        # markup, and anchor text is only capturable at extraction time
+        # (it is gone once the html is dropped from the pipeline)
+        links = html.str.findall(r'<a[^>]*\bhref="([^"]+)"[^>]*>([^<]*)')
         out = pdf[["url", "src_source", "depth"]].copy()
-        out["out_url"] = links
-        out = out.explode("out_url").dropna(subset=["out_url"])
+        out["pair"] = links
+        out = out.explode("pair").dropna(subset=["pair"])
         if out.empty:
             continue
+        out["out_url"] = out["pair"].str[0]
+        out["anchor"] = out["pair"].str[1].str.strip()
+        out = out.drop(columns=["pair"])
         # resolve root-relative hrefs against the page's scheme://host
         base = out["url"].str.extract(r"^(https?://[^/]+)", expand=False)
         rel = out["out_url"].str.startswith("/")
@@ -207,10 +214,12 @@ def _outlink_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_outlinks(fetched: DataFrame) -> DataFrame:
-    """All hrefs of fetched pages, root-relative links resolved (O9).
+    """All hrefs of fetched pages, root-relative links resolved, with
+    the link's anchor text (O9).
 
-    Returns (url, src_source, depth, out_url); caller canonicalizes and
-    dedups. Map-only, same rationale as ``extract_offers``.
+    Returns (url, src_source, depth, out_url, anchor); caller
+    canonicalizes and dedups. Map-only, same rationale as
+    ``extract_offers``.
     """
     return fetched.select("url", "src_source", "depth", "html").mapInPandas(
         _outlink_batches, schema=_LINKS_SCHEMA
@@ -221,7 +230,7 @@ def extract_outlinks(fetched: DataFrame) -> DataFrame:
 
 COMBINED_SCHEMA = (
     "kind string, url string, url_canon string, host string, host_rank int, "
-    "depth int, src_source string, out_url string, title string, company string, "
+    "depth int, src_source string, out_url string, anchor string, title string, company string, "
     "location string, salary string, description string, publication_ts timestamp, "
     "extracted_text string"
 )

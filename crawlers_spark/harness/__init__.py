@@ -65,6 +65,8 @@ _FRONT = [
     "docs_bpe_round1_pair_counts",
     "docs_token_counts_bpe_trained",
     "crawl_pagerank_priorities",
+    "crawl_linkrank_boost",
+    "crawl_anchor_text_index",
     # r2 tail rotating back in — driver rows are 2 rounds old, and the
     # five starred ones had oracle edits in r2 (ADVICE high)
     "rel_mktsegment_summary",      # *
@@ -85,7 +87,9 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "embed_ivf_kmeans_topk",
     "crawl_outlink_udtf",
+    "crawl_warc_read",
     "stream_hourly_windows",
     "stream_distinct_users_per_type",
     "stream_stateful_user_totals",

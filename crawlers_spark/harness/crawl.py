@@ -537,19 +537,31 @@ def q_pagerank_priorities(spark, sf):
     return pagerank_priorities(hub.unionByName(nxt), iterations=3)
 
 
-def _pagerank_sql(scale: int = 10**12, d_pct: int = 85) -> str:
+_URL_EXPR = "'https://h' || (({k}) % 10) || '.example/p/' || ({k})"
+
+
+def _pagerank_sql(
+    raw_edges_sql: str | None = None,
+    final_sql: str = "SELECT url_canon, priority FROM lr",
+    scale: int = 10**12,
+    d_pct: int = 85,
+) -> str:
     """Unroll the fixed-point recurrence (linkrank.py docstring) as
-    DuckDB CTEs. `//` ≡ Spark `div` on non-negative bigints; DuckDB's
+    DuckDB CTEs over ``raw_edges_sql`` (default: the doc-id hub/chain
+    graph), ending in ``final_sql`` which sees ``lr(url_canon,
+    priority)``. `//` ≡ Spark `div` on non-negative bigints; DuckDB's
     SUM promotes to HUGEINT, which is value-identical here (everything
     fits int64) and is cast back before bin()."""
-    url = lambda k: f"'https://h' || (({k}) % 10) || '.example/p/' || ({k})"  # noqa: E731
-    steps = [f"""
-WITH raw_edges AS (
+    url = lambda k: _URL_EXPR.format(k=k)  # noqa: E731
+    if raw_edges_sql is None:
+        raw_edges_sql = f"""
   SELECT {url('doc_id')} AS src, {url('doc_id - doc_id % 100')} AS dst
   FROM documents WHERE doc_id % 4 <> 0
   UNION ALL
   SELECT {url('doc_id')}, {url('doc_id + 1')}
-  FROM documents WHERE doc_id % 4 <> 0),
+  FROM documents WHERE doc_id % 4 <> 0"""
+    steps = [f"""
+WITH raw_edges AS ({raw_edges_sql}),
 edges AS (SELECT DISTINCT src, dst FROM raw_edges),
 nodes AS (SELECT DISTINCT id FROM
           (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
@@ -569,20 +581,133 @@ r{i} AS (SELECT n.id,
                 + ({d_pct} * (COALESCE(s.in_sum, 0) + m{i}.m // nn.n)) // 100 AS rank
          FROM nodes n LEFT JOIN s{i} s ON n.id = s.dst, m{i}, nn)""")
         prev = f"r{i}"
-    return ",".join(steps) + f"""
+    return ",".join(steps) + f""",
+lr AS (
 SELECT r.id AS url_canon,
        CAST(LEAST(119, GREATEST(0,
          length(bin(CAST(r.rank * {1 << 20} AS BIGINT)
                     // ({scale} // nn.n))) - 21 + 100)) AS INT) AS priority
-FROM {prev} r, nn
+FROM {prev} r, nn)
+{final_sql}
 """
 
 
 SQL_PAGERANK = _pagerank_sql()
 
 
+# --------------------------------- apply_linkrank fold (engine merge)
+def q_linkrank_boost(spark, sf):
+    """The exact ``CrawlEngine.apply_linkrank`` fold: frontier priority
+    := greatest(current, PageRank priority) via a left join on
+    url_canon — here over the SAME url space as the frontier (edges
+    between canonical doc urls, via a doc-id self-join), so the boost
+    is non-trivial and the oracle countersigns the merge rule the
+    engine applies between waves."""
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+    from crawlers_spark.operators.linkrank import pagerank_priorities
+
+    urls = with_canonical_url(_doc_urls(spark, sf)).select("doc_id", "url_canon")
+    a, b = urls.alias("a"), urls.alias("b")
+    linked = F.col("a.doc_id") % 4 != 0
+    hub = (
+        a.join(b, F.expr("b.doc_id = a.doc_id - a.doc_id % 100"))
+        .where(linked)
+        .select(F.col("a.url_canon").alias("src_canon"), F.col("b.url_canon").alias("dst_canon"))
+    )
+    nxt = (
+        a.join(b, F.expr("b.doc_id = a.doc_id + 1"))
+        .where(linked)
+        .select(F.col("a.url_canon").alias("src_canon"), F.col("b.url_canon").alias("dst_canon"))
+    )
+    pr = pagerank_priorities(hub.unionByName(nxt)).withColumnRenamed("priority", "_lr")
+    fr = _frontier(spark, sf).select("url_canon", "priority")
+    return fr.join(pr, "url_canon", "left").select(
+        "url_canon",
+        F.greatest(F.col("priority"), F.coalesce(F.col("_lr"), F.lit(0)))
+        .cast("int").alias("priority"),
+    )
+
+
+_EDGES_CANON_SQL = f"""
+  SELECT a.expected_canon AS src, b.expected_canon AS dst
+  FROM ({_SQL_URLS}) a JOIN ({_SQL_URLS}) b ON b.doc_id = a.doc_id - a.doc_id % 100
+  WHERE a.doc_id % 4 <> 0
+  UNION ALL
+  SELECT a.expected_canon, b.expected_canon
+  FROM ({_SQL_URLS}) a JOIN ({_SQL_URLS}) b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 4 <> 0"""
+
+SQL_LINKRANK_BOOST = _pagerank_sql(
+    raw_edges_sql=_EDGES_CANON_SQL,
+    final_sql=f"""
+SELECT f.url_canon,
+       CAST(GREATEST(f.priority, COALESCE(p.priority, 0)) AS INT) AS priority
+FROM (SELECT expected_canon AS url_canon, n_chars % 100 AS priority
+      FROM ({_SQL_URLS}) u) f
+LEFT JOIN lr p ON f.url_canon = p.url_canon
+""",
+)
+
+
+# ----------------------------------------- anchor-text index (O9+)
+def q_anchor_index(spark, sf):
+    """REAL extractor end-to-end: synthesize two <a> tags per doc url
+    (one absolute with a constant anchor, one root-relative into a
+    per-host hub page with a doc_id-dependent anchor so the hub's
+    dominant-anchor vote is contested), run the single-pass
+    ``extract_outlinks`` mapInPandas, then ``anchor_text_index``
+    (operators/anchors.py). The oracle restates the generative link
+    formula — independently of the regex/pandas path — and replays the
+    same two-level aggregation."""
+    from crawlers_spark.extraction.extractors import extract_outlinks
+    from crawlers_spark.operators.anchors import anchor_text_index
+
+    fr = _frontier(spark, sf)
+    hub = F.col("doc_id") - F.col("doc_id") % 100
+    html = F.concat(
+        F.lit('<p><a class="rel" href="'),
+        F.col("url_canon"),
+        F.lit('/next">suite</a> <a class="hub" href="/hub/'),
+        hub,
+        F.lit('">rubrique '),
+        F.col("doc_id") % 7,
+        F.lit("</a></p>"),
+    )
+    pages = fr.select(
+        F.col("url_canon").alias("url"),
+        F.lit("synth").alias("src_source"),
+        F.lit(0).alias("depth"),
+        html.alias("html"),
+    )
+    return anchor_text_index(extract_outlinks(pages), dst_col="out_url")
+
+
+SQL_ANCHOR_INDEX = f"""
+WITH u AS ({_SQL_URLS}),
+links AS (
+  SELECT expected_canon || '/next' AS out_url, 'suite' AS anchor FROM u
+  UNION ALL
+  SELECT 'https://src' || src_n || '.example/hub/' || (doc_id - doc_id % 100),
+         'rubrique ' || (doc_id % 7)
+  FROM u),
+counts AS (
+  SELECT out_url, anchor, CAST(COUNT(*) AS BIGINT) AS _n
+  FROM links GROUP BY 1, 2),
+ranked AS (
+  SELECT out_url, anchor, _n,
+         ROW_NUMBER() OVER (PARTITION BY out_url ORDER BY _n DESC, anchor) AS rk,
+         CAST(SUM(_n) OVER (PARTITION BY out_url) AS BIGINT) AS n_refs,
+         CAST(COUNT(*) OVER (PARTITION BY out_url) AS BIGINT) AS n_anchors
+  FROM counts)
+SELECT out_url, anchor AS top_anchor, _n AS top_anchor_refs, n_refs, n_anchors
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
+    "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
+    "crawl_linkrank_boost": (q_linkrank_boost, SQL_LINKRANK_BOOST),
     "crawl_canonicalize_urls": (q_canonicalize, SQL_CANON),
     "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),
     "crawl_seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTI),

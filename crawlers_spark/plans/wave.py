@@ -745,6 +745,20 @@ class CrawlEngine:
         self.io.commit_wave(wave, staged, {"linkrank_frontier": n})
         return {"wave": wave, "boosted": n}
 
+    def anchor_index(self) -> DataFrame:
+        """Anchor-text index of everything crawled so far (one row per
+        link target: dominant inbound anchor text + in-link counts;
+        operators/anchors.py). Like ``apply_linkrank`` this is a pure
+        aggregation over the persisted ``kind='link'`` rows — anchor
+        text was captured in the wave's single html pass and the html
+        itself is long gone. Derived output, not state: nothing
+        commits."""
+        from crawlers_spark.operators.anchors import anchor_text_index
+
+        links = self._read_wave_out("link").select("out_url", "anchor")
+        dst = with_canonical_url(links, "out_url", "dst_canon", host_out=None)
+        return anchor_text_index(dst, dst_col="dst_canon")
+
     # ---------------------------------------------------------- maintain
     def compact(self) -> str | None:
         """Compact wave_out's per-wave dirs into one (maintenance job

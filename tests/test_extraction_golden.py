@@ -86,3 +86,77 @@ def test_outlinks_match_oracle(spark, fixture_dir):
             for link in oracle_links(html)
         )
         assert got_map.get(r["url"], []) == expect, r["url"]
+
+
+def test_anchor_capture(spark):
+    """Anchor text rides the same single regex pass as hrefs: attribute
+    order, relative resolution, empty anchors, and whitespace trim."""
+    from crawlers_spark.extraction import extract_outlinks
+
+    html = (
+        '<p><a href="https://a.example/x">First Link</a>'
+        '<a class="c" href="/rel" id="i"> padded </a>'
+        '<a href="https://a.example/empty"></a>'
+        "no link here</p>"
+    )
+    df = spark.createDataFrame(
+        [("https://host.example/page", "s", 0, html)],
+        "url string, src_source string, depth int, html string",
+    )
+    got = {
+        r["out_url"]: r["anchor"] for r in extract_outlinks(df).collect()
+    }
+    assert got == {
+        "https://a.example/x": "First Link",
+        "https://host.example/rel": "padded",
+        "https://a.example/empty": "",
+    }
+
+
+def test_anchor_text_index_semantics(spark):
+    """Dominant anchor per dst: majority wins, ties break ascending,
+    empty/null anchors are excluded from the vote and the counts."""
+    from crawlers_spark.operators.anchors import anchor_text_index
+
+    rows = [
+        ("d1", "jobs"), ("d1", "jobs"), ("d1", "careers"),
+        ("d2", "b"), ("d2", "a"),           # tie → 'a'
+        ("d3", ""), ("d3", None),           # only empties → no row
+        ("d4", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "dst_canon string, anchor string")
+    got = {r["dst_canon"]: r.asDict() for r in anchor_text_index(df).collect()}
+    assert set(got) == {"d1", "d2", "d4"}
+    assert got["d1"]["top_anchor"] == "jobs"
+    assert got["d1"]["top_anchor_refs"] == 2
+    assert got["d1"]["n_refs"] == 3 and got["d1"]["n_anchors"] == 2
+    assert got["d2"]["top_anchor"] == "a"
+    assert got["d4"]["n_refs"] == 1
+
+
+def test_fixture_anchors_fill_the_index(spark, fixture_dir):
+    """Over the real 2k fixture: every list page's nav links carry the
+    'page N' anchors and detail hubs the related-link text, so the
+    index's dominant anchors are the fixture's literal anchor strings."""
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.extraction import extract_outlinks
+    from crawlers_spark.operators.anchors import anchor_text_index
+
+    pages = (
+        spark.read.parquet(str(fixture_dir / "pages.parquet"))
+        .withColumn("src_source", F.lit("s"))
+        .withColumn("depth", F.lit(0))
+    )
+    idx = anchor_text_index(
+        extract_outlinks(pages.select("url", "src_source", "depth", "html")),
+        dst_col="out_url",
+    )
+    top = {r["out_url"]: r["top_anchor"] for r in idx.collect()}
+    assert any(v == "voir aussi" for v in top.values())
+    assert any(v.startswith("page ") for v in top.values())
+    # list pages are multiply-linked via numbered nav anchors
+    nav = idx.where(F.col("top_anchor").startswith("page ")).where(
+        F.col("n_refs") > 1
+    )
+    assert nav.count() > 0
