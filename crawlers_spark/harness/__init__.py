@@ -67,6 +67,7 @@ _FRONT = [
     "crawl_pagerank_priorities",
     "crawl_linkrank_boost",
     "crawl_anchor_text_index",
+    "crawl_trap_host_signals",
     # r2 tail rotating back in — driver rows are 2 rounds old, and the
     # five starred ones had oracle edits in r2 (ADVICE high)
     "rel_mktsegment_summary",      # *
@@ -87,6 +88,7 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "embed_ivf_topk",
     "embed_ivf_kmeans_topk",
     "crawl_outlink_udtf",
     "crawl_warc_read",

@@ -704,9 +704,64 @@ FROM ranked WHERE rk = 1
 """
 
 
+# ----------------------------------------- crawler-trap detection
+def q_trap_hosts(spark, sf):
+    """Per-host trap signals (operators/traps.py) over a synthetic URL
+    space where even-numbered hosts mint 4 URLs per content (mirror
+    trap) and every 11th doc grows a repeated path segment (path
+    loop). The Spark side detects loops with the engine's regex
+    (Java backreference); the oracle — RE2 has no backreferences —
+    restates the GENERATIVE formula instead, which is the point:
+    independent derivations of the same verdict."""
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+    from crawlers_spark.operators.traps import trap_host_signals
+
+    urls = with_canonical_url(_doc_urls(spark, sf))
+    src_n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    group = F.when(src_n % 2 == 0, F.col("doc_id") - F.col("doc_id") % 4).otherwise(
+        F.col("doc_id")
+    )
+    pages = urls.select(
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("url_canon"), F.lit("/x/x"))
+        )
+        .otherwise(F.col("url_canon"))
+        .alias("url_canon"),
+        "host",
+        F.md5(group.cast("string")).alias("content_digest"),
+    )
+    return trap_host_signals(pages)
+
+
+SQL_TRAP_HOSTS = f"""
+WITH u AS ({_SQL_URLS}),
+pages AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN expected_canon || '/x/x'
+              ELSE expected_canon END AS url_canon,
+         host,
+         md5(CAST(CASE WHEN src_n % 2 = 0 THEN doc_id - doc_id % 4
+                       ELSE doc_id END AS VARCHAR)) AS content_digest,
+         doc_id % 11 = 0 AS is_repeat
+  FROM u),
+agg AS (
+  SELECT host,
+         CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT content_digest) AS BIGINT) AS n_contents,
+         CAST(SUM(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_seg
+  FROM pages GROUP BY host)
+SELECT host, n_urls, n_contents,
+       CAST(n_urls * 100 // n_contents AS BIGINT) AS dup_pct,
+       n_repeat_seg,
+       (n_urls * 100 // n_contents >= 300
+        OR n_repeat_seg * 100 >= 20 * n_urls) AS is_trap
+FROM agg
+"""
+
+
 QUERIES = {
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
+    "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),
     "crawl_linkrank_boost": (q_linkrank_boost, SQL_LINKRANK_BOOST),
     "crawl_canonicalize_urls": (q_canonicalize, SQL_CANON),
     "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),

@@ -4,13 +4,17 @@ Runs the standard e2e crawl and aggregates ``CrawlEngine.wave_profile``
 — the per-segment wall clock recorded inside ``run_wave`` — to show
 WHERE the ~5 s/wave driver barrier goes:
 
-  frontier_footers      parquet-footer rowcount of the frontier snapshot
+  frontier_footers      frontier rowcount (footers, or the carried
+                        staging future's join in the pipelined loop)
   plan_build            driver-side DataFrame/plan construction (lazy)
   stage_wave_out        THE wave job: select→robots→dedup→fetch→extract
                         → one kind-partitioned write
-  stage_frontier_filter frontier' + bloom/cuckoo shard merge (concurrent)
+  followup_shards_join  pipelined only: previous filter-staging join
+  followup_build        frontier'/filter'/lineage plan construction
   out_footers           per-kind footer rowcounts (no Spark job)
-  stage_lineage         lineage write
+  followup_launch       submitting the staging futures
+  stage_frontier_filter joining the staging futures (≈0 when pipelined:
+                        they resolved during the next wave's fetch)
   commit                manifest fsync (driver fs only)
   unpersist             cache cleanup
 
@@ -30,8 +34,9 @@ sys.path.insert(0, str(REPO))
 
 SEGMENTS = [
     "frontier_footers", "plan_build", "stage_wave_out",
-    "stage_frontier_filter", "out_footers", "stage_lineage",
-    "commit", "unpersist",
+    "followup_shards_join", "followup_build", "out_footers",
+    "followup_launch", "stage_frontier_filter",
+    "stage_lineage", "commit", "unpersist",
 ]
 
 

@@ -239,3 +239,64 @@ def test_adaptive_hot_host_salting_identical_output(spark, fx, crawled):
     assert sorted(map(tuple, b.wave_log().collect())) == sorted(
         map(tuple, a.wave_log().collect())
     )
+
+
+def test_pipelined_equals_serial(spark, fx, crawled):
+    """The pipelined loop ≡ the serial loop (default): identical
+    per-wave stats, wave log, and offers — the staging/fetch overlap
+    must be invisible in committed state."""
+    eng1, stats1 = crawled  # serial default
+    ser = make_engine(spark, fx, "pipelined_ab", pipeline_waves=True)
+    stats2 = ser.run(max_waves=40)
+    key = lambda s: (s["wave"], s["frontier"], s["fetched"], s.get("offers", 0), s["quiesced"])  # noqa: E731
+    assert [key(s) for s in stats1] == [key(s) for s in stats2]
+    assert sorted(map(tuple, ser.wave_log().collect())) == sorted(
+        map(tuple, eng1.wave_log().collect())
+    )
+    assert sorted(r["url"] for r in ser.offers().select("url").collect()) == sorted(
+        r["url"] for r in eng1.offers().select("url").collect()
+    )
+
+
+def test_kill_mid_pipeline_resume(spark, fx, crawled):
+    """Abandon a pipelined run BETWEEN wave 2's staging and its commit
+    (the new in-flight window the overlap creates): a fresh engine
+    resumes from the last committed manifest — wave 2's orphaned staged
+    dirs are never read — and converges to the identical crawl."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng1, _ = crawled
+    part = make_engine(spark, fx, "pipekill")
+    part.bootstrap()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        p1 = part._start_wave(1, pool, persist_carry=True)
+        carry = {
+            "frontier": p1["next_frontier"],
+            "frontier_fut": p1["futs"]["frontier"],
+            "shards": p1["filter_merged"],
+            "shards_fut": p1["futs"].get(part.filter_table),
+            "seen_extra_rels": [p1["rel_out"]],
+        }
+        p2 = part._start_wave(2, pool, carry=carry, persist_carry=True)
+        assert p2 is not None
+        part._finish_wave(p1)  # wave 1 commits; wave 2 staged, NEVER committed
+    assert part.io.last_committed_wave() == 1
+    for df in p2["unpersist"] + [p2["next_frontier"], p2["filter_merged"]]:
+        if df is not None:
+            df.unpersist()
+    resumed = CrawlEngine(
+        spark,
+        str(fx / "pages.parquet"),
+        json.loads((fx / "seeds.json").read_text()),
+        spark.read.parquet(str(fx / "robots.parquet")),
+        spark.read.parquet(str(fx / "politeness.parquet")),
+        STATE / "pipekill",
+        CrawlConfig(hot_hosts={"src0.example": 4, "src1.example": 4}),
+    )
+    resumed.run(max_waves=40)
+    assert sorted(map(tuple, resumed.wave_log().collect())) == sorted(
+        map(tuple, eng1.wave_log().collect())
+    )
+    assert sorted(r["url"] for r in resumed.offers().select("url").collect()) == sorted(
+        r["url"] for r in eng1.offers().select("url").collect()
+    )

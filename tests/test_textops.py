@@ -216,3 +216,35 @@ def test_winnow_substring_containment(spark):
     overlap = len(by_doc[1] & by_doc[2]) / len(by_doc[2])
     assert overlap > 0.5
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_trap_host_signals(spark):
+    """Mirror trap (many urls → one digest), path-loop trap (repeated
+    segment), and a clean host; thresholds and the regex loop detector."""
+    from crawlers_spark.operators.traps import trap_host_signals
+
+    rows = (
+        # mirror.example: 4 urls, 1 content → dup_pct 400 → trap
+        [(f"https://mirror.example/p/{i}", "mirror.example", "d0") for i in range(4)]
+        # loops.example: 1 of 3 urls has /a/a/ → 33% ≥ 20% → trap
+        + [
+            ("https://loops.example/a/a/1", "loops.example", "d1"),
+            ("https://loops.example/b/c/2", "loops.example", "d2"),
+            ("https://loops.example/c/d/3", "loops.example", "d3"),
+        ]
+        # clean.example: unique contents, no loops
+        + [(f"https://clean.example/p/{i}", "clean.example", f"c{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "url_canon string, host string, content_digest string"
+    )
+    got = {r["host"]: r.asDict() for r in trap_host_signals(df).collect()}
+    assert got["mirror.example"]["is_trap"] and got["mirror.example"]["dup_pct"] == 400
+    assert got["loops.example"]["is_trap"] and got["loops.example"]["n_repeat_seg"] == 1
+    assert not got["clean.example"]["is_trap"]
+    # query strings don't fool the segment-loop regex
+    q = spark.createDataFrame(
+        [("https://q.example/p/1?x=2&x=2", "q.example", "d")],
+        "url_canon string, host string, content_digest string",
+    )
+    assert not trap_host_signals(q).collect()[0]["is_trap"]
