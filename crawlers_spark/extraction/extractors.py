@@ -232,10 +232,29 @@ COMBINED_SCHEMA = (
     "kind string, url string, url_canon string, host string, host_rank int, "
     "depth int, src_source string, out_url string, anchor string, title string, company string, "
     "location string, salary string, description string, publication_ts timestamp, "
-    "extracted_text string"
+    "extracted_text string, content_digest string"
 )
 
 _META_COLS = ["url", "url_canon", "host", "host_rank", "depth", "src_source"]
+
+
+def _content_digests(html: pd.Series) -> pd.Series:
+    """md5 of the page's *visible text* (tag-strip + whitespace
+    collapse — the same normalization as the corpus ``text`` column,
+    so ``content_digest == md5(text)`` holds per url against the input
+    table). Digesting text rather than raw html is what makes mirror
+    traps detectable: a session-id/calendar trap mints URL variants
+    whose html differs only in its self-referencing hrefs — the
+    rendered text is identical. One extra vectorized regex pass over
+    html the fused pass already holds; the md5 itself is C-speed."""
+    import hashlib
+
+    text = (
+        html.str.replace(r"<[^>]+>", " ", regex=True)
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    return text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
 
 
 def extract_page_outputs(fetched: DataFrame, *, detail_pattern: str) -> DataFrame:
@@ -280,7 +299,18 @@ def extract_page_outputs(fetched: DataFrame, *, detail_pattern: str) -> DataFram
         for pdf in it:
             if pdf.empty:
                 continue
-            yield _shape("page", pdf[_META_COLS])
+            # decode ONCE; the offer/link paths' defensive decode then
+            # passes the str batch through untouched
+            pdf = pdf.assign(
+                html=pdf["html"].apply(
+                    lambda b: b.decode("utf-8", "replace")
+                    if isinstance(b, (bytes, bytearray))
+                    else (b or "")
+                )
+            )
+            meta = pdf[_META_COLS].copy()
+            meta["content_digest"] = _content_digests(pdf["html"])
+            yield _shape("page", meta)
             detail = pdf[pdf["url_canon"].str.contains(detail_pattern, regex=False)]
             if not detail.empty:
                 fam = (

@@ -68,6 +68,10 @@ _FRONT = [
     "crawl_linkrank_boost",
     "crawl_anchor_text_index",
     "crawl_trap_host_signals",
+    # new this round: the trap-gate frontier prune fold (the engine-side
+    # apply_trap_gate wiring landed with it); embed_lsh_topk (r2-green,
+    # untouched) rotates to the tail to keep the window at 50
+    "crawl_trap_gate_prune",
     # r2 tail rotating back in — driver rows are 2 rounds old, and the
     # five starred ones had oracle edits in r2 (ADVICE high)
     "rel_mktsegment_summary",      # *
@@ -88,6 +92,7 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "embed_lsh_topk",
     "embed_ivf_topk",
     "embed_ivf_kmeans_topk",
     "crawl_outlink_udtf",

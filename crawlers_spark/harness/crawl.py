@@ -758,10 +758,73 @@ FROM agg
 """
 
 
+# ------------------------------------------- trap-gate frontier prune
+def q_trap_gate_prune(spark, sf):
+    """The engine's ``apply_trap_gate`` fold as a pure query
+    (plans/wave.py): trap signals over the synthetic page space →
+    ``is_trap`` host denylist → broadcast anti-join pruning the
+    frontier. Same generative world as ``crawl_trap_host_signals``;
+    the frontier is every URL with a derived priority, and the result
+    is what survives the gate."""
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+    from crawlers_spark.operators.traps import trap_host_signals
+
+    urls = with_canonical_url(_doc_urls(spark, sf))
+    src_n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    group = F.when(src_n % 2 == 0, F.col("doc_id") - F.col("doc_id") % 4).otherwise(
+        F.col("doc_id")
+    )
+    pages = urls.select(
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("url_canon"), F.lit("/x/x"))
+        )
+        .otherwise(F.col("url_canon"))
+        .alias("url_canon"),
+        "host",
+        F.md5(group.cast("string")).alias("content_digest"),
+    )
+    traps = trap_host_signals(pages).where(F.col("is_trap")).select("host")
+    frontier = urls.select(
+        "doc_id",
+        "url_canon",
+        "host",
+        (F.lit(100) - F.col("doc_id") % 7).cast("int").alias("priority"),
+    )
+    return frontier.join(F.broadcast(traps), "host", "left_anti").select(
+        "doc_id", "url_canon", "host", "priority"
+    )
+
+
+SQL_TRAP_GATE_PRUNE = f"""
+WITH u AS ({_SQL_URLS}),
+pages AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN expected_canon || '/x/x'
+              ELSE expected_canon END AS url_canon,
+         host,
+         md5(CAST(CASE WHEN src_n % 2 = 0 THEN doc_id - doc_id % 4
+                       ELSE doc_id END AS VARCHAR)) AS content_digest,
+         doc_id % 11 = 0 AS is_repeat
+  FROM u),
+agg AS (
+  SELECT host,
+         COUNT(DISTINCT url_canon) AS n_urls,
+         COUNT(DISTINCT content_digest) AS n_contents,
+         SUM(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS n_repeat_seg
+  FROM pages GROUP BY host),
+traps AS (
+  SELECT host FROM agg
+  WHERE n_urls * 100 // n_contents >= 300 OR n_repeat_seg * 100 >= 20 * n_urls)
+SELECT doc_id, expected_canon AS url_canon, host,
+       CAST(100 - doc_id % 7 AS INT) AS priority
+FROM u WHERE host NOT IN (SELECT host FROM traps)
+"""
+
+
 QUERIES = {
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
     "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),
+    "crawl_trap_gate_prune": (q_trap_gate_prune, SQL_TRAP_GATE_PRUNE),
     "crawl_linkrank_boost": (q_linkrank_boost, SQL_LINKRANK_BOOST),
     "crawl_canonicalize_urls": (q_canonicalize, SQL_CANON),
     "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),

@@ -126,6 +126,14 @@ class CrawlConfig:
     # waves (None = only on explicit apply_linkrank()); each application
     # is its own atomic maintenance wave between fetch waves
     linkrank_every: int | None = None
+    # crawler-trap gate cadence: every N fetch waves (None = only on
+    # explicit apply_trap_gate()), recompute per-host trap signals over
+    # everything fetched so far and commit a host denylist + pruned
+    # frontier as one atomic maintenance wave. Thresholds mirror
+    # operators/traps.py defaults.
+    trap_check_every: int | None = None
+    trap_max_urls_per_content_pct: int = 300
+    trap_max_repeat_seg_pct: int = 20
     # overlap wave k's frontier/filter/lineage staging + commit with
     # wave k+1's fetch job (run() only; run_wave() is always serial).
     # Commits stay strictly ordered, so the committed state — and
@@ -531,7 +539,15 @@ class CrawlEngine:
                 F.lit(EPOCH).cast("timestamp").alias("discovered_ts"),
                 F.lit(0).alias("retry"),
             )
-        ).persist()
+        )
+        # trap gate (apply_trap_gate): denylisted hosts' outlinks never
+        # enter the frontier — broadcast anti-join, denylist is
+        # host-cardinality-sized. The committed frontier was pruned at
+        # gate time; this keeps it clean between gate waves.
+        trap_hosts = self._read_trap_hosts()
+        if trap_hosts is not None:
+            discovered = discovered.join(F.broadcast(trap_hosts), "host", "left_anti")
+        discovered = discovered.persist()
 
         # Follow-up plans root at DISK copies (the staged rels when
         # carried, the committed snapshot otherwise): every wave's
@@ -730,6 +746,17 @@ class CrawlEngine:
                     and self.apply_linkrank()["wave"] is not None
                 ):
                     continue
+                # trap-gate cadence: same committed-wave-number contract
+                # as linkrank (resume lands on the identical schedule);
+                # when both cadences hit the same slot, linkrank commits
+                # first and the trap check re-evaluates at the bumped
+                # wave number — deterministic either way.
+                if (
+                    self.cfg.trap_check_every
+                    and wave % (self.cfg.trap_check_every + 1) == 0
+                    and self.apply_trap_gate()["wave"] is not None
+                ):
+                    continue
                 st = self.run_wave(wave)
                 stats.append(st)
                 if st["quiesced"]:
@@ -762,6 +789,10 @@ class CrawlEngine:
                 if self.cfg.linkrank_every and wave % (self.cfg.linkrank_every + 1) == 0:
                     _drain()
                     if self.apply_linkrank()["wave"] is not None:
+                        continue
+                if self.cfg.trap_check_every and wave % (self.cfg.trap_check_every + 1) == 0:
+                    _drain()
+                    if self.apply_trap_gate()["wave"] is not None:
                         continue
                 cur = self._start_wave(wave, pool, carry=carry, persist_carry=True)
                 if cur is None:
@@ -977,18 +1008,82 @@ class CrawlEngine:
         return anchor_text_index(dst, dst_col="dst_canon")
 
     def trap_signals(self) -> DataFrame:
-        """Per-host crawler-trap signals over everything extracted so
-        far (operators/traps.py): URL-per-content duplication measured
-        on the offers' extracted text, repeated-segment URL loops on
-        the canonical URLs. Feed ``is_trap`` hosts back as a frontier
-        denylist or a politeness damper. Derived output; nothing
-        commits."""
+        """Per-host crawler-trap signals over everything FETCHED so far
+        (operators/traps.py): URL-per-content duplication measured on
+        the per-page ``content_digest`` (md5 of the page's visible
+        text, captured in the wave's single html pass — mirror/session
+        traps differ only in hrefs, so raw-html digests would miss
+        them), repeated-segment URL loops on the canonical URLs.
+        Covers list pages too, not just offer detail pages — calendar
+        and session-id traps live on list-shaped URL spaces. Derived
+        output; nothing commits (``apply_trap_gate`` does)."""
         from crawlers_spark.operators.traps import trap_host_signals
 
-        offers = with_canonical_url(
-            self._read_wave_out("offer").select("url", "extracted_text"), "url", "url_canon"
-        ).select("url_canon", "host", F.md5(F.col("extracted_text")).alias("content_digest"))
-        return trap_host_signals(offers)
+        pages = self._read_wave_out("page").select("url_canon", "host", "content_digest")
+        return trap_host_signals(
+            pages,
+            max_urls_per_content_pct=self.cfg.trap_max_urls_per_content_pct,
+            max_repeat_seg_pct=self.cfg.trap_max_repeat_seg_pct,
+        )
+
+    def _read_trap_hosts(self) -> DataFrame | None:
+        """Latest committed trap-host denylist (replace semantics, like
+        the frontier), or None before the first gate commit."""
+        for m in reversed(self.io._manifests()):
+            if "trap_hosts" in m["tables"]:
+                return self.spark.read.schema("host string").parquet(
+                    *[str(self.io.root / rel) for rel in m["tables"]["trap_hosts"]]
+                )
+        return None
+
+    def apply_trap_gate(self) -> dict:
+        """Detect crawler-trap hosts and stop spending budget on them
+        (the Heritrix TooManyPathSegments / URL-per-content analog,
+        applied crawl-wide instead of per-request). Between waves:
+
+        1. ``trap_signals()`` over every fetched page's
+           (url_canon, host, content_digest);
+        2. hosts flagged ``is_trap`` join the committed denylist
+           (monotone union — once a trap, always a trap for this
+           crawl: flip-flopping would make resume ordering depend on
+           WHEN the gate ran);
+        3. the frontier is pruned of denylisted hosts and both tables
+           commit as ONE atomic maintenance wave — a kill between gate
+           and next fetch resumes with either the old or the new
+           denylist, never a mix. Subsequent waves also anti-join newly
+           discovered outlinks against the denylist (broadcast — the
+           denylist is host-cardinality-sized), so trap URLs stop
+           entering the frontier at the source.
+
+        No-op (nothing fetched yet, or no host trips the thresholds and
+        no prior denylist exists) commits nothing and returns
+        ``{"wave": None}`` — the caller falls through to fetching the
+        same wave number, mirroring ``apply_linkrank``.
+
+        Scale: one groupBy(host) aggregate over the (small, html-free)
+        page-meta rows + one broadcast anti-join on the frontier.
+        """
+        wave = self.io.last_committed_wave() + 1
+        if not self._kind_paths("page"):
+            return {"wave": None, "trap_hosts": 0}
+        traps = self.trap_signals().where(F.col("is_trap")).select("host")
+        prev = self._read_trap_hosts()
+        if prev is not None:
+            traps = traps.unionByName(prev).dropDuplicates(["host"])
+        rel_t = self._stage(traps, "trap_hosts", wave, "coalesce")
+        n = self._rowcount([rel_t])
+        if n == 0 and prev is None:
+            return {"wave": None, "trap_hosts": 0}
+        traps_disk = self.spark.read.schema("host string").parquet(str(self.io.root / rel_t))
+        pruned = self._read_frontier().join(F.broadcast(traps_disk), "host", "left_anti")
+        rel_f = self._stage(pruned, "frontier", wave, "none")
+        m = self._rowcount([rel_f])
+        self.io.commit_wave(
+            wave,
+            {"trap_hosts": [rel_t], "frontier": [rel_f]},
+            {"trap_hosts": n, "trap_frontier": m},
+        )
+        return {"wave": wave, "trap_hosts": n, "frontier": m}
 
     # ---------------------------------------------------------- maintain
     def compact(self) -> str | None:
