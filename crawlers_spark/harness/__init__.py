@@ -69,9 +69,14 @@ _FRONT = [
     "crawl_anchor_text_index",
     "crawl_trap_host_signals",
     # new this round: the trap-gate frontier prune fold (the engine-side
-    # apply_trap_gate wiring landed with it); embed_lsh_topk (r2-green,
-    # untouched) rotates to the tail to keep the window at 50
+    # apply_trap_gate wiring landed with it), the Mercator content-seen
+    # winner fold (CrawlConfig.content_seen), and robots.txt Sitemap:
+    # directive discovery; embed_lsh_topk / embed_cosine_topk /
+    # docs_bigram_stats (all r2-green, untouched) rotate to the tail to
+    # keep the window at 50
     "crawl_trap_gate_prune",
+    "crawl_content_seen_dedup",
+    "crawl_robots_sitemaps",
     # r2 tail rotating back in — driver rows are 2 rounds old, and the
     # five starred ones had oracle edits in r2 (ADVICE high)
     "rel_mktsegment_summary",      # *
@@ -92,6 +97,8 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "docs_bigram_stats",
+    "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_ivf_topk",
     "embed_ivf_kmeans_topk",

@@ -292,6 +292,40 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# ----------------------------------- O1+←O7 sitemap discovery from robots
+def q_robots_sitemaps(spark, sf):
+    """Per-host sitemap URLs discovered from robots.txt ``Sitemap:``
+    directives (operators/robots.py `sitemaps_from_robots`, stdlib
+    ``site_maps()`` semantics): every even-numbered host advertises
+    /sitemap.xml; every 5th additionally advertises a news sitemap.
+    The oracle restates the generative formula."""
+    from crawlers_spark.operators.robots import sitemaps_from_robots
+
+    hosts = _frontier(spark, sf).select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    rules = F.concat(
+        F.lit("User-agent: *\nDisallow:\n"),
+        F.when(
+            n % 2 == 0,
+            F.concat(F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap.xml\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            n % 5 == 0,
+            F.concat(F.lit("Sitemap: https://"), F.col("host"), F.lit("/news-sitemap.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.withColumn("rules", rules)
+    return sitemaps_from_robots(robots).select("host", "loc")
+
+
+SQL_ROBOTS_SITEMAPS = f"""
+WITH h AS (SELECT DISTINCT host, src_n FROM ({_SQL_URLS}) u)
+SELECT host, 'https://' || host || '/sitemap.xml' AS loc FROM h WHERE src_n % 2 = 0
+UNION ALL
+SELECT host, 'https://' || host || '/news-sitemap.xml' AS loc FROM h WHERE src_n % 5 = 0
+"""
+
+
 # ------------------------------------------------- O13 offsite filter
 def q_offsite_filter(spark, sf):
     fr = _frontier(spark, sf).withColumn(
@@ -820,11 +854,51 @@ FROM u WHERE host NOT IN (SELECT host FROM traps)
 """
 
 
+# --------------------------------------------- Mercator content-seen
+def q_content_seen(spark, sf):
+    """The content-seen winner fold (operators/dedup.py
+    `content_seen_winners`, the piece `CrawlConfig.content_seen` wires
+    into link expansion): over the mirror world where even-numbered
+    hosts mint 4 URLs per content, only the minimum canonical URL of
+    each content group survives; odd hosts (all-distinct content) pass
+    through whole. Single batch, no prior set — the cross-wave
+    precedence is e2e-tested instead (test_content_seen)."""
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+    from crawlers_spark.operators.dedup import content_seen_winners
+
+    urls = with_canonical_url(_doc_urls(spark, sf))
+    src_n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    group = F.when(src_n % 2 == 0, F.col("doc_id") - F.col("doc_id") % 4).otherwise(
+        F.col("doc_id")
+    )
+    pages = urls.select(
+        F.col("url_canon").alias("url"),
+        "url_canon",
+        F.md5(group.cast("string")).alias("content_digest"),
+    )
+    return content_seen_winners(pages).select("url")
+
+
+SQL_CONTENT_SEEN = f"""
+WITH u AS ({_SQL_URLS}),
+pages AS (
+  SELECT expected_canon AS url,
+         md5(CAST(CASE WHEN src_n % 2 = 0 THEN doc_id - doc_id % 4
+                       ELSE doc_id END AS VARCHAR)) AS content_digest
+  FROM u)
+SELECT url FROM (
+  SELECT url, ROW_NUMBER() OVER (PARTITION BY content_digest ORDER BY url) AS rn
+  FROM pages) r
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
     "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),
     "crawl_trap_gate_prune": (q_trap_gate_prune, SQL_TRAP_GATE_PRUNE),
+    "crawl_content_seen_dedup": (q_content_seen, SQL_CONTENT_SEEN),
     "crawl_linkrank_boost": (q_linkrank_boost, SQL_LINKRANK_BOOST),
     "crawl_canonicalize_urls": (q_canonicalize, SQL_CANON),
     "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -835,6 +909,7 @@ QUERIES = {
     "crawl_robots_gate": (q_robots_gate, SQL_ROBOTS),
     "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
     "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),
+    "crawl_robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
     "crawl_retry_policy": (q_retry_policy, SQL_RETRY),
     "crawl_sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),

@@ -46,6 +46,54 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "url_canon
     return candidates.join(seen.select(key), key, "left_anti")
 
 
+def content_seen_winners(
+    pages: DataFrame,
+    prior_digests: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+    order_col: str = "url_canon",
+    digest_col: str = "content_digest",
+) -> DataFrame:
+    """Mercator-style content-seen test over one fetch batch: which
+    pages are the FIRST sighting of their content?
+
+    Classic web-crawler dedup (Heydon & Najork's Mercator, §3.2 of the
+    1999 paper; Heritrix ships it as an optional dedup rule): a page
+    whose content digest was already seen is a mirror/session duplicate
+    — its OUTLINKS are not followed, so URL-space mirrors don't double
+    the frontier. Determinism contract: digests committed by earlier
+    waves always beat the current batch; within the batch the minimum
+    ``order_col`` wins (no wall-clock, no partition order).
+
+    Returns the winner rows' ``url_col`` (one row per first sighting;
+    pages with a NULL digest — e.g. state written before digests
+    existed — are kept unconditionally).
+
+    Scale shape: one left-anti shuffle join on digest against the
+    key-only prior set (same shape as the url seen anti-join) + one
+    window over the wave-sized batch partitioned by digest. Nothing
+    collects; nothing html-sized moves.
+    """
+    from pyspark.sql import Window
+
+    cur = pages.select(url_col, order_col, digest_col)
+    keep_null = cur.where(F.col(digest_col).isNull()).select(url_col)
+    fresh = cur.where(F.col(digest_col).isNotNull())
+    if prior_digests is not None:
+        fresh = fresh.join(
+            prior_digests.select(digest_col).where(F.col(digest_col).isNotNull()),
+            digest_col,
+            "left_anti",
+        )
+    w = Window.partitionBy(digest_col).orderBy(order_col)
+    winners = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(url_col)
+    )
+    return winners.unionByName(keep_null)
+
+
 def _with_hashes(df: DataFrame, key: str) -> DataFrame:
     # two independent 64-bit hashes, both computed JVM-side
     return df.withColumn("_h1", F.xxhash64(F.col(key))).withColumn(

@@ -169,3 +169,34 @@ def politeness_from_robots(
     return robots.select("host", "rules").mapInPandas(
         derive, "host string, delay_s double, max_per_wave int"
     )
+
+
+def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
+    """Discover per-host sitemap URLs from robots.txt ``Sitemap:``
+    directives (O1+ ← O7: the standard entry point to the sitemap seed
+    pipeline — Scrapy's ``SitemapSpider.sitemap_urls`` is commonly
+    pointed at robots.txt for exactly this, and ``urllib.robotparser``
+    exposes the parsed directives as ``site_maps()``).
+
+    Output (host, loc) feeds ``extraction/sitemaps.py`` as 'sitemap'
+    kind rows: fetch → parse → frontier seeds. Host-cardinality input
+    → one stdlib parse per row inside ``mapInPandas``; directives are
+    entry-independent per RFC 9309 (``site_maps()`` returns them
+    regardless of user-agent section).
+    """
+
+    def derive(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            hosts, locs = [], []
+            for host, rules in zip(pdf["host"], pdf["rules"]):
+                rp = urllib.robotparser.RobotFileParser()
+                rp.parse((rules or "").splitlines())
+                for loc in rp.site_maps() or ():
+                    hosts.append(host)
+                    locs.append(loc)
+            yield pd.DataFrame({"host": pd.array(hosts, dtype="string"),
+                                "loc": pd.array(locs, dtype="string")})
+
+    return robots.select("host", "rules").mapInPandas(derive, "host string, loc string")

@@ -134,6 +134,13 @@ class CrawlConfig:
     trap_check_every: int | None = None
     trap_max_urls_per_content_pct: int = 300
     trap_max_repeat_seg_pct: int = 20
+    # Mercator content-seen test (operators/dedup.py
+    # `content_seen_winners`): outlinks of a page whose content digest
+    # was already seen (earlier wave, or a lower-url_canon page in the
+    # same wave) are NOT followed — URL-space mirrors stop doubling the
+    # frontier. Off by default: it changes crawl semantics (mirrored
+    # subtrees are reached via one mirror only).
+    content_seen: bool = False
     # overlap wave k's frontier/filter/lineage staging + commit with
     # wave k+1's fetch job (run() only; run_wave() is always serial).
     # Commits stay strictly ordered, so the committed state — and
@@ -524,6 +531,20 @@ class CrawlEngine:
         links = wo.where(F.col("kind") == "link").select(
             "url", "src_source", "depth", "out_url"
         )
+        if cfg.content_seen:
+            # Mercator content-seen: only FIRST sightings of a content
+            # digest expand their outlinks (prior-wave digests win, then
+            # min url_canon within this wave — deterministic, resume-safe
+            # since both inputs are committed/staged state)
+            from crawlers_spark.operators.dedup import content_seen_winners
+
+            prior = self._read_wave_out("page", extra_rels=seen_extra).select(
+                "content_digest"
+            )
+            winners = content_seen_winners(
+                pages_meta.select("url", "url_canon", "content_digest"), prior
+            )
+            links = links.join(winners, "url", "left_semi")
         discovered = (
             with_canonical_url(links, "out_url", "url_canon")
             .join(F.broadcast(self.allowed_hosts), "src_source", "left")

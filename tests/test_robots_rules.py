@@ -129,3 +129,28 @@ def test_politeness_slow_host_fetches_on_cadence_waves(spark):
         assert "slow.example" not in out[w], (w, out[w])
     assert all("blocked.example" not in v for v in out.values())
     assert all(v.get("fast.example") == 5 for v in out.values())
+
+
+def test_sitemaps_from_robots(spark):
+    """Sitemap: directives surface per host (stdlib site_maps()
+    semantics: entry-independent, multiple directives allowed, absent
+    directive -> no rows)."""
+    from crawlers_spark.operators.robots import sitemaps_from_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow:\nSitemap: https://a.example/s.xml\n"),
+            (
+                "b.example",
+                "Sitemap: https://b.example/1.xml\nUser-agent: *\nDisallow: /x\nSitemap: https://b.example/2.xml\n",
+            ),
+            ("c.example", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, rules string",
+    )
+    got = sorted(map(tuple, sitemaps_from_robots(robots).collect()))
+    assert got == [
+        ("a.example", "https://a.example/s.xml"),
+        ("b.example", "https://b.example/1.xml"),
+        ("b.example", "https://b.example/2.xml"),
+    ]
