@@ -257,7 +257,9 @@ def _content_digests(html: pd.Series) -> pd.Series:
     return text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
 
 
-def extract_page_outputs(fetched: DataFrame, *, detail_pattern: str) -> DataFrame:
+def extract_page_outputs(
+    fetched: DataFrame, *, detail_pattern: str, digests: bool = True
+) -> DataFrame:
     """ONE html pass producing every per-page output of a wave, as
     tagged rows (``kind``):
 
@@ -309,7 +311,8 @@ def extract_page_outputs(fetched: DataFrame, *, detail_pattern: str) -> DataFram
                 )
             )
             meta = pdf[_META_COLS].copy()
-            meta["content_digest"] = _content_digests(pdf["html"])
+            if digests:
+                meta["content_digest"] = _content_digests(pdf["html"])
             yield _shape("page", meta)
             detail = pdf[pdf["url_canon"].str.contains(detail_pattern, regex=False)]
             if not detail.empty:

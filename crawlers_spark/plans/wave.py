@@ -141,6 +141,11 @@ class CrawlConfig:
     # frontier. Off by default: it changes crawl semantics (mirrored
     # subtrees are reached via one mirror only).
     content_seen: bool = False
+    # per-page content digests in the fused pass (feeds trap detection
+    # + content-seen; ~the cost of one more vectorized regex pass over
+    # html, measured in BASELINE.md). Disable only when neither
+    # consumer is wanted.
+    page_digests: bool = True
     # overlap wave k's frontier/filter/lineage staging + commit with
     # wave k+1's fetch job (run() only; run_wave() is always serial).
     # Commits stay strictly ordered, so the committed state — and
@@ -475,7 +480,11 @@ class CrawlEngine:
         # or cached: the tagged rows go straight into the wave_out
         # staged write below, and every later consumer reads the small
         # extracted rows back from that staged dir.
-        combined = extract_page_outputs(fetched, detail_pattern=cfg.detail_url_pattern)
+        combined = extract_page_outputs(
+            fetched,
+            detail_pattern=cfg.detail_url_pattern,
+            digests=cfg.page_digests or bool(cfg.trap_check_every) or cfg.content_seen,
+        )
 
         retryable = (
             missed.where(F.col("retry") < cfg.max_retries)

@@ -53,7 +53,15 @@ def bulk_pipeline(spark, fx: Path):
     # extractor (extract_page_outputs) reads each html batch exactly
     # once and emits only small extracted rows.
     fetched, _missed = fetch_split(frontier, pages_index, broadcast_candidates=False)
-    return extract_page_outputs(fetched, detail_pattern="/job/")
+    import os
+
+    # SPARK_GRAFT_NO_DIGEST=1 → A/B leg without the per-page content
+    # digest (quantifies the digest's share of the fused pass)
+    return extract_page_outputs(
+        fetched,
+        detail_pattern="/job/",
+        digests=os.environ.get("SPARK_GRAFT_NO_DIGEST") != "1",
+    )
 
 
 _ENV = __import__("os").environ
