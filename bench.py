@@ -56,7 +56,9 @@ HEADLINE = [
     "crawl_seen_antijoin",        # 10^10-design seen-set dedup shape
     "docs_minhash_lsh_pairs",     # MinHash+LSH near-dup (may be absent)
     "docs_exact_dedup",
+    "docs_passage_dedup",         # C4-style span dedup (chunk-hash shuffle)
     "embed_cosine_topk",          # brute-force ANN baseline
+    "embed_semdedup_prune",       # SemDedup cell-bucketed semantic prune
 ]
 
 

@@ -77,6 +77,17 @@ _FRONT = [
     "crawl_trap_gate_prune",
     "crawl_content_seen_dedup",
     "crawl_robots_sitemaps",
+    # new this round: passage-level exact dedup (C4-style span dedup),
+    # SemDedup semantic pruning over IVF cells, relational pivot, and
+    # the two-phase exact-median rank selection
+    "docs_passage_dedup",
+    "embed_semdedup_prune",
+    "rel_pivot_status_priority",
+    "rel_median_price_per_priority",
+    # new this round: streaming session windows (merging stateful
+    # windows) and the watermarked stream-stream interval join
+    "stream_session_windows",
+    "stream_stream_join_clicks_purchases",
     # r2 tail rotating back in — driver rows are 2 rounds old, and the
     # five starred ones had oracle edits in r2 (ADVICE high)
     "rel_mktsegment_summary",      # *
@@ -97,6 +108,12 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "docs_lang_id",
+    "docs_quality",
+    "docs_token_counts",
+    "docs_repetition_ratios",
+    "docs_curation_pipeline",
+    "docs_winnow_fingerprints",
     "docs_bigram_stats",
     "embed_cosine_topk",
     "embed_lsh_topk",

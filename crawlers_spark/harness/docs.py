@@ -37,6 +37,7 @@ from crawlers_spark.operators.textdedup import (
     exact_dedup,
     jaccard_on_pairs,
     minhash_lsh_pairs,
+    passage_dedup_stats,
     simhash_expr,
     simhash_near_pairs,
 )
@@ -639,8 +640,43 @@ SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n - 5 OR pos = 0
 """
 
 
+# ------------------------------------------------ passage-level dedup
+def q_passage_dedup(spark, sf):
+    """Passage-level exact dedup (C4-style fixed-granularity span
+    dedup): 16-word chunks hashed corpus-wide, first occurrence by
+    (doc_id, chunk_idx) kept. The engine op (`operators/textdedup.py
+    passage_dedup_stats`) is all scan-side codegen + one chunk_hash
+    shuffle; the oracle restates first-occurrence with a window."""
+    return passage_dedup_stats(_corpus(spark, sf), chunk_words=16)
+
+
+SQL_PASSAGE = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+idx AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS i
+  FROM words),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         md5(array_to_string(list_slice(ws, CAST(i * 16 + 1 AS INT), CAST(i * 16 + 16 AS INT)), ' ')) AS chunk_hash
+  FROM idx),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY chunk_hash
+                                      ORDER BY doc_id, chunk_idx) = 1
+              THEN 0 ELSE 1 END AS is_dup
+  FROM chunks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "docs_passage_dedup": (q_passage_dedup, SQL_PASSAGE),
     "docs_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "docs_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "docs_simhash": (q_simhash, SQL_SIMHASH),

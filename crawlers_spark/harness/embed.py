@@ -22,6 +22,7 @@ from crawlers_spark.operators.similarity import (
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
+    semdedup_prune,
 )
 
 N_DIMS = 64
@@ -265,8 +266,65 @@ FROM sims WHERE sim >= 0.999
 """
 
 
+# -------------------------------------- SemDedup semantic pruning
+def q_semdedup(spark, sf):
+    """SemDedup (Abbas et al. 2023): IVF-cell clustering, then within
+    each cell drop every vector cosine-≥0.999-similar to ANY lower-id
+    cell member ("dominated-by-earlier" — deterministic, order-free).
+    Runs on the near-dup corpus (embeddings ∪ doubled copies) so the
+    prune has guaranteed positives; the oracle replays assignment with
+    the exact integer d2 arithmetic and the domination EXISTS."""
+    e = load(spark, sf, "embeddings")
+    doubled = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
+        "label",
+    )
+    return semdedup_prune(
+        e.unionByName(doubled), n_cells=8, threshold=0.999
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+  FROM embeddings WHERE vec_id % 10 = 0),
+e AS (SELECT vec_id, {_Q} AS v FROM corpus),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS c
+  FROM e ORDER BY vec_id ASC LIMIT 8),
+dists AS (
+  SELECT e.vec_id, cents.cell,
+         sum(cents.c[CAST(d AS INT)] * cents.c[CAST(d AS INT)])
+           - 2 * sum(e.v[CAST(d AS INT)] * cents.c[CAST(d AS INT)]) AS d2
+  FROM e CROSS JOIN cents CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY e.vec_id, cents.cell),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+    FROM dists) WHERE crank = 1),
+dominated AS (
+  SELECT DISTINCT vec_id FROM (
+    SELECT b.vec_id
+    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+    GROUP BY a.vec_id, b.vec_id
+    HAVING CAST(sum(ea.v[CAST(d AS INT)] * eb.v[CAST(d AS INT)]) AS DOUBLE)
+         / sqrt(CAST(sum(ea.v[CAST(d AS INT)] * ea.v[CAST(d AS INT)]) AS DOUBLE))
+         / sqrt(CAST(sum(eb.v[CAST(d AS INT)] * eb.v[CAST(d AS INT)]) AS DOUBLE)) >= 0.999))
+SELECT asg.vec_id, asg.cell, (dom.vec_id IS NULL) AS kept
+FROM assigned asg LEFT JOIN dominated dom ON dom.vec_id = asg.vec_id
+"""
+
+
 QUERIES = {
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embed_semdedup_prune": (q_semdedup, SQL_SEMDEDUP),
     "embed_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "embed_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embed_ivf_kmeans_topk": (q_ivf_kmeans_topk, SQL_IVF_KMEANS_TOPK),

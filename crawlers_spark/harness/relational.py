@@ -512,8 +512,120 @@ FROM events GROUP BY event_type
 """
 
 
+# --- pivot ------------------------------------------------------------
+_PIVOT_COLS = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+def q_pivot_status_priority(spark, sf):
+    """Relational pivot: ``groupBy().pivot(values).count()`` with an
+    EXPLICIT value list, so Catalyst plans ONE partial-agg shuffle
+    (PivotFirst) — no extra distinct-values pass over the data and no
+    per-value scan. Missing cells are 0 on both sides."""
+    o = load(spark, sf, "orders")
+    pvt = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [p for p, _ in _PIVOT_COLS])
+        .count()
+    )
+    return pvt.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(pvt[p], F.lit(0)).cast("bigint").alias(a)
+            for p, a in _PIVOT_COLS
+        ],
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_notspec,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- exact distributed median (percentile_disc) -------------------------
+def q_median_price_per_priority(spark, sf):
+    """Exact per-group median (percentile_disc 0.5, order by
+    (price, orderkey)) via TWO-PHASE RANK SELECTION — deliberately not
+    a per-group sort window, which would sort each group in one task
+    (5 groups × 10^10 rows = the killer). Phase 1 aggregates
+    (group, integer price bucket) counts (map-side combine; the
+    shuffled table is bucket-count-sized, not row-sized) and locates
+    the bucket holding the target rank with a window over that tiny
+    table. Phase 2 ranks ONLY the rows inside the hit bucket (broadcast
+    semi-filter), so the per-task sort is bounded by the densest single
+    bucket. The oracle restates the semantics with the plain window —
+    same median, different physics."""
+    o = load(spark, sf, "orders").select("o_orderpriority", "o_totalprice", "o_orderkey")
+    bkt = F.floor(F.col("o_totalprice") / 1000).alias("bkt")
+    counts = o.groupBy("o_orderpriority", bkt).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("o_orderpriority").orderBy("bkt")
+    wall = Window.partitionBy("o_orderpriority")
+    hit = (
+        counts.select(
+            "o_orderpriority",
+            "bkt",
+            "c",
+            (F.sum("c").over(wcum) - F.col("c")).alias("below"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .withColumn("k", F.floor((F.col("n") + 1) / 2).cast("bigint"))
+        .where((F.col("below") < F.col("k")) & (F.col("below") + F.col("c") >= F.col("k")))
+        .select(
+            F.col("o_orderpriority").alias("_grp"),
+            F.col("bkt").alias("_bkt"),
+            "below",
+            "k",
+            "n",
+        )
+    )
+    in_bucket = o.join(
+        F.broadcast(hit),
+        (o["o_orderpriority"] == hit["_grp"])
+        & (F.floor(o["o_totalprice"] / 1000) == hit["_bkt"]),
+    ).select("o_orderpriority", "o_totalprice", "o_orderkey", "below", "k", "n")
+    wrank = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("below") + F.col("rn") == F.col("k"))
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("o_totalprice").alias("median_price"),
+        )
+    )
+
+
+SQL_MEDIAN = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       o_totalprice AS median_price
+FROM ranked WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "rel_pivot_status_priority": (q_pivot_status_priority, SQL_PIVOT),
+    "rel_median_price_per_priority": (q_median_price_per_priority, SQL_MEDIAN),
     "rel_shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "rel_region_revenue": (q_region_revenue, SQL_REGION),
     "rel_anti_join_customers_no_orders": (q_customers_without_orders, SQL_ANTI),

@@ -137,8 +137,110 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------- session windows (streaming)
+def q_session_windows(spark, sf):
+    """Streaming sessionization via ``F.session_window`` (gap 30 min)
+    — the stateful merging-window operator, the streaming twin of
+    ``rel_sessionize_events``. Spark merges a new event into a session
+    iff its ts is STRICTLY before session_end (= last ts + gap), so the
+    oracle opens a new session at gap >= 1800 s; session_end is
+    last ts + gap on both sides."""
+    ev = _stream_events(spark, sf)
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_to_table(agg, "complete").select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_STREAM_SESSION = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# ------------------------------ stream-stream join (interval inner)
+def q_stream_stream_join(spark, sf):
+    """Watermarked stream-stream INNER join: each purchase joined to
+    every click by the same user in the preceding 30 minutes. Inner
+    joins emit on match; the watermark bounds join STATE (at 10^10
+    events the buffered side is watermark-window-sized, not
+    corpus-sized) — bounded input ⇒ emitted pairs equal the batch
+    join, which is the oracle."""
+    clicks = (
+        _stream_events(spark, sf)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        # exact integer microseconds on both sides (unix_timestamp would
+        # TRUNCATE fractional seconds while DuckDB's epoch() rounds)
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .cast("bigint")
+        .alias("usecs_between"),
+    )
+    return _run_to_table(j, "append")
+
+
+SQL_STREAM_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS usecs_between
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "stream_hourly_windows": (q_hourly_windows, SQL_STREAM_HOURLY),
+    "stream_session_windows": (q_session_windows, SQL_STREAM_SESSION),
+    "stream_stream_join_clicks_purchases": (q_stream_stream_join, SQL_STREAM_JOIN),
     "stream_distinct_users_per_type": (q_distinct_users, SQL_STREAM_DISTINCT),
     "stream_stateful_user_totals": (q_stateful_user_totals, SQL_STREAM_STATEFUL),
 }

@@ -385,3 +385,60 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", round6(F.col("cosine_sim")).alias("cosine_sim"))
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.999,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDedup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF coarse
+    quantizer, then within each cluster drop every vector that is
+    cosine-``threshold``-similar to ANY lower-id vector of the same
+    cluster. "Dominated-by-an-earlier-member" is a deterministic,
+    order-free restatement of SemDedup's keep-one-per-similar-group —
+    no iterative greedy chain, so it is SQL-expressible and
+    parallelism-invariant.
+
+    Returns one row per corpus vector: ``(id_col, cell, kept)``.
+
+    Scale shape (10^9 vectors): centroid pick + assignment are
+    shuffle-free over the corpus (see ``ivf_centroids``/``ivf_assign``);
+    the only wide exchange is the within-cell self-join, bucketed by
+    cell exactly like the LSH near-dup pairs (at warehouse scale raise
+    ``n_cells`` so cells stay pair-join-sized, and AQE skew-splits hot
+    cells); the dominated set is key-only and joins back left-anti.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v_q")),
+        cents,
+        vec_q="v_q",
+        n_probe=1,
+    )
+    a = assigned.select(F.col("vid").alias("id_a"), F.col("v_q").alias("v_a"), "cell")
+    b = assigned.select(F.col("vid").alias("id_b"), F.col("v_q").alias("v_b"), "cell")
+    dominated = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("v_a"), F.col("v_b")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("_dom", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("_dom").isNull().alias("kept"),
+        )
+    )

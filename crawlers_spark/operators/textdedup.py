@@ -476,3 +476,58 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# ------------------------------------------------- passage-level dedup
+def passage_dedup_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 16,
+) -> DataFrame:
+    """Passage-level exact dedup (C4-style span dedup, Lee et al. 2022
+    "Deduplicating Training Data" at fixed granularity): split each
+    document into consecutive ``chunk_words``-word passages, hash each
+    passage, and mark every passage that is NOT the corpus-wide first
+    occurrence of its hash (first = min (id, chunk_idx)) as removable.
+
+    Returns one row per document: ``(id_col, n_chunks, n_dup_chunks)``.
+
+    Scale shape (100 TB): chunking + hashing are scan-side projections
+    (split / sequence / slice / md5 — whole-stage codegen, no Python);
+    the first-occurrence resolution is ONE shuffle on ``chunk_hash``
+    with map-side combine (groupBy-min, never a global window), the
+    join back is on the same key (no extra exchange under AQE), and the
+    per-doc rollup is one shuffle on the doc id. Nothing is all-pairs
+    and no state is driver-sized.
+
+    Reference parity: the reference dedups offers by exact URL only
+    (SURVEY §2.1 O4); passage dedup is a training-data extension the
+    graft brief mandates (boilerplate removal across crawled pages).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words))
+        ),
+    )
+    hashed = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_hash")
+    )
+    first = hashed.groupBy("chunk_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_first")
+    )
+    flagged = hashed.join(first, "chunk_hash").select(
+        id_col,
+        (
+            (F.col("_first")[id_col] != F.col(id_col))
+            | (F.col("_first")["chunk_idx"] != F.col("chunk_idx"))
+        ).cast("int").alias("_is_dup"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("_is_dup").cast("bigint").alias("n_dup_chunks"),
+    )

@@ -101,3 +101,93 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                     )
 
     return raw.select("path", "content").mapInPandas(parse, WARC_PAGES_SCHEMA)
+
+
+def warc_record_bytes(url: str, iso_ts: str, payload: bytes) -> bytes:
+    """One ISO 28500 ``response`` record, deterministic bytes.
+
+    The record id is content-derived (md5 of url|ts) instead of a
+    random uuid so re-running the writer over the same rows produces
+    byte-identical shards — the same idempotence contract as the offer
+    sink (O14). No HTTP framing is added: the reader's
+    ``_strip_http_headers`` passes raw blocks through whole, so the
+    round trip is exact.
+    """
+    import hashlib
+
+    rid = hashlib.md5(f"{url}|{iso_ts}".encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso_ts}\r\n"
+        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def write_warc_pages(
+    df: DataFrame, out_dir: str, *, compress: bool = True
+) -> DataFrame:
+    """pages-shape DataFrame → directory of ``part-NNNNN.warc[.gz]``
+    shards (Common Crawl layout: one gzip member per record, so any
+    range of records is independently decompressible and our reader —
+    and warcio — consume it transparently).
+
+    One shard per input partition, written executor-side (``out_dir``
+    must be storage every executor can reach — the same contract as any
+    Spark file sink). Returns the sink's LINEAGE DataFrame
+    ``(warc_file, n_records, n_bytes)`` — one row per shard, lazily
+    executed like every other sink in the engine, so callers commit it
+    through the same staged-write path as ``wave_out`` when atomicity
+    matters. Record ids are content-derived: re-running the writer over
+    the same partitioning yields byte-identical shards (idempotent,
+    O14's contract).
+
+    Scale shape: the html bytes never shuffle — each shard streams out
+    of its input partition; the returned lineage is shard-count-sized.
+    Repartition upstream to size shards (Common Crawl targets ~1 GB).
+    """
+    from typing import Iterator as _Iter
+
+    from pyspark import TaskContext
+
+    schema = "warc_file string, n_records bigint, n_bytes bigint"
+
+    def emit(it: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import gzip as _gzip
+        import os
+
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        n = 0
+        for pdf in it:
+            iso = pdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+            for url, ts, html in zip(pdf["url"], iso, pdf["html"]):
+                rec = warc_record_bytes(url, ts, bytes(html))
+                # mtime=0: gzip headers embed a timestamp by default,
+                # which would break the byte-identical idempotence
+                chunks.append(_gzip.compress(rec, 6, mtime=0) if compress else rec)
+                n += 1
+        if not n:
+            yield pd.DataFrame(
+                {
+                    "warc_file": pd.Series([], dtype="object"),
+                    "n_records": pd.Series([], dtype="int64"),
+                    "n_bytes": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        name = f"part-{pid:05d}.warc" + (".gz" if compress else "")
+        path = os.path.join(out_dir, name)
+        blob = b"".join(chunks)
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {"warc_file": [path], "n_records": [n], "n_bytes": [len(blob)]}
+        )
+
+    return df.select("url", "warc_ts", "html").mapInPandas(emit, schema)

@@ -218,3 +218,26 @@ def test_embed_media_shape(media):
     for r in out:
         assert len(r.embedding) == 8
         assert all(-0.5 <= x <= 0.5 for x in r.embedding)
+
+
+def test_semdedup_prune_drops_doubled_copies(spark):
+    """Doubled copies (same direction) land in the same cell as their
+    original and are dominated (cosine 1 ≥ threshold, original id is
+    lower) — exactly the copies are pruned; originals all survive."""
+    from crawlers_spark.operators.similarity import semdedup_prune
+
+    # mutually orthogonal originals (cosine 0 between any two), so the
+    # ONLY dominations possible are the parallel doubled copies
+    base = [
+        (i, [float(i + 1) if d == i else 0.0 for d in range(4)]) for i in range(4)
+    ]
+    doubled = [(i + 100, [2.0 * x for x in v]) for i, v in base if i % 2 == 0]
+    corpus = spark.createDataFrame(
+        base + doubled, "vec_id int, embedding array<float>"
+    )
+    rows = semdedup_prune(corpus, n_cells=2, threshold=0.9999).collect()
+    kept = {r.vec_id for r in rows if r.kept}
+    dropped = {r.vec_id for r in rows if not r.kept}
+    assert len(rows) == len(base) + len(doubled)
+    assert dropped == {100, 102}
+    assert kept == {i for i, _ in base}

@@ -248,3 +248,25 @@ def test_trap_host_signals(spark):
         "url_canon string, host string, content_digest string",
     )
     assert not trap_host_signals(q).collect()[0]["is_trap"]
+
+
+def test_passage_dedup_hand_computed(spark):
+    """3-word chunks over tiny docs: doc 2 repeats doc 1's first chunk
+    mid-document, doc 3 is an exact copy of doc 1 (all chunks dup),
+    and a doc's OWN repeated chunk counts as dup after its first."""
+    from crawlers_spark.operators.textdedup import passage_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # chunks: "a b c" | "d e"
+            (2, "x y z a b c"),          # chunks: "x y z" | "a b c" (dup of doc1#0)
+            (3, "a b c d e"),            # exact copy: both chunks dup
+            (4, "p q r p q r"),          # self-repeat: 2nd chunk dup of its 1st
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in passage_dedup_stats(docs, chunk_words=3).collect()
+    }
+    assert got == {1: (2, 0), 2: (2, 1), 3: (2, 2), 4: (2, 1)}
