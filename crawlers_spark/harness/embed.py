@@ -281,7 +281,7 @@ def q_semdedup(spark, sf):
         "label",
     )
     return semdedup_prune(
-        e.unionByName(doubled), n_cells=8, threshold=0.999
+        e.unionByName(doubled), n_cells=16, threshold=0.999
     )
 
 
@@ -294,7 +294,7 @@ WITH corpus AS (
 e AS (SELECT vec_id, {_Q} AS v FROM corpus),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS c
-  FROM e ORDER BY vec_id ASC LIMIT 8),
+  FROM e ORDER BY vec_id ASC LIMIT 16),
 dists AS (
   SELECT e.vec_id, cents.cell,
          sum(cents.c[CAST(d AS INT)] * cents.c[CAST(d AS INT)])

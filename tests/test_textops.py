@@ -270,3 +270,43 @@ def test_passage_dedup_hand_computed(spark):
         for r in passage_dedup_stats(docs, chunk_words=3).collect()
     }
     assert got == {1: (2, 0), 2: (2, 1), 3: (2, 2), 4: (2, 1)}
+
+
+def test_passage_dedup_matches_python_reference(spark):
+    """Seeded randomized corpus (small vocab → heavy chunk collisions,
+    empty docs, partial tail chunks) vs an independent pure-Python
+    restatement of the first-occurrence semantics."""
+    import random
+
+    from crawlers_spark.operators.textdedup import passage_dedup_stats
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 41))))
+        for i in range(80)
+    ]
+
+    K = 4
+    seen: dict[str, tuple[int, int]] = {}
+    expect: dict[int, tuple[int, int]] = {}
+    for doc_id, text in docs:  # doc_id ascending == (doc_id, idx) order
+        words = text.split(" ")
+        chunks = [
+            " ".join(words[i * K : (i + 1) * K])
+            for i in range((len(words) + K - 1) // K)
+        ] or [""]  # split('') → [''] → one chunk of ''
+        n_dup = 0
+        for idx, ch in enumerate(chunks):
+            if ch in seen:
+                n_dup += 1
+            else:
+                seen[ch] = (doc_id, idx)
+        expect[doc_id] = (len(chunks), n_dup)
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in passage_dedup_stats(df, chunk_words=K).collect()
+    }
+    assert got == expect
