@@ -77,6 +77,11 @@ _FRONT = [
     "crawl_trap_gate_prune",
     "crawl_content_seen_dedup",
     "crawl_robots_sitemaps",
+    # new this round: RFC 9309 robots dialect (wildcards/$-anchors/
+    # longest-match precedence — Scrapy/Protego parity);
+    # docs_ngram_jaccard (r2-green, untouched) rotates to the tail to
+    # keep the window at 50
+    "crawl_robots_rfc9309",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -108,6 +113,7 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "docs_ngram_jaccard",
     "docs_lang_id",
     "docs_quality",
     "docs_token_counts",

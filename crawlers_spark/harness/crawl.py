@@ -230,6 +230,57 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# ------------------------------------------- O7+ RFC 9309 robots dialect
+def q_robots_rfc9309(spark, sf):
+    """RFC 9309 evaluation (``*`` wildcards, ``$`` anchors,
+    longest-match-wins, Allow breaking ties, agent-group selection) over
+    four per-host rule families chosen to exercise each semantic; the
+    oracle restates the RESULT of the precedence algebra per family in
+    plain SQL over the percent-normalized path (the gate matches
+    quote(unquote(·))-normalized paths, so ``?a=1&b=2`` → ``%3Fa%3D1…``).
+    """
+    from crawlers_spark.operators.robots import robots_flag
+
+    fr = _frontier(spark, sf)
+    hosts = fr.select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int") % 4
+    rules = (
+        # longest-match: Allow(15) beats mid-path-wildcard Disallow(8)
+        F.when(n == 0, F.lit(
+            "User-agent: *\nDisallow: /*ivate*\nAllow: /private/doc/1*\n"))
+        # $ end anchor through the normalized query string
+        .when(n == 1, F.lit("User-agent: *\nDisallow: /doc/*2$\n"))
+        # tie algebra: Allow /doc/$ (6) outranks Disallow /doc/ (5) but
+        # only matches the bare path — every real candidate is disallowed
+        .when(n == 2, F.lit("User-agent: *\nDisallow: /doc/\nAllow: /doc/$\n"))
+        # agent-group selection: otherbot's blanket Disallow must not
+        # leak onto our agent's group
+        .otherwise(F.lit(
+            "User-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: crawlers-spark\nDisallow: /private/*$\n"))
+    )
+    robots = hosts.withColumn("rules", rules)
+    return robots_flag(fr, robots, mode="rfc9309").select(
+        "doc_id", "url_canon", "robots_ok"
+    )
+
+
+SQL_ROBOTS_RFC9309 = f"""
+SELECT doc_id, expected_canon AS url_canon,
+       CASE src_n % 4
+         WHEN 0 THEN ncpath NOT LIKE '%ivate%' OR ncpath LIKE '/private/doc/1%'
+         WHEN 1 THEN NOT regexp_matches(ncpath, '^/doc/.*2$')
+         WHEN 2 THEN NOT (ncpath LIKE '/doc/%' AND ncpath <> '/doc/')
+         ELSE NOT (ncpath LIKE '/private/%')
+       END AS robots_ok
+FROM (
+  SELECT doc_id, expected_canon, src_n,
+         path || doc_id ||
+           CASE WHEN doc_id % 5 = 3 THEN '%3Fa%3D1%26b%3D2' ELSE '' END AS ncpath
+  FROM ({_SQL_URLS}) u) p
+"""
+
+
 # ------------------------------------------------- O6 politeness budget
 def q_politeness(spark, sf):
     from crawlers_spark.operators.politeness import politeness_budget
@@ -907,6 +958,7 @@ QUERIES = {
     "crawl_cuckoo_dedup_exactness": (q_cuckoo_dedup, SQL_CUCKOO),
     "crawl_recrawl_seen_semantics": (q_recrawl_seen, SQL_RECRAWL_SEEN),
     "crawl_robots_gate": (q_robots_gate, SQL_ROBOTS),
+    "crawl_robots_rfc9309": (q_robots_rfc9309, SQL_ROBOTS_RFC9309),
     "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
     "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),
     "crawl_robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),

@@ -101,8 +101,23 @@ def _allowed_mask(rules: str, paths: pd.Series) -> pd.Series:
     return allowed
 
 
-def robots_flag(candidates: DataFrame, robots: DataFrame, url_col: str = "url_canon", flag: str = "robots_ok") -> DataFrame:
-    """Add a ``robots_ok`` bool column (one pass; caller splits on it)."""
+def robots_flag(
+    candidates: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url_canon",
+    flag: str = "robots_ok",
+    mode: str = "stdlib",
+) -> DataFrame:
+    """Add a ``robots_ok`` bool column (one pass; caller splits on it).
+
+    ``mode="stdlib"`` evaluates with ``urllib.robotparser`` semantics
+    (first-matching-rule, prefix-only patterns — the reference crawler's
+    observable behavior). ``mode="rfc9309"`` evaluates the full RFC 9309
+    dialect modern robots.txt files use: ``*`` wildcards, ``$`` end
+    anchors, longest-match-wins precedence with Allow winning ties —
+    what Scrapy's default Protego parser implements.
+    """
+    evaluator = _allowed_mask if mode == "stdlib" else _allowed_mask_9309
     out_cols = candidates.schema.fieldNames() + [flag]
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
@@ -118,7 +133,7 @@ def robots_flag(candidates: DataFrame, robots: DataFrame, url_col: str = "url_ca
             keep = pd.Series(True, index=pdf.index)
             has_rules = pdf["rules"].notna()
             for rules, idx in pdf[has_rules].groupby("rules", sort=False).groups.items():
-                keep.loc[idx] = _allowed_mask(rules, pdf.loc[idx, "_path"]).values
+                keep.loc[idx] = evaluator(rules, pdf.loc[idx, "_path"]).values
             pdf = pdf.copy()
             pdf[flag] = keep
             yield pdf[out_cols]
@@ -126,9 +141,124 @@ def robots_flag(candidates: DataFrame, robots: DataFrame, url_col: str = "url_ca
     return joined.mapInPandas(gate, schema)
 
 
-def robots_filter(candidates: DataFrame, robots: DataFrame, url_col: str = "url_canon") -> DataFrame:
+def robots_filter(
+    candidates: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url_canon",
+    mode: str = "stdlib",
+) -> DataFrame:
     """Drop URLs disallowed by their host's robots rules."""
-    return robots_flag(candidates, robots, url_col).where(F.col("robots_ok")).drop("robots_ok")
+    return robots_flag(candidates, robots, url_col, mode=mode).where(
+        F.col("robots_ok")
+    ).drop("robots_ok")
+
+
+# --------------------------------------------------------------------------
+# RFC 9309 dialect (Scrapy/Protego parity): * wildcards, $ anchors,
+# longest-match-wins with Allow breaking ties.
+# --------------------------------------------------------------------------
+
+def _normalize_pattern_9309(pattern: str) -> str:
+    """Percent-encode a rule pattern's literal segments exactly like
+    :func:`_normalize_paths` encodes candidate paths (quote∘unquote,
+    safe '/'), keeping ``*`` separators and a trailing ``$`` intact —
+    RFC 9309 compares percent-encoded octets on both sides."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    segs = [
+        urllib.parse.quote(urllib.parse.unquote(s)) for s in body.split("*")
+    ]
+    return "*".join(segs) + ("$" if anchored else "")
+
+
+def _pattern_to_regex(pattern: str) -> re.Pattern:
+    """RFC 9309 path pattern → anchored regex.
+
+    ``*`` matches any run of characters; a TRAILING ``$`` anchors the
+    match at the end of the path (a ``$`` anywhere else is literal).
+    Patterns always match from the start of the path.
+    """
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+@lru_cache(maxsize=4096)
+def _compile_rules_9309(rules: str, agent: str = USER_AGENT):
+    """rules text → True (allow all) | ordered rule tuple for RFC 9309
+    evaluation: ``[(compiled_regex, pattern_octets, allowance)]`` sorted
+    by (pattern length desc, Allow-before-Disallow), so the FIRST
+    matching rule in that order is exactly the RFC's
+    longest-match-wins / Allow-breaks-ties winner.
+
+    Group selection: all groups whose ``User-agent`` token is a
+    case-insensitive exact match for ``agent`` (or a prefix of it, per
+    Google's product-token matching); if none, the ``*`` groups.
+    Multiple groups naming the same agent merge (RFC 9309 §2.2.1).
+    Empty-pattern rules are ignored (they match nothing).
+    """
+    want = agent.lower()
+    specific: list[tuple[str, bool]] = []
+    star: list[tuple[str, bool]] = []
+    current: list[list[tuple[str, bool]]] = []  # groups the open UA lines name
+    last_was_agent = False
+    for raw in rules.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            token = val.lower()
+            bucket = (
+                specific
+                if token and token != "*" and (token == want or want.startswith(token))
+                else (star if token == "*" else None)
+            )
+            if not last_was_agent:
+                current = []
+            if bucket is not None:
+                current.append(bucket)
+            last_was_agent = True
+        elif key in ("allow", "disallow"):
+            last_was_agent = False
+            if not val:  # empty pattern matches nothing (RFC 9309 §2.2.2)
+                continue
+            for bucket in current:
+                bucket.append((val, key == "allow"))
+        else:  # crawl-delay / sitemap / unknown — ends the UA-line run only
+            last_was_agent = False
+    chosen = specific if specific else star
+    if not chosen:
+        return True
+    normed = [(_normalize_pattern_9309(p), allow) for p, allow in chosen]
+    ordered = sorted(normed, key=lambda r: (-len(r[0]), not r[1]))
+    return tuple((_pattern_to_regex(p), len(p), allow) for p, allow in ordered)
+
+
+def match_9309(rules: str, path: str, agent: str = USER_AGENT) -> bool:
+    """Scalar RFC 9309 check (tests / spot-debugging; the vectorized
+    path is :func:`_allowed_mask_9309`)."""
+    return bool(_allowed_mask_9309(rules, pd.Series([path]), agent=agent).iloc[0])
+
+
+def _allowed_mask_9309(rules: str, paths: pd.Series, agent: str = USER_AGENT) -> pd.Series:
+    compiled = _compile_rules_9309(rules, agent)
+    if compiled is True:
+        return pd.Series(True, index=paths.index)
+    allowed = pd.Series(True, index=paths.index)  # default allow
+    norm = _normalize_paths(paths)
+    undecided = pd.Series(True, index=paths.index)
+    for regex, _plen, allowance in compiled:  # pre-sorted: first hit wins
+        hit = undecided & norm.str.contains(regex, regex=True)
+        if hit.any():
+            allowed[hit] = allowance
+            undecided &= ~hit
+            if not undecided.any():
+                break
+    return allowed
 
 
 def politeness_from_robots(

@@ -105,6 +105,10 @@ class CrawlConfig:
     max_retries: int = 2
     output_coalesce: int | None = 4  # small-scale file compaction; None at TB scale
     detail_url_pattern: str = "/job/"  # matches /private/job/ too
+    # robots evaluation dialect: "stdlib" (urllib.robotparser semantics,
+    # the pinned-oracle default) or "rfc9309" (* wildcards, $ anchors,
+    # longest-match-wins — Scrapy/Protego parity for modern robots.txt)
+    robots_mode: str = "stdlib"
     use_bloom: bool = True
     # seen-set prefilter: "bloom" (default; deletions left stale, exactness
     # guard keeps results correct), "cuckoo" (true deletions — the north
@@ -462,6 +466,7 @@ class CrawlEngine:
                 "discovered_ts", "retry", "host_rank",
             ),
             self.robots,
+            mode=cfg.robots_mode,
         ).persist()
         allowed = flagged.where(F.col("robots_ok")).drop("robots_ok")
         denied_keys = flagged.where(~F.col("robots_ok")).select("url_canon")
