@@ -258,7 +258,11 @@ def _content_digests(html: pd.Series) -> pd.Series:
 
 
 def extract_page_outputs(
-    fetched: DataFrame, *, detail_pattern: str, digests: bool = True
+    fetched: DataFrame,
+    *,
+    detail_pattern: str,
+    digests: bool = True,
+    redirect_col: str | None = None,
 ) -> DataFrame:
     """ONE html pass producing every per-page output of a wave, as
     tagged rows (``kind``):
@@ -267,7 +271,13 @@ def extract_page_outputs(
       wave_log / seen-delta / lineage),
     - ``'offer'`` — extracted job offer for detail pages matching
       ``detail_pattern`` (url = canonical url, the offer identity),
-    - ``'link'``  — one row per outlink (feeds frontier growth).
+    - ``'link'``  — one row per outlink (feeds frontier growth),
+    - ``'redirect'`` (only with ``redirect_col``) — one row per fetched
+      3xx page, ``out_url`` = its Location target. Redirect pages still
+      emit their ``'page'`` row (they are fetched → seen) but no offers
+      or outlinks; the wave loop re-enqueues the target through the
+      normal frontier path (canonicalize → offsite → depth → seen →
+      robots → politeness), Scrapy-RedirectMiddleware style.
 
     Rationale (the 100 TB shape): offers and outlinks both need the
     page html, and html is the single biggest column in the pipeline.
@@ -313,7 +323,23 @@ def extract_page_outputs(
             meta = pdf[_META_COLS].copy()
             if digests:
                 meta["content_digest"] = _content_digests(pdf["html"])
+                if redirect_col is not None:
+                    # a 3xx page has no content: digesting its empty body
+                    # would alias every redirect on a host to one digest
+                    # and spoof the mirror-trap / content-seen signals
+                    meta.loc[pdf[redirect_col].notna(), "content_digest"] = None
             yield _shape("page", meta)
+            if redirect_col is not None:
+                is_redirect = pdf[redirect_col].notna()
+                if is_redirect.any():
+                    rows = pdf[is_redirect]
+                    yield _shape(
+                        "redirect",
+                        rows[_META_COLS].assign(out_url=rows[redirect_col].values),
+                    )
+                    pdf = pdf[~is_redirect]
+                    if pdf.empty:
+                        continue
             detail = pdf[pdf["url_canon"].str.contains(detail_pattern, regex=False)]
             if not detail.empty:
                 fam = (
@@ -336,4 +362,6 @@ def extract_page_outputs(
         F.col(c) if c in fetched.columns else F.lit(None).cast(declared[c]).alias(c)
         for c in _META_COLS
     ] + [F.col("html")]
+    if redirect_col is not None:
+        cols.append(F.col(redirect_col))
     return fetched.select(*cols).mapInPandas(_both, schema=COMBINED_SCHEMA)

@@ -82,6 +82,10 @@ _FRONT = [
     # docs_ngram_jaccard (r2-green, untouched) rotates to the tail to
     # keep the window at 50
     "crawl_robots_rfc9309",
+    # new this round: declarative 3xx-chain resolution (max_hops
+    # broadcast joins, exhausted-loop detection); docs_simhash_near_pairs
+    # (r2-green, untouched) rotates to the tail
+    "crawl_redirect_resolution",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -114,6 +118,7 @@ _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
     "docs_ngram_jaccard",
+    "docs_simhash_near_pairs",
     "docs_lang_id",
     "docs_quality",
     "docs_token_counts",

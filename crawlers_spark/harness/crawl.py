@@ -281,6 +281,69 @@ FROM (
 """
 
 
+# ------------------------------------------------ O8+ redirect resolution
+def q_redirect_resolution(spark, sf):
+    """3xx-chain resolution via ``resolve_redirects`` (one declarative
+    plan: max_hops broadcast left joins + a terminal probe join — no
+    driver loop). The redirect mapping is derived from the documents
+    table: doc d redirects to canon(d+1) when d%9==0 (1-hop, extending
+    to 2-hop chains when d+1 lands on the d%9==1-and-even rule) and
+    self-loops when d%9==4 and d%5==0 (can never resolve → exhausted).
+    The oracle unrolls the same three left joins in SQL.
+    """
+    from crawlers_spark.operators.redirects import resolve_redirects
+
+    fr = _frontier(spark, sf).select("doc_id", "url_canon")
+    nxt = fr.select(
+        (F.col("doc_id") - 1).alias("src_id"), F.col("url_canon").alias("dst_canon")
+    )
+    d = F.col("doc_id")
+    is_src = ((d % 9 == 0) | ((d % 9 == 1) & (d % 2 == 0))).alias("fwd")
+    redirects = (
+        fr.withColumn("fwd", is_src)
+        .withColumn("self_loop", (d % 9 == 4) & (d % 5 == 0))
+        .where(F.col("fwd") | F.col("self_loop"))
+        .join(nxt, F.col("doc_id") == F.col("src_id"), "left")
+        .select(
+            F.col("url_canon").alias("src_canon"),
+            F.when(F.col("self_loop"), F.col("url_canon"))
+            .otherwise(F.col("dst_canon"))
+            .alias("dst_canon"),
+        )
+        .where(F.col("dst_canon").isNotNull())
+    )
+    return resolve_redirects(fr, redirects, max_hops=3).select(
+        "doc_id", "url_canon", "final_canon", "hops", "redirect_status"
+    )
+
+
+SQL_REDIRECTS = f"""
+WITH u AS (SELECT doc_id, expected_canon AS url_canon FROM ({_SQL_URLS}) x),
+r AS (
+  SELECT s.url_canon AS src_canon,
+         CASE WHEN s.doc_id % 9 = 4 THEN s.url_canon ELSE n.url_canon END AS dst_canon
+  FROM u s LEFT JOIN u n ON n.doc_id = s.doc_id + 1
+  WHERE (s.doc_id % 9 = 0 OR (s.doc_id % 9 = 1 AND s.doc_id % 2 = 0)
+         OR (s.doc_id % 9 = 4 AND s.doc_id % 5 = 0))
+    AND (CASE WHEN s.doc_id % 9 = 4 THEN s.url_canon ELSE n.url_canon END) IS NOT NULL
+)
+SELECT u.doc_id, u.url_canon,
+       COALESCE(r3.dst_canon, r2.dst_canon, r1.dst_canon, u.url_canon) AS final_canon,
+       (CASE WHEN r1.dst_canon IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN r2.dst_canon IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN r3.dst_canon IS NULL THEN 0 ELSE 1 END) AS hops,
+       CASE WHEN rp.src_canon IS NOT NULL THEN 'exhausted'
+            WHEN r1.dst_canon IS NOT NULL THEN 'resolved'
+            ELSE 'none' END AS redirect_status
+FROM u
+LEFT JOIN r r1 ON r1.src_canon = u.url_canon
+LEFT JOIN r r2 ON r2.src_canon = r1.dst_canon
+LEFT JOIN r r3 ON r3.src_canon = r2.dst_canon
+LEFT JOIN (SELECT DISTINCT src_canon FROM r) rp
+       ON rp.src_canon = COALESCE(r3.dst_canon, r2.dst_canon, r1.dst_canon, u.url_canon)
+"""
+
+
 # ------------------------------------------------- O6 politeness budget
 def q_politeness(spark, sf):
     from crawlers_spark.operators.politeness import politeness_budget
@@ -959,6 +1022,7 @@ QUERIES = {
     "crawl_recrawl_seen_semantics": (q_recrawl_seen, SQL_RECRAWL_SEEN),
     "crawl_robots_gate": (q_robots_gate, SQL_ROBOTS),
     "crawl_robots_rfc9309": (q_robots_rfc9309, SQL_ROBOTS_RFC9309),
+    "crawl_redirect_resolution": (q_redirect_resolution, SQL_REDIRECTS),
     "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
     "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),
     "crawl_robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),

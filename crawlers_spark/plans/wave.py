@@ -109,6 +109,13 @@ class CrawlConfig:
     # the pinned-oracle default) or "rfc9309" (* wildcards, $ anchors,
     # longest-match-wins — Scrapy/Protego parity for modern robots.txt)
     robots_mode: str = "stdlib"
+    # follow 3xx redirects (corpus rows with a non-null `redirect_to`):
+    # the Location target re-enters the frontier as a normal candidate
+    # (canonicalize → offsite → depth+1 → seen → robots → politeness),
+    # so redirects to slow hosts still honor that host's budget and
+    # cycles terminate via the seen set — Scrapy RedirectMiddleware
+    # semantics with the per-request hop cap mapped onto the depth bound
+    follow_redirects: bool = False
     use_bloom: bool = True
     # seen-set prefilter: "bloom" (default; deletions left stale, exactness
     # guard keeps results correct), "cuckoo" (true deletions — the north
@@ -478,7 +485,13 @@ class CrawlEngine:
         # politeness-bounded so it broadcasts; page html never shuffles.
         # Misses (corpus 404 analog) → O12 retry.
         unseen = unseen.persist()
-        fetched, missed = fetch_split(unseen, self.pages_index)
+        redirect_col = (
+            "redirect_to"
+            if cfg.follow_redirects and "redirect_to" in self.pages_index.columns
+            else None
+        )
+        fetch_cols = ("html", "redirect_to") if redirect_col else ("html",)
+        fetched, missed = fetch_split(unseen, self.pages_index, columns=fetch_cols)
 
         # O9+O10 fused: ONE html pass yields page-meta + offers +
         # outlinks as tagged rows. NOTHING html-sized is ever persisted
@@ -489,6 +502,7 @@ class CrawlEngine:
             fetched,
             detail_pattern=cfg.detail_url_pattern,
             digests=cfg.page_digests or bool(cfg.trap_check_every) or cfg.content_seen,
+            redirect_col=redirect_col,
         )
 
         retryable = (
@@ -559,6 +573,14 @@ class CrawlEngine:
                 pages_meta.select("url", "url_canon", "content_digest"), prior
             )
             links = links.join(winners, "url", "left_semi")
+        if redirect_col:
+            # redirect targets re-enter like outlinks, but bypass the
+            # content-seen winnow (a 3xx page has no content to test)
+            links = links.unionByName(
+                wo.where(F.col("kind") == "redirect").select(
+                    "url", "src_source", "depth", "out_url"
+                )
+            )
         discovered = (
             with_canonical_url(links, "out_url", "url_canon")
             .join(F.broadcast(self.allowed_hosts), "src_source", "left")
@@ -661,6 +683,9 @@ class CrawlEngine:
         _lap("followup_build")
         n_offers = self._rowcount([rel_out], sub="kind=offer")
         n_fetched = self._rowcount([rel_out], sub="kind=page")
+        n_redirects = (
+            self._rowcount([rel_out], sub="kind=redirect") if redirect_col else 0
+        )
         _lap("out_footers")
 
         # O15 per-partition lineage (needs the n_offers footer read)
@@ -682,10 +707,13 @@ class CrawlEngine:
             "prof": prof,
             "next_frontier": next_frontier,
             "filter_merged": filter_merged,
-            "meta": {"frontier_in": n_frontier, "fetched": n_fetched, "offers": n_offers},
+            "meta": {
+                "frontier_in": n_frontier, "fetched": n_fetched,
+                "offers": n_offers, "redirects": n_redirects,
+            },
             "stats": {
                 "wave": wave, "frontier": n_frontier, "fetched": n_fetched,
-                "offers": n_offers, "quiesced": False,
+                "offers": n_offers, "redirects": n_redirects, "quiesced": False,
             },
             # safe to release once this wave's futures are joined: the
             # fetch job is done and every follow-up plan roots at disk

@@ -189,9 +189,21 @@ def messy_detail_href(host: str, job_id: int, private: bool) -> str:
     return f"https://{host}{path}"
 
 
-def list_html(host: str, source: str, family: int, page: int, job_ids: list[int], n_pages: int, private_set: set[int]) -> str:
+def alias_href(j: int, kind: int) -> str:
+    """Legacy short-link path that 301s toward the real detail URL."""
+    return f"/go2/{j:06d}" if kind == 1 else f"/go/{j:06d}"
+
+
+def list_html(host: str, source: str, family: int, page: int, job_ids: list[int], n_pages: int, private_set: set[int], alias_map: dict[int, int] | None = None) -> str:
+    alias_map = alias_map or {}
+
+    def href(j: int) -> str:
+        if j in alias_map:
+            return alias_href(j, alias_map[j])
+        return messy_detail_href(host, j, j in private_set)
+
     rows = "\n".join(
-        f'<li><a class="job-link" href="{messy_detail_href(host, j, j in private_set)}">'
+        f'<li><a class="job-link" href="{href(j)}">'
         f"{detail_fields(source, j)['title']}</a></li>"
         for j in job_ids
     )
@@ -229,8 +241,18 @@ def host_quota(total_pages: int, i: int) -> int:
     return (total_pages // 2) // (N_HOSTS - 2)
 
 
-def generate(total_pages: int, out_dir: str | Path, desc_extra: int = 0) -> dict:
-    """Write pages/seeds/robots/politeness/expected_offers under out_dir."""
+def generate(
+    total_pages: int, out_dir: str | Path, desc_extra: int = 0, redirects: bool = False
+) -> dict:
+    """Write pages/seeds/robots/politeness/expected_offers under out_dir.
+
+    With ``redirects=True`` the corpus gains a ``redirect_to`` column
+    and a deterministic slice of non-private jobs is linked via legacy
+    short paths that 301 to the real detail URL (``/go/…`` one hop,
+    ``/go2/…`` two hops), plus one 2-cycle (``/loopA`` ⇄ ``/loopB``) on
+    host 3 — those jobs are only reachable by following redirects.
+    Expected offers are unchanged: extraction happens at the final URL.
+    """
     global _DESC_EXTRA
     from tests.oracle.extract import extract_offer
 
@@ -238,10 +260,19 @@ def generate(total_pages: int, out_dir: str | Path, desc_extra: int = 0) -> dict
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     urls, tss, htmls, texts, langs = [], [], [], [], []
+    redirect_tos: list[str | None] = []
     exp = []
     seeds = []
     robots_rows = []
     polite_rows = []
+
+    def add_page(url: str, html: str, lang: str, redirect_to: str | None = None) -> None:
+        urls.append(url)
+        htmls.append(html.encode())
+        texts.append(page_text(html))
+        tss.append(warc_ts(url))
+        langs.append(lang)
+        redirect_tos.append(redirect_to)
 
     for i in range(N_HOSTS):
         host = host_of(i)
@@ -263,36 +294,56 @@ def generate(total_pages: int, out_dir: str | Path, desc_extra: int = 0) -> dict
             (host, 2.0 if i == 2 else 0.5, 40 if i in (0, 1) else 200)
         )
 
+        alias_map: dict[int, int] = {}
+        if redirects:
+            for j in range(D):
+                if j not in private_set:
+                    a = h(f"redir|{host}|{j}") % 6
+                    if a in (0, 1):
+                        alias_map[j] = a
+
         for p in range(1, P + 1):
             job_ids = list(range((p - 1) * JOBS_PER_LIST, min(p * JOBS_PER_LIST, D)))
             url = f"https://{host}/jobs" if p == 1 else f"https://{host}/jobs?page={p}"
-            html = list_html(host, source, family, p, job_ids, P, private_set)
-            urls.append(url)
-            htmls.append(html.encode())
-            texts.append(page_text(html))
-            tss.append(warc_ts(url))
-            langs.append(lang)
+            html = list_html(host, source, family, p, job_ids, P, private_set, alias_map)
+            if redirects and i == 3 and p == 1:
+                html = html.replace(
+                    "</body>", '<a class="loop" href="/loopA">legacy</a>\n</body>'
+                )
+            add_page(url, html, lang)
 
         for j in range(D):
             path = f"/private/job/{j:06d}" if j in private_set else f"/job/{j:06d}"
             url = f"https://{host}{path}"
             html = detail_html(source, family, j)
-            urls.append(url)
-            htmls.append(html.encode())
-            texts.append(page_text(html))
-            tss.append(warc_ts(url))
-            langs.append(lang)
+            add_page(url, html, lang)
             exp.append(extract_offer(url, source, html))
 
-    pages = pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        }
-    )
+        # 3xx alias pages: empty body, redirect_to carries the Location
+        for j, a in sorted(alias_map.items()):
+            real = f"https://{host}/job/{j:06d}"
+            add_page(f"https://{host}{alias_href(j, 0)}", "", lang, redirect_to=real)
+            if a == 1:
+                add_page(
+                    f"https://{host}{alias_href(j, 1)}",
+                    "",
+                    lang,
+                    redirect_to=f"https://{host}{alias_href(j, 0)}",
+                )
+        if redirects and i == 3:
+            add_page(f"https://{host}/loopA", "", lang, redirect_to=f"https://{host}/loopB")
+            add_page(f"https://{host}/loopB", "", lang, redirect_to=f"https://{host}/loopA")
+
+    cols = {
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }
+    if redirects:
+        cols["redirect_to"] = pa.array(redirect_tos, pa.string())
+    pages = pa.table(cols)
     # small row groups so the Spark scan splits (one 50 MB row group
     # would make the whole pages scan a single task at any core count)
     pq.write_table(pages, out / "pages.parquet", row_group_size=2048)
@@ -341,7 +392,10 @@ FIXTURE_VERSION = "v4"  # bump when generator/oracle output changes
 
 
 def ensure_fixture(
-    total_pages: int, base: str | Path | None = None, desc_extra: int = 0
+    total_pages: int,
+    base: str | Path | None = None,
+    desc_extra: int = 0,
+    redirects: bool = False,
 ) -> Path:
     """Generate-once cache keyed by (scale, page weight); returns the dir.
 
@@ -354,11 +408,15 @@ def ensure_fixture(
 
     if base is None:
         base = os.environ.get("SPARK_GRAFT_DATA_DIR", REPO / "_data")
-    name = f"web{total_pages}" + (f"w{desc_extra}" if desc_extra else "")
+    name = (
+        f"web{total_pages}"
+        + (f"w{desc_extra}" if desc_extra else "")
+        + ("r" if redirects else "")
+    )
     out = Path(base) / name
     marker = out / "_COMPLETE"
     if not (marker.exists() and marker.read_text() == FIXTURE_VERSION):
-        generate(total_pages, out, desc_extra=desc_extra)
+        generate(total_pages, out, desc_extra=desc_extra, redirects=redirects)
         marker.write_text(FIXTURE_VERSION)
     return out
 
