@@ -86,6 +86,9 @@ _FRONT = [
     # broadcast joins, exhausted-loop detection); docs_simhash_near_pairs
     # (r2-green, untouched) rotates to the tail
     "crawl_redirect_resolution",
+    # new this round: AIMD adaptive politeness from observed fetch
+    # outcomes; docs_simhash (r2-green, untouched) rotates to the tail
+    "crawl_adaptive_politeness",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -119,6 +122,7 @@ _TAIL = [
     # this round — re-enters the window next round
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
+    "docs_simhash",
     "docs_lang_id",
     "docs_quality",
     "docs_token_counts",

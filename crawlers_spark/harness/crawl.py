@@ -406,6 +406,57 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# ----------------------------------------- O6+ AIMD adaptive politeness
+def q_adaptive_politeness(spark, sf):
+    """Mercator-style AIMD back-off from observed fetch outcomes: a
+    host whose error rate > 10% or mean latency > 500 ms doubles its
+    delay (capped 30 s); a healthy host recovers by 0.25 s (floored at
+    0.1 s). The fetch log derives deterministically from documents
+    (ok = doc_id % 17 != 0, latency = doc_id*37 % 1000 — per-host mean
+    straddles the 500 ms threshold, so both branches fire). Decisions
+    use integer sum/count arithmetic (no float division) and the delays
+    live on exact binary fractions, so the oracle replays bit-identical
+    doubles.
+    """
+    from crawlers_spark.operators.politeness import adaptive_politeness
+
+    fr = _frontier(spark, sf)
+    hosts = fr.select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    politeness = hosts.select(
+        "host",
+        (F.lit(0.5) + (n % 3) * F.lit(0.75)).alias("delay_s"),
+        (F.lit(3) + n % 4).cast("int").alias("max_per_wave"),
+    )
+    fetch_log = fr.select(
+        "host",
+        (F.col("doc_id") % 17 != 0).alias("ok"),
+        (F.col("doc_id") * 37 % 1000).cast("long").alias("latency_ms"),
+    )
+    return adaptive_politeness(politeness, fetch_log).select(
+        "host", "delay_s", "max_per_wave"
+    )
+
+
+SQL_ADAPTIVE_POLITENESS = f"""
+WITH u AS (SELECT host, src_n, doc_id FROM ({_SQL_URLS}) x),
+p AS (SELECT DISTINCT host, 0.5 + (src_n % 3) * 0.75 AS delay0,
+             CAST(3 + src_n % 4 AS INT) AS max_per_wave
+      FROM u),
+o AS (SELECT host, COUNT(*) AS n,
+             SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS n_err,
+             SUM(doc_id * 37 % 1000) AS sum_lat
+      FROM u GROUP BY host)
+SELECT p.host,
+       CAST(CASE WHEN o.n IS NULL THEN delay0
+                 WHEN o.n_err * 100 > o.n * 10 OR o.sum_lat > o.n * 500
+                   THEN LEAST(30.0, delay0 * 2)
+                 ELSE GREATEST(0.1, delay0 - 0.25) END AS DOUBLE) AS delay_s,
+       p.max_per_wave
+FROM p LEFT JOIN o ON o.host = p.host
+"""
+
+
 # ----------------------------------- O1+←O7 sitemap discovery from robots
 def q_robots_sitemaps(spark, sf):
     """Per-host sitemap URLs discovered from robots.txt ``Sitemap:``
@@ -1025,6 +1076,7 @@ QUERIES = {
     "crawl_redirect_resolution": (q_redirect_resolution, SQL_REDIRECTS),
     "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
     "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),
+    "crawl_adaptive_politeness": (q_adaptive_politeness, SQL_ADAPTIVE_POLITENESS),
     "crawl_robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
     "crawl_retry_policy": (q_retry_policy, SQL_RETRY),

@@ -70,3 +70,48 @@ def politeness_budget(
         df.where((F.lit(wave) % F.col("_cadence") == 0) & (F.col("budget_k") > 0))
         .drop("delay_s", "max_per_wave", "_cadence")
     )
+
+
+def adaptive_politeness(
+    politeness: DataFrame,
+    fetch_log: DataFrame,
+    *,
+    err_threshold_pct: int = 10,
+    slow_ms: int = 500,
+    factor: float = 2.0,
+    dec_s: float = 0.25,
+    min_delay_s: float = 0.1,
+    max_delay_s: float = 30.0,
+) -> DataFrame:
+    """AIMD per-host delay adaptation from observed fetch outcomes
+    (Mercator §4-style host back-off: misbehaving or slow hosts get
+    multiplicative back-off, healthy hosts additively recover).
+
+    ``fetch_log`` columns: ``host, ok boolean, latency_ms``. A host
+    backs off (``delay × factor``, capped at ``max_delay_s``) when its
+    error rate exceeds ``err_threshold_pct`` percent OR its mean
+    latency exceeds ``slow_ms``; otherwise it recovers
+    (``delay − dec_s``, floored at ``min_delay_s``). Hosts with no
+    observations keep their delay. Comparisons use integer
+    sum/count arithmetic (no float division) so the decision — and the
+    resulting delay bits — replay identically in any engine.
+
+    One host-cardinality aggregate + one broadcast-sized join; the
+    output is the next wave's politeness broadcast state
+    (``CrawlEngine.update_politeness``).
+    """
+    obs = fetch_log.groupBy("host").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("_n_err"),
+        F.sum("latency_ms").alias("_sum_lat"),
+    )
+    joined = politeness.join(obs, "host", "left")
+    backoff = (F.col("_n_err") * 100 > F.col("_n") * err_threshold_pct) | (
+        F.col("_sum_lat") > F.col("_n") * slow_ms
+    )
+    new_delay = (
+        F.when(F.col("_n").isNull(), F.col("delay_s"))
+        .when(backoff, F.least(F.lit(max_delay_s), F.col("delay_s") * factor))
+        .otherwise(F.greatest(F.lit(min_delay_s), F.col("delay_s") - dec_s))
+    )
+    return joined.withColumn("delay_s", new_delay).drop("_n", "_n_err", "_sum_lat")

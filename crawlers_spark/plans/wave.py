@@ -1192,3 +1192,17 @@ class CrawlEngine:
 
     def seen(self) -> DataFrame:
         return self._read_seen()
+
+    def update_politeness(self, fetch_log: DataFrame, **aimd_kw) -> None:
+        """Swap the politeness broadcast state for an AIMD-adapted one
+        (``operators.politeness.adaptive_politeness``) derived from
+        observed ``(host, ok, latency_ms)`` fetch outcomes — the live-
+        transport feedback loop. In-memory state only: the operator is
+        deterministic, so a resumed run re-applying the same committed
+        fetch log reconstructs the identical table.
+        """
+        from crawlers_spark.operators.politeness import adaptive_politeness
+
+        old = self.politeness
+        self.politeness = adaptive_politeness(old, fetch_log, **aimd_kw).persist()
+        old.unpersist()

@@ -154,3 +154,41 @@ def test_sitemaps_from_robots(spark):
         ("b.example", "https://b.example/1.xml"),
         ("b.example", "https://b.example/2.xml"),
     ]
+
+
+def test_adaptive_politeness_aimd(spark):
+    """Hand-computed AIMD table: error-rate back-off, latency back-off,
+    additive recovery with floor, multiplicative cap, no-observation
+    passthrough."""
+    from crawlers_spark.operators.politeness import adaptive_politeness
+
+    politeness = spark.createDataFrame(
+        [
+            ("err.example", 1.0, 10),    # 2/10 errors > 10% → ×2
+            ("slow.example", 0.5, 10),   # mean 600 ms > 500 → ×2
+            ("ok.example", 1.0, 10),     # healthy → −0.25
+            ("floor.example", 0.2, 10),  # healthy, 0.2−0.25 → floor 0.1
+            ("cap.example", 20.0, 10),   # erroring, 40 → cap 30
+            ("quiet.example", 0.75, 10), # no observations → unchanged
+        ],
+        "host string, delay_s double, max_per_wave int",
+    )
+    rows = []
+    rows += [("err.example", i < 8, 100) for i in range(10)]
+    rows += [("slow.example", True, 600) for _ in range(10)]
+    rows += [("ok.example", True, 100) for _ in range(10)]
+    rows += [("floor.example", True, 100) for _ in range(4)]
+    rows += [("cap.example", False, 100) for _ in range(4)]
+    log = spark.createDataFrame(rows, "host string, ok boolean, latency_ms long")
+    got = {
+        r.host: r.delay_s
+        for r in adaptive_politeness(politeness, log).collect()
+    }
+    assert got == {
+        "err.example": 2.0,
+        "slow.example": 1.0,
+        "ok.example": 0.75,
+        "floor.example": 0.1,
+        "cap.example": 30.0,
+        "quiet.example": 0.75,
+    }
