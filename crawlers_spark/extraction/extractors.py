@@ -263,6 +263,7 @@ def extract_page_outputs(
     detail_pattern: str,
     digests: bool = True,
     redirect_col: str | None = None,
+    charset_sniff: bool = False,
 ) -> DataFrame:
     """ONE html pass producing every per-page output of a wave, as
     tagged rows (``kind``):
@@ -312,14 +313,22 @@ def extract_page_outputs(
             if pdf.empty:
                 continue
             # decode ONCE; the offer/link paths' defensive decode then
-            # passes the str batch through untouched
-            pdf = pdf.assign(
-                html=pdf["html"].apply(
-                    lambda b: b.decode("utf-8", "replace")
-                    if isinstance(b, (bytes, bytearray))
-                    else (b or "")
+            # passes the str batch through untouched. With
+            # ``charset_sniff`` the decode resolves BOM / declared
+            # <meta charset> first (extraction/charset.py) instead of
+            # assuming UTF-8.
+            if charset_sniff:
+                from crawlers_spark.extraction.charset import sniff_decode_series
+
+                pdf = pdf.assign(html=sniff_decode_series(pdf["html"]))
+            else:
+                pdf = pdf.assign(
+                    html=pdf["html"].apply(
+                        lambda b: b.decode("utf-8", "replace")
+                        if isinstance(b, (bytes, bytearray))
+                        else (b or "")
+                    )
                 )
-            )
             meta = pdf[_META_COLS].copy()
             if digests:
                 meta["content_digest"] = _content_digests(pdf["html"])

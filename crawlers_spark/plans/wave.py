@@ -116,6 +116,10 @@ class CrawlConfig:
     # cycles terminate via the seen set — Scrapy RedirectMiddleware
     # semantics with the per-request hop cap mapped onto the depth bound
     follow_redirects: bool = False
+    # resolve page encodings (BOM, declared <meta charset>) before
+    # decode instead of assuming UTF-8 — w3lib resolution order; see
+    # extraction/charset.py
+    charset_sniff: bool = False
     use_bloom: bool = True
     # seen-set prefilter: "bloom" (default; deletions left stale, exactness
     # guard keeps results correct), "cuckoo" (true deletions — the north
@@ -503,6 +507,7 @@ class CrawlEngine:
             detail_pattern=cfg.detail_url_pattern,
             digests=cfg.page_digests or bool(cfg.trap_check_every) or cfg.content_seen,
             redirect_col=redirect_col,
+            charset_sniff=cfg.charset_sniff,
         )
 
         retryable = (

@@ -242,7 +242,11 @@ def host_quota(total_pages: int, i: int) -> int:
 
 
 def generate(
-    total_pages: int, out_dir: str | Path, desc_extra: int = 0, redirects: bool = False
+    total_pages: int,
+    out_dir: str | Path,
+    desc_extra: int = 0,
+    redirects: bool = False,
+    charsets: bool = False,
 ) -> dict:
     """Write pages/seeds/robots/politeness/expected_offers under out_dir.
 
@@ -252,6 +256,13 @@ def generate(
     ``/go2/…`` two hops), plus one 2-cycle (``/loopA`` ⇄ ``/loopB``) on
     host 3 — those jobs are only reachable by following redirects.
     Expected offers are unchanged: extraction happens at the final URL.
+
+    With ``charsets=True`` hosts stop being uniformly UTF-8: hosts with
+    ``i % 5 == 2`` serve UTF-16 LE with a BOM, hosts with ``i % 5 == 4``
+    serve ISO-8859-1 declared via an injected ``<meta charset>`` (pages
+    whose text doesn't fit latin-1 stay plain UTF-8 with no meta tag).
+    Ground-truth text and expected offers are computed from the exact
+    str a correct decoder recovers.
     """
     global _DESC_EXTRA
     from tests.oracle.extract import extract_offer
@@ -265,14 +276,31 @@ def generate(
     seeds = []
     robots_rows = []
     polite_rows = []
+    host_enc = ""  # per-host encoding mode, set in the host loop
 
-    def add_page(url: str, html: str, lang: str, redirect_to: str | None = None) -> None:
+    def encode_html(html: str) -> tuple[bytes, str]:
+        """(bytes as served, str a correct decoder recovers)."""
+        if host_enc == "utf-16":
+            return b"\xff\xfe" + html.encode("utf-16-le"), html
+        if host_enc == "latin-1":
+            tagged = html.replace(
+                "<head>", '<head><meta charset="iso-8859-1">', 1
+            )
+            try:
+                return tagged.encode("latin-1"), tagged
+            except UnicodeEncodeError:
+                return html.encode(), html
+        return html.encode(), html
+
+    def add_page(url: str, html: str, lang: str, redirect_to: str | None = None) -> str:
+        raw, served = encode_html(html)
         urls.append(url)
-        htmls.append(html.encode())
-        texts.append(page_text(html))
+        htmls.append(raw)
+        texts.append(page_text(served))
         tss.append(warc_ts(url))
         langs.append(lang)
         redirect_tos.append(redirect_to)
+        return served
 
     for i in range(N_HOSTS):
         host = host_of(i)
@@ -294,6 +322,9 @@ def generate(
             (host, 2.0 if i == 2 else 0.5, 40 if i in (0, 1) else 200)
         )
 
+        host_enc = (
+            {2: "utf-16", 4: "latin-1"}.get(i % 5, "") if charsets else ""
+        )
         alias_map: dict[int, int] = {}
         if redirects:
             for j in range(D):
@@ -316,8 +347,8 @@ def generate(
             path = f"/private/job/{j:06d}" if j in private_set else f"/job/{j:06d}"
             url = f"https://{host}{path}"
             html = detail_html(source, family, j)
-            add_page(url, html, lang)
-            exp.append(extract_offer(url, source, html))
+            served = add_page(url, html, lang)
+            exp.append(extract_offer(url, source, served))
 
         # 3xx alias pages: empty body, redirect_to carries the Location
         for j, a in sorted(alias_map.items()):
@@ -396,6 +427,7 @@ def ensure_fixture(
     base: str | Path | None = None,
     desc_extra: int = 0,
     redirects: bool = False,
+    charsets: bool = False,
 ) -> Path:
     """Generate-once cache keyed by (scale, page weight); returns the dir.
 
@@ -412,11 +444,15 @@ def ensure_fixture(
         f"web{total_pages}"
         + (f"w{desc_extra}" if desc_extra else "")
         + ("r" if redirects else "")
+        + ("c" if charsets else "")
     )
     out = Path(base) / name
     marker = out / "_COMPLETE"
     if not (marker.exists() and marker.read_text() == FIXTURE_VERSION):
-        generate(total_pages, out, desc_extra=desc_extra, redirects=redirects)
+        generate(
+            total_pages, out, desc_extra=desc_extra, redirects=redirects,
+            charsets=charsets,
+        )
         marker.write_text(FIXTURE_VERSION)
     return out
 
