@@ -13,10 +13,14 @@ params) — plus the crawl-hygiene extension mandated by BASELINE.json
 4.  drop default ports (http:80, https:443)
 5.  percent-decode then minimally re-encode path & query (uppercase hex,
     unreserved chars decoded) — idempotent by construction
-6.  drop tracking params: ``utm_*``, gclid, fbclid, msclkid, yclid,
+6.  remove dot segments (RFC 3986 §5.2.4 / §6.2.2.3 path-segment
+    normalization: ``/a/../b`` ≡ ``/b``, ``/./x`` ≡ ``/x``) — clients
+    resolve these before requesting, so they alias one resource; runs
+    after decode so ``%2e%2e`` tricks normalize too
+7.  drop tracking params: ``utm_*``, gclid, fbclid, msclkid, yclid,
     mc_cid, mc_eid, igshid, _ga
-7.  sort remaining query params by (key, value); drop empty ``?``
-8.  empty path → ``/``
+8.  sort remaining query params by (key, value); drop empty ``?``
+9.  empty path → ``/``
 
 Exposed three ways:
 
@@ -57,6 +61,41 @@ _DEFAULT_PORT = {"http": "80", "https": "443"}
 # might need param sorting, so any query routes to the slow path).
 # Over-triggering the slow path is harmless — it is a no-op rewrite.
 _CLEAN_RE = re.compile(r"^(?:http|https)://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?/[^#%?\s]*$")
+# a '.' or '..' path segment routes to the slow path for removal
+_DOTSEG_RE = re.compile(r"/\.\.?(?:/|$)")
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
 
 
 def _is_tracking(key: str) -> bool:
@@ -85,7 +124,7 @@ def canonicalize_one(raw: str) -> str:
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT.get(scheme, ""):
         netloc = f"{host}:{port}"
-    path = quote(unquote(parts.path), safe=_PATH_SAFE) or "/"
+    path = _remove_dot_segments(quote(unquote(parts.path), safe=_PATH_SAFE)) or "/"
     query = ""
     if parts.query:
         kept = []
@@ -104,7 +143,7 @@ def canonicalize_one(raw: str) -> str:
 def canonicalize_series(s: pd.Series) -> pd.Series:
     """Vectorized canonicalization of a pandas Series of URL strings."""
     s = s.astype("object")
-    clean = s.str.match(_CLEAN_RE, na=False)
+    clean = s.str.match(_CLEAN_RE, na=False) & ~s.str.contains(_DOTSEG_RE, na=False)
     if clean.all():
         return s
     out = s.copy()
