@@ -89,6 +89,9 @@ _FRONT = [
     # new this round: AIMD adaptive politeness from observed fetch
     # outcomes; docs_simhash (r2-green, untouched) rotates to the tail
     "crawl_adaptive_politeness",
+    # new this round: anti-starvation frontier aging; docs_dedup_clusters
+    # (r2-green, untouched) rotates to the tail
+    "crawl_frontier_aging",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -123,6 +126,7 @@ _TAIL = [
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_simhash",
+    "docs_dedup_clusters",
     "docs_lang_id",
     "docs_quality",
     "docs_token_counts",

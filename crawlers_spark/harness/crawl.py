@@ -117,6 +117,50 @@ WHERE host_rank <= 5
 """
 
 
+# -------------------------------------- O2+ anti-starvation priority aging
+def q_frontier_aging(spark, sf):
+    """Aged top-k selection: effective priority = priority + 1 per
+    5 waves waited (capped 25), at wave 50 on the documents frontier
+    (whose discovered_ts varies by doc_id % 999 seconds, so ages span
+    33–50 waves and boosts 6–10 — the fold actually reorders hosts'
+    queues vs the unaged rank). Oracle restates the boost arithmetic
+    and the window rank in SQL.
+    """
+    from crawlers_spark.operators.frontier import (
+        select_wave_topk,
+        with_aged_priority,
+        with_salt,
+    )
+
+    fr = with_aged_priority(
+        _frontier(spark, sf), wave=50, wave_interval_s=60.0,
+        boost_every_waves=5, max_boost=25,
+    )
+    fr = with_salt(fr).withColumn("budget_k", F.lit(5))
+    return select_wave_topk(fr, priority_col="priority_aged").select(
+        "host", "url_canon", "priority_aged", "host_rank"
+    )
+
+
+SQL_FRONTIER_AGING = f"""
+SELECT host, url_canon, priority_aged, host_rank FROM (
+  SELECT host, expected_canon AS url_canon, priority_aged,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY priority_aged DESC,
+                    {_EPOCH} + to_seconds(doc_id % 999) ASC,
+                    expected_canon ASC) AS INT) AS host_rank
+  FROM (
+    SELECT *,
+           CAST(n_chars % 100
+                + LEAST(25, GREATEST(0,
+                    CAST(FLOOR(FLOOR((50*60 - doc_id % 999) / 60.0) / 5.0) AS INT)))
+             AS INT) AS priority_aged
+    FROM ({_SQL_URLS}) u) a) r
+WHERE host_rank <= 5
+"""
+
+
 # ------------------------------------------------ O4 exact seen anti-join
 def q_seen_antijoin(spark, sf):
     from crawlers_spark.operators.dedup import anti_join_seen
@@ -1067,6 +1111,7 @@ QUERIES = {
     "crawl_linkrank_boost": (q_linkrank_boost, SQL_LINKRANK_BOOST),
     "crawl_canonicalize_urls": (q_canonicalize, SQL_CANON),
     "crawl_frontier_topk_per_host": (q_frontier_topk, SQL_FRONTIER_TOPK),
+    "crawl_frontier_aging": (q_frontier_aging, SQL_FRONTIER_AGING),
     "crawl_seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTI),
     "crawl_bloom_dedup_exactness": (q_bloom_dedup, SQL_BLOOM),
     "crawl_cuckoo_dedup_exactness": (q_cuckoo_dedup, SQL_CUCKOO),

@@ -65,25 +65,67 @@ def detect_hot_hosts(
     )
 
 
-def _order_cols():
-    return [F.col("priority").desc(), F.col("discovered_ts").asc(), F.col("url_canon").asc()]
+def _order_cols(priority_col: str = "priority"):
+    return [
+        F.col(priority_col).desc(),
+        F.col("discovered_ts").asc(),
+        F.col("url_canon").asc(),
+    ]
 
 
-def select_wave_topk(frontier: DataFrame, budget_col: str = "budget_k") -> DataFrame:
+def with_aged_priority(
+    frontier: DataFrame,
+    wave: int,
+    wave_interval_s: float = 60.0,
+    *,
+    boost_every_waves: int = 10,
+    max_boost: int = 25,
+    out_col: str = "priority_aged",
+) -> DataFrame:
+    """Anti-starvation priority aging (Mercator/Heritrix wait-time
+    credit): a frontier row's effective priority grows by +1 for every
+    ``boost_every_waves`` waves it has waited since discovery, capped at
+    ``max_boost`` — so on a budget-bound host, old deep-pagination URLs
+    eventually outrank the stream of fresh higher-priority ones instead
+    of starving forever.
+
+    Age comes from the same pure wave clock the engine stamps
+    ``discovered_ts`` with (EPOCH + wave·interval) — a pure column
+    expression of (wave, discovered_ts), deterministic across runs and
+    resume; clamped at 0 for rows stamped in the future (recrawl
+    lastmod).
+    """
+    now_s = F.lit(wave * wave_interval_s)
+    epoch_s = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    age_waves = F.floor(
+        (now_s - (F.unix_timestamp("discovered_ts") - epoch_s)) / F.lit(wave_interval_s)
+    )
+    boost = F.least(
+        F.lit(max_boost),
+        F.greatest(F.lit(0), F.floor(age_waves / boost_every_waves)),
+    ).cast("int")
+    return frontier.withColumn(out_col, (F.col("priority") + boost).cast("int"))
+
+
+def select_wave_topk(
+    frontier: DataFrame,
+    budget_col: str = "budget_k",
+    priority_col: str = "priority",
+) -> DataFrame:
     """Deterministic per-host top-budget selection; adds ``host_rank``.
 
     Input must carry host, salt, priority, discovered_ts, url_canon and
     a per-row per-host budget column. Returns selected rows only.
     """
     # phase 1: prune within (host, salt) — bounded skew
-    w1 = Window.partitionBy("host", "salt").orderBy(*_order_cols())
+    w1 = Window.partitionBy("host", "salt").orderBy(*_order_cols(priority_col))
     pruned = (
         frontier.withColumn("_r1", F.row_number().over(w1))
         .where(F.col("_r1") <= F.col(budget_col))
         .drop("_r1")
     )
     # phase 2: exact per-host rank over ≤ budget·n_salts survivors
-    w2 = Window.partitionBy("host").orderBy(*_order_cols())
+    w2 = Window.partitionBy("host").orderBy(*_order_cols(priority_col))
     return (
         pruned.withColumn("host_rank", F.row_number().over(w2))
         .where(F.col("host_rank") <= F.col(budget_col))

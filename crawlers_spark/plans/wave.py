@@ -52,7 +52,12 @@ from crawlers_spark.operators.dedup import (
     CuckooShards,
 )
 from crawlers_spark.operators.fetch import build_pages_index, fetch_split
-from crawlers_spark.operators.frontier import detect_hot_hosts, select_wave_topk, with_salt
+from crawlers_spark.operators.frontier import (
+    detect_hot_hosts,
+    select_wave_topk,
+    with_aged_priority,
+    with_salt,
+)
 from crawlers_spark.operators.politeness import politeness_budget
 from crawlers_spark.operators.robots import robots_flag
 from crawlers_spark.sources.tables import SnapshotParquetIO
@@ -120,6 +125,14 @@ class CrawlConfig:
     # decode instead of assuming UTF-8 — w3lib resolution order; see
     # extraction/charset.py
     charset_sniff: bool = False
+    # anti-starvation frontier aging (operators/frontier.py
+    # `with_aged_priority`): +1 effective priority per N waves waited
+    # since discovery, capped. Enabling it also stamps discovered
+    # outlinks with the wave clock (instead of the constant EPOCH) so
+    # age is meaningful; both the stamp and the boost are pure
+    # functions of (wave, row) — deterministic across runs and resume.
+    age_boost_every: int | None = None
+    age_boost_cap: int = 25
     use_bloom: bool = True
     # seen-set prefilter: "bloom" (default; deletions left stale, exactness
     # guard keeps results correct), "cuckoo" (true deletions — the north
@@ -467,8 +480,17 @@ class CrawlEngine:
             if cfg.hot_host_threshold
             else self.hot_hosts
         )
+        if cfg.age_boost_every:
+            gated = with_aged_priority(
+                gated, wave, cfg.wave_interval_s,
+                boost_every_waves=cfg.age_boost_every,
+                max_boost=cfg.age_boost_cap,
+            )
         salted = with_salt(gated, hot)
-        selected = select_wave_topk(salted).persist()
+        selected = select_wave_topk(
+            salted,
+            priority_col="priority_aged" if cfg.age_boost_every else "priority",
+        ).persist()
 
         # O7 robots on the selected batch only (cheapest point: post-top-k)
         flagged = robots_flag(
@@ -598,7 +620,14 @@ class CrawlEngine:
                 F.greatest(F.lit(0), F.lit(100) - (F.col("depth") + 1)).cast("int").alias("priority"),
                 (F.col("depth") + 1).cast("int").alias("depth"),
                 "src_source",
-                F.lit(EPOCH).cast("timestamp").alias("discovered_ts"),
+                (
+                    F.expr(
+                        f"timestampadd(SECOND, CAST({wave} * "
+                        f"{int(cfg.wave_interval_s)} AS INT), TIMESTAMP '{EPOCH}')"
+                    )
+                    if cfg.age_boost_every
+                    else F.lit(EPOCH).cast("timestamp")
+                ).alias("discovered_ts"),
                 F.lit(0).alias("retry"),
             )
         )
