@@ -237,3 +237,32 @@ def bigram_stats(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+# ----------------------------------------------------------- PII scrubbing
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}[ \d]{6,}\d"
+
+
+def scrub_pii(text: Column) -> dict[str, Column]:
+    """Training-data PII redaction: emails, IPv4s, and international
+    phone numbers replaced with typed markers, plus per-kind counts.
+
+    Pure Catalyst regexp expressions (JVM-side, codegen-able); the
+    patterns stay inside the syntax subset Java regex and RE2 share, so
+    a DuckDB oracle replays them verbatim. Order matters: emails first
+    (their local parts may embed digits), IPs before phones (the phone
+    pattern must not eat dotted quads — it can't: it requires a ``+``
+    prefix and has no ``.``), markers last so replacements can't chain.
+    """
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("int"),
+        "n_ips": F.regexp_count(text, F.lit(PII_IP_RE)).cast("int"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("int"),
+    }

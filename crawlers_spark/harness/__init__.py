@@ -92,6 +92,11 @@ _FRONT = [
     # new this round: anti-starvation frontier aging; docs_dedup_clusters
     # (r2-green, untouched) rotates to the tail
     "crawl_frontier_aging",
+    # new this round: PII scrubbing + benchmark decontamination (the
+    # training-data curation pair); docs_exact_dedup and
+    # docs_minhash_lsh_pairs (r2-green, untouched) rotate to the tail
+    "docs_pii_scrub",
+    "docs_decontaminate",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -127,6 +132,8 @@ _TAIL = [
     "docs_simhash_near_pairs",
     "docs_simhash",
     "docs_dedup_clusters",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
     "docs_lang_id",
     "docs_quality",
     "docs_token_counts",

@@ -674,8 +674,106 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction over a corpus with deterministically planted PII
+    (synthetic docs carry none): every doc_id % 3 == 0 doc gains one
+    email, one international phone, and one IPv4. The scrubber
+    (`functions/textstats.py scrub_pii`) is pure Catalyst regexp
+    expressions whose patterns live in the Java-regex ∩ RE2 subset, so
+    DuckDB replays the exact replacements and counts.
+    """
+    from crawlers_spark.functions.textstats import scrub_pii
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example"),
+            F.lit(" now +33 1 23 45 6"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(" at 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 ok"),
+        ),
+    ).otherwise(F.col("text"))
+    cols = scrub_pii(planted)
+    return d.select(
+        "doc_id",
+        cols["scrubbed"].alias("scrubbed"),
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
+    )
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+_PII_IP_SQL = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PII_PHONE_SQL = "\\+\\d{1,3}[ \\d]{6,}\\d"
+
+SQL_PII_SCRUB = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id || '@mail.example'
+                   || ' now +33 1 23 45 6' || (doc_id % 10)
+                   || ' at 10.' || (doc_id % 200) || '.0.1 ok'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+         '{_PII_IP_SQL}', '<IP>', 'g'),
+         '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IP_SQL}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS INT) AS n_phones
+FROM planted
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: flag corpus docs sharing any 8-gram
+    with a benchmark set (every doc_id % 31 == 0 document stands in for
+    a held-out eval item, so its exact/near duplicates in the expanded
+    corpus MUST flag). Engine op: `operators/textdedup.py
+    contamination_flags` — Catalyst n-gram expansion, broadcast
+    semi-join against the (small) benchmark gram set, one per-doc count
+    shuffle."""
+    from crawlers_spark.operators.textdedup import contamination_flags
+
+    corpus = _corpus(spark, sf)
+    benchmark = load(spark, sf, "documents").where(F.col("doc_id") % 31 == 0).select("text")
+    return contamination_flags(corpus, benchmark, n=8)
+
+
+SQL_DECONTAMINATE = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ') AS gram
+  FROM (
+    SELECT ws, unnest(range(1, GREATEST(1, len(ws) - 6))) AS i
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 31 = 0) b) t),
+dgrams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ') AS gram
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, GREATEST(1, len(ws) - 6))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) c) t),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM dgrams WHERE gram IN (SELECT gram FROM bgrams)
+  GROUP BY doc_id)
+SELECT corpus.doc_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       COALESCE(hits.n_hits, 0) > 0 AS contaminated
+FROM corpus LEFT JOIN hits ON hits.doc_id = corpus.doc_id
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "docs_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "docs_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "docs_passage_dedup": (q_passage_dedup, SQL_PASSAGE),
     "docs_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "docs_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

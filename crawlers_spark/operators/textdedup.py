@@ -531,3 +531,55 @@ def passage_dedup_stats(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("_is_dup").cast("bigint").alias("n_dup_chunks"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C / PaLM style): flag
+    training documents sharing any ``n``-gram with a held-out benchmark
+    set, so evaluation data can be excised from the corpus.
+
+    ``benchmark`` carries a ``text`` column of benchmark items. Both
+    sides expand to overlapping word ``n``-grams with pure Catalyst
+    array expressions (split → sequence → transform/slice → explode);
+    docs keep per-doc DISTINCT grams so ``n_hits`` counts distinct
+    contaminated spans. The benchmark side is orders of magnitude
+    smaller than the corpus, so the semi-join broadcasts it; the corpus
+    side shuffles only (doc_id, gram-hash)-width rows for the per-doc
+    count.
+
+    Output: one row per doc — ``n_hits`` (distinct shared n-grams) and
+    ``contaminated`` (n_hits > 0).
+    """
+
+    def grams(df: DataFrame, keep_id: bool):
+        words = F.split(F.col(text_col), " ")
+        idx = F.when(
+            F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        cols = ([F.col(id_col)] if keep_id else []) + [F.explode(g).alias("gram")]
+        return df.select(*cols)
+
+    doc_grams = grams(docs, True).dropDuplicates([id_col, "gram"])
+    bench_grams = grams(benchmark, False).dropDuplicates(["gram"])
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

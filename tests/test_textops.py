@@ -310,3 +310,66 @@ def test_passage_dedup_matches_python_reference(spark):
         for r in passage_dedup_stats(df, chunk_words=K).collect()
     }
     assert got == expect
+
+
+def test_scrub_pii_hand_cases(spark):
+    from crawlers_spark.functions.textstats import scrub_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c%d@sub.ex.org and x@y.io end"),
+            (2, "call +33 1 23 45 67 89 now"),
+            (3, "host 192.168.0.1 and 10.0.0.255"),
+            (4, "clean text no pii"),
+            (5, "mix u@v.com +1 555 0100 42 1.2.3.4"),
+        ],
+        "id int, text string",
+    )
+    cols = scrub_pii(F.col("text"))
+    got = {
+        r.id: (r.s, r.ne, r.ni, r.np)
+        for r in df.select(
+            "id",
+            cols["scrubbed"].alias("s"),
+            cols["n_emails"].alias("ne"),
+            cols["n_ips"].alias("ni"),
+            cols["n_phones"].alias("np"),
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> and <EMAIL> end", 2, 0, 0)
+    assert got[2] == ("call <PHONE> now", 0, 0, 1)
+    assert got[3] == ("host <IP> and <IP>", 0, 2, 0)
+    assert got[4] == ("clean text no pii", 0, 0, 0)
+    assert got[5] == ("mix <EMAIL> <PHONE> <IP>", 1, 1, 1)
+
+
+def test_contamination_flags_hand_cases(spark):
+    from crawlers_spark.operators.textdedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains bench 3-grams: "the quick brown", "quick brown fox"
+            (1, "see the quick brown fox run"),
+            # no shared 3-gram (words shared, order differs)
+            (2, "brown quick the fox jumps not"),
+            # exact benchmark item: all 3 of its 3-grams hit
+            (3, "the quick brown fox jumps"),
+            # too short for any 3-gram
+            (4, "the quick"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in contamination_flags(docs, bench, n=3).collect()
+    }
+    assert got == {
+        1: (2, True),   # the-quick-brown, quick-brown-fox
+        2: (0, False),
+        3: (3, True),
+        4: (0, False),
+    }
