@@ -187,25 +187,54 @@ def extract_offers(fetched: DataFrame) -> DataFrame:
 
 _LINKS_SCHEMA = "url string, src_source string, depth int, out_url string, anchor string"
 
+# REP in-page directives (Google robots-meta spec): <meta name="robots">
+# content tokens + per-link rel="nofollow"
+_META_ROBOTS_RE = re.compile(
+    r'<meta\s+name="robots"\s+content="([^"]*)"', re.I
+)
+_REL_NOFOLLOW_RE = re.compile(r'\brel="[^"]*\bnofollow\b[^"]*"', re.I)
 
-def _outlink_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _meta_robots_flags(html: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """(noindex, nofollow) boolean masks from each page's robots meta
+    tag — one bounded regex extract per page, token-matched
+    case-insensitively per the robots-meta spec."""
+    content = html.str.extract(_META_ROBOTS_RE, expand=False).str.lower()
+    noindex = content.str.contains(r"\bnoindex\b", na=False)
+    nofollow = content.str.contains(r"\bnofollow\b", na=False)
+    return noindex, nofollow
+
+
+def _outlink_batches(
+    it: Iterator[pd.DataFrame], drop_nofollow: bool = False
+) -> Iterator[pd.DataFrame]:
     for pdf in it:
         if pdf.empty:
             continue
         html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
-        # (href, anchor-text) pairs in one pass; anchor = text up to the
+        # (attrs, anchor-text) pairs in one pass; anchor = text up to the
         # first nested tag — enough for the fixture's flat <a>text</a>
         # markup, and anchor text is only capturable at extraction time
         # (it is gone once the html is dropped from the pipeline)
-        links = html.str.findall(r'<a[^>]*\bhref="([^"]+)"[^>]*>([^<]*)')
+        links = html.str.findall(r"<a\b([^>]*)>([^<]*)")
         out = pdf[["url", "src_source", "depth"]].copy()
         out["pair"] = links
-        out = out.explode("pair").dropna(subset=["pair"])
+        # reset_index: explode duplicates the source index per link; all
+        # masks below must align positionally
+        out = out.explode("pair").dropna(subset=["pair"]).reset_index(drop=True)
         if out.empty:
             continue
-        out["out_url"] = out["pair"].str[0]
+        attrs = out["pair"].str[0]
+        out["out_url"] = attrs.str.extract(r'\bhref="([^"]+)"', expand=False)
         out["anchor"] = out["pair"].str[1].str.strip()
-        out = out.drop(columns=["pair"])
+        keep = out["out_url"].notna()
+        if drop_nofollow:
+            # REP link-level opt-out: rel="nofollow" (incl. multi-token
+            # rel values) — the link is never enqueued
+            keep &= ~attrs.str.contains(_REL_NOFOLLOW_RE)
+        out = out[keep].drop(columns=["pair"])
+        if out.empty:
+            continue
         # resolve root-relative hrefs against the page's scheme://host
         base = out["url"].str.extract(r"^(https?://[^/]+)", expand=False)
         rel = out["out_url"].str.startswith("/")
@@ -264,6 +293,7 @@ def extract_page_outputs(
     digests: bool = True,
     redirect_col: str | None = None,
     charset_sniff: bool = False,
+    meta_robots: bool = False,
 ) -> DataFrame:
     """ONE html pass producing every per-page output of a wave, as
     tagged rows (``kind``):
@@ -349,7 +379,19 @@ def extract_page_outputs(
                     pdf = pdf[~is_redirect]
                     if pdf.empty:
                         continue
-            detail = pdf[pdf["url_canon"].str.contains(detail_pattern, regex=False)]
+            if meta_robots:
+                # REP in-page directives: noindex pages yield no offer,
+                # nofollow pages expand no links (the page itself stays
+                # crawled/seen either way — that is the directive's
+                # semantics, distinct from robots.txt's fetch gate)
+                noindex, nofollow = _meta_robots_flags(pdf["html"])
+                link_src = pdf[~nofollow]
+                detail_src = pdf[~noindex]
+            else:
+                link_src = detail_src = pdf
+            detail = detail_src[
+                detail_src["url_canon"].str.contains(detail_pattern, regex=False)
+            ]
             if not detail.empty:
                 fam = (
                     pd.to_numeric(
@@ -360,7 +402,7 @@ def extract_page_outputs(
                 for family, sub in detail.groupby(fam):
                     off = _extract_family(sub.assign(url=sub["url_canon"]), int(family))
                     yield _shape("offer", off.rename(columns={"source": "src_source"}))
-            for links in _outlink_batches(iter([pdf])):
+            for links in _outlink_batches(iter([link_src]), drop_nofollow=meta_robots):
                 yield _shape("link", links)
 
     # missing meta columns fall back to a typed NULL matching the

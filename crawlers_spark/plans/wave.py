@@ -125,6 +125,12 @@ class CrawlConfig:
     # decode instead of assuming UTF-8 — w3lib resolution order; see
     # extraction/charset.py
     charset_sniff: bool = False
+    # obey in-page REP directives (robots-meta spec): <meta
+    # name="robots" content="noindex"> suppresses the page's offer,
+    # "nofollow" suppresses its outlink expansion, and per-link
+    # rel="nofollow" drops that link — distinct from robots.txt, which
+    # gates the FETCH; these gate what a fetched page contributes
+    meta_robots: bool = False
     # anti-starvation frontier aging (operators/frontier.py
     # `with_aged_priority`): +1 effective priority per N waves waited
     # since discovery, capped. Enabling it also stamps discovered
@@ -530,6 +536,7 @@ class CrawlEngine:
             digests=cfg.page_digests or bool(cfg.trap_check_every) or cfg.content_seen,
             redirect_col=redirect_col,
             charset_sniff=cfg.charset_sniff,
+            meta_robots=cfg.meta_robots,
         )
 
         retryable = (

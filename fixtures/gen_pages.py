@@ -124,7 +124,7 @@ def detail_fields(source: str, job_id: int) -> dict:
     }
 
 
-def detail_html(source: str, family: int, job_id: int) -> str:
+def detail_html(source: str, family: int, job_id: int, robots_meta: str = "") -> str:
     f = detail_fields(source, job_id)
     date_s = _date_str(family, f"{source}|{job_id}")
     if family == 0:
@@ -169,8 +169,9 @@ def detail_html(source: str, family: int, job_id: int) -> str:
         )
     related = job_id + 1
     rel_link = f'<a class="related" href="/job/{related:06d}">voir aussi</a>'
+    meta = f'<meta name="robots" content="{robots_meta}">' if robots_meta else ""
     return (
-        f"<html><head><title>{f['title']}</title></head><body>\n{body}\n{rel_link}\n</body></html>"
+        f"<html><head>{meta}<title>{f['title']}</title></head><body>\n{body}\n{rel_link}\n</body></html>"
     )
 
 
@@ -194,16 +195,20 @@ def alias_href(j: int, kind: int) -> str:
     return f"/go2/{j:06d}" if kind == 1 else f"/go/{j:06d}"
 
 
-def list_html(host: str, source: str, family: int, page: int, job_ids: list[int], n_pages: int, private_set: set[int], alias_map: dict[int, int] | None = None) -> str:
+def list_html(host: str, source: str, family: int, page: int, job_ids: list[int], n_pages: int, private_set: set[int], alias_map: dict[int, int] | None = None, nofollow_set: set[int] | None = None) -> str:
     alias_map = alias_map or {}
+    nofollow_set = nofollow_set or set()
 
     def href(j: int) -> str:
         if j in alias_map:
             return alias_href(j, alias_map[j])
         return messy_detail_href(host, j, j in private_set)
 
+    def rel(j: int) -> str:
+        return ' rel="nofollow"' if j in nofollow_set else ""
+
     rows = "\n".join(
-        f'<li><a class="job-link" href="{href(j)}">'
+        f'<li><a class="job-link"{rel(j)} href="{href(j)}">'
         f"{detail_fields(source, j)['title']}</a></li>"
         for j in job_ids
     )
@@ -247,8 +252,16 @@ def generate(
     desc_extra: int = 0,
     redirects: bool = False,
     charsets: bool = False,
+    meta_robots: bool = False,
 ) -> dict:
     """Write pages/seeds/robots/politeness/expected_offers under out_dir.
+
+    With ``meta_robots=True`` a deterministic slice of non-private
+    detail pages carries ``<meta name="robots" content="noindex">``
+    (crawled but yields no offer) or ``content="nofollow"`` (offer
+    kept, related link not followed), and a slice of list anchors gains
+    ``rel="nofollow"``. ``expected_offers`` still lists every detail
+    page; tests compute reachability/indexability per the REP rules.
 
     With ``redirects=True`` the corpus gains a ``redirect_to`` column
     and a deterministic slice of non-private jobs is linked via legacy
@@ -332,11 +345,23 @@ def generate(
                     a = h(f"redir|{host}|{j}") % 6
                     if a in (0, 1):
                         alias_map[j] = a
+        meta_map: dict[int, str] = {}
+        nofollow_set: set[int] = set()
+        if meta_robots:
+            for j in range(D):
+                if j not in private_set:
+                    k = h(f"meta|{host}|{j}") % 11
+                    if k == 0:
+                        meta_map[j] = "noindex"
+                    elif k == 1:
+                        meta_map[j] = "nofollow"
+                if h(f"nf|{host}|{j}") % 7 == 0:
+                    nofollow_set.add(j)
 
         for p in range(1, P + 1):
             job_ids = list(range((p - 1) * JOBS_PER_LIST, min(p * JOBS_PER_LIST, D)))
             url = f"https://{host}/jobs" if p == 1 else f"https://{host}/jobs?page={p}"
-            html = list_html(host, source, family, p, job_ids, P, private_set, alias_map)
+            html = list_html(host, source, family, p, job_ids, P, private_set, alias_map, nofollow_set)
             if redirects and i == 3 and p == 1:
                 html = html.replace(
                     "</body>", '<a class="loop" href="/loopA">legacy</a>\n</body>'
@@ -346,7 +371,7 @@ def generate(
         for j in range(D):
             path = f"/private/job/{j:06d}" if j in private_set else f"/job/{j:06d}"
             url = f"https://{host}{path}"
-            html = detail_html(source, family, j)
+            html = detail_html(source, family, j, robots_meta=meta_map.get(j, ""))
             served = add_page(url, html, lang)
             exp.append(extract_offer(url, source, served))
 
@@ -428,6 +453,7 @@ def ensure_fixture(
     desc_extra: int = 0,
     redirects: bool = False,
     charsets: bool = False,
+    meta_robots: bool = False,
 ) -> Path:
     """Generate-once cache keyed by (scale, page weight); returns the dir.
 
@@ -445,13 +471,14 @@ def ensure_fixture(
         + (f"w{desc_extra}" if desc_extra else "")
         + ("r" if redirects else "")
         + ("c" if charsets else "")
+        + ("m" if meta_robots else "")
     )
     out = Path(base) / name
     marker = out / "_COMPLETE"
     if not (marker.exists() and marker.read_text() == FIXTURE_VERSION):
         generate(
             total_pages, out, desc_extra=desc_extra, redirects=redirects,
-            charsets=charsets,
+            charsets=charsets, meta_robots=meta_robots,
         )
         marker.write_text(FIXTURE_VERSION)
     return out
