@@ -97,6 +97,9 @@ _FRONT = [
     # docs_minhash_lsh_pairs (r2-green, untouched) rotate to the tail
     "docs_pii_scrub",
     "docs_decontaminate",
+    # new this round: CDX/SURT capture-index keying; crawl_lineage_rollup
+    # (r2-green, untouched) rotates to the tail
+    "crawl_cdx_surt",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -128,6 +131,7 @@ _FRONT = [
 _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
+    "crawl_lineage_rollup",
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_simhash",

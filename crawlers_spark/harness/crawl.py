@@ -161,6 +161,30 @@ WHERE host_rank <= 5
 """
 
 
+# ----------------------------------------- CDX/SURT capture-index keying
+def q_cdx_surt(spark, sf):
+    """SURT keys (Common Crawl CDX index ordering) for every canonical
+    URL — reversed comma-joined host labels + ')' + path?query, built
+    from pure JVM column expressions (sources/cdx.py `surt_key`); the
+    oracle restates the transform with DuckDB list ops. The sorted
+    range-partitioned write layout is pytest-asserted (test_sources)."""
+    from crawlers_spark.sources.cdx import surt_key
+
+    return _frontier(spark, sf).select("doc_id", surt_key().alias("surt"))
+
+
+SQL_CDX_SURT = f"""
+SELECT doc_id,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')'
+         || CASE WHEN tail = '' THEN '/' ELSE tail END AS surt
+FROM (
+  SELECT doc_id, host,
+         regexp_replace(expected_canon, '^https?://[^/]*', '') AS tail
+  FROM ({_SQL_URLS}) u) t
+"""
+
+
 # ------------------------------------------------ O4 exact seen anti-join
 def q_seen_antijoin(spark, sf):
     from crawlers_spark.operators.dedup import anti_join_seen
@@ -1128,6 +1152,7 @@ QUERIES = {
     "crawl_sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "crawl_recrawl_candidates": (q_recrawl_candidates, SQL_RECRAWL),
     "crawl_warc_read": (q_warc_read, SQL_WARC_READ),
+    "crawl_cdx_surt": (q_cdx_surt, SQL_CDX_SURT),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),
     "crawl_outlink_udtf": (q_outlink_udtf, SQL_OUTLINKS_UDTF),
     "crawl_lineage_rollup": (q_lineage_rollup, SQL_LINEAGE),

@@ -1,0 +1,60 @@
+"""CDX(J)-style capture index over crawled pages (Common Crawl's URL
+index layout: one record per capture, keyed by SURT, globally sorted so
+range lookups are file-prunable).
+
+SURT (Sort-friendly URI Reordering Transform, the key the CDX ecosystem
+sorts by): reversed comma-joined host labels, then ``)/`` and the path+
+query — ``https://sub.example.com/x?q=1`` → ``com,example,sub)/x?q=1``.
+Built here entirely from JVM-side column expressions (split / reverse /
+array_join / regexp), so index construction is scan-side codegen.
+
+Writing a globally sorted index at 100 TB is NOT ``orderBy().write``
+(that materializes a global sort whose final exchange is fine, but the
+anti-pattern is coalescing to one file): ``write_cdx`` uses
+``repartitionByRange(surt)`` + ``sortWithinPartitions`` — each output
+file covers a disjoint SURT range and is internally sorted, which is
+exactly the binary-searchable layout CDX consumers (and Common Crawl's
+own index shards) rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def surt_key(url_col: str = "url_canon") -> F.Column:
+    """SURT of a canonical URL, as a pure column expression."""
+    c = F.col(url_col)
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # path + query, exactly as they appear after the authority
+    tail = F.regexp_replace(c, r"^https?://[^/]*", "")
+    return F.concat(rev_host, F.lit(")"), F.when(tail == "", "/").otherwise(tail))
+
+
+def cdx_records(pages: DataFrame, url_col: str = "url_canon") -> DataFrame:
+    """One CDX record per capture: (surt, url, warc_ts, digest?).
+
+    ``digest`` passes through when the input carries ``content_digest``
+    (the fused pass's md5-of-visible-text) — the CDXJ dedup field.
+    """
+    cols = [
+        surt_key(url_col).alias("surt"),
+        F.col(url_col).alias("url"),
+        F.col("warc_ts"),
+    ]
+    if "content_digest" in pages.columns:
+        cols.append(F.col("content_digest").alias("digest"))
+    return pages.select(*cols)
+
+
+def write_cdx(records: DataFrame, path: str, *, shards: int = 8) -> None:
+    """Write the index globally sorted by (surt, warc_ts): disjoint
+    SURT ranges per file, sorted within — binary-searchable shards."""
+    (
+        records.repartitionByRange(shards, "surt", "warc_ts")
+        .sortWithinPartitions("surt", "warc_ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

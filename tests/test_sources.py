@@ -156,3 +156,54 @@ def test_warc_writer_round_trip(spark, tmp_path):
     write_warc_pages(src.repartition(2), str(out)).collect()
     second = {p.name: p.read_bytes() for p in out.glob("*.warc.gz")}
     assert first == second
+
+
+def test_cdx_surt_and_sorted_shards(spark, tmp_path):
+    """SURT keying + the range-partitioned sorted index layout: every
+    shard internally sorted, shard ranges disjoint and ascending in
+    shard order → globally binary-searchable."""
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.sources.cdx import cdx_records, surt_key, write_cdx
+
+    pages = spark.createDataFrame(
+        [
+            ("https://sub.example.com/x?q=1", "2024-01-01 00:00:01"),
+            ("https://example.com/", "2024-01-01 00:00:02"),
+            ("https://a.org/deep/path", "2024-01-01 00:00:03"),
+            ("https://b.a.org/z", "2024-01-01 00:00:04"),
+        ]
+        * 50,
+        "url_canon string, ts string",
+    ).select("url_canon", F.col("ts").cast("timestamp").alias("warc_ts"))
+
+    got = {r.url_canon: r.surt for r in pages.select("url_canon", surt_key().alias("surt")).distinct().collect()}
+    assert got == {
+        "https://sub.example.com/x?q=1": "com,example,sub)/x?q=1",
+        "https://example.com/": "com,example)/",
+        "https://a.org/deep/path": "org,a)/deep/path",
+        "https://b.a.org/z": "org,a,b)/z",
+    }
+
+    out = str(tmp_path / "cdx")
+    write_cdx(cdx_records(pages), out, shards=4)
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1
+    prev_max = ""
+    total = 0
+    for f in files:
+        rows = con.execute(
+            f"SELECT surt, warc_ts FROM read_parquet('{f}')"
+        ).fetchall()
+        if not rows:
+            continue
+        assert rows == sorted(rows)          # sorted within shard
+        assert rows[0][0] >= prev_max        # shard ranges ascend
+        prev_max = rows[-1][0]
+        total += len(rows)
+    assert total == 200
