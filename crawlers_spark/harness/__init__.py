@@ -100,6 +100,9 @@ _FRONT = [
     # new this round: CDX/SURT capture-index keying; crawl_lineage_rollup
     # (r2-green, untouched) rotates to the tail
     "crawl_cdx_surt",
+    # new this round: URL-pattern frontier admission (allow/deny);
+    # crawl_sitemap_seeds (r2-green, untouched) rotates to the tail
+    "crawl_url_rules",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -132,6 +135,7 @@ _TAIL = [
     # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
     # this round — re-enters the window next round
     "crawl_lineage_rollup",
+    "crawl_sitemap_seeds",
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_simhash",

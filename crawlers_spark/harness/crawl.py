@@ -161,6 +161,28 @@ WHERE host_rank <= 5
 """
 
 
+# ------------------------------------ O13+ URL-pattern frontier admission
+def q_url_rules(spark, sf):
+    """Scrapy-LinkExtractor allow/deny admission: allow keeps /doc/
+    pages (private paths match too — '/doc/' is a substring match like
+    rlike), deny then removes doc_ids ending in 7 (deny wins). Pure
+    rlike filters; the oracle restates with regexp_matches."""
+    from crawlers_spark.operators.frontier import apply_url_rules
+
+    fr = _frontier(spark, sf)
+    return apply_url_rules(fr, allow=r"/doc/", deny=r"7(\?.*)?$").select(
+        "doc_id", "url_canon"
+    )
+
+
+SQL_URL_RULES = f"""
+SELECT doc_id, expected_canon AS url_canon
+FROM ({_SQL_URLS}) u
+WHERE regexp_matches(expected_canon, '/doc/')
+  AND NOT regexp_matches(expected_canon, '7(\\?.*)?$')
+"""
+
+
 # ----------------------------------------- CDX/SURT capture-index keying
 def q_cdx_surt(spark, sf):
     """SURT keys (Common Crawl CDX index ordering) for every canonical
@@ -1153,6 +1175,7 @@ QUERIES = {
     "crawl_recrawl_candidates": (q_recrawl_candidates, SQL_RECRAWL),
     "crawl_warc_read": (q_warc_read, SQL_WARC_READ),
     "crawl_cdx_surt": (q_cdx_surt, SQL_CDX_SURT),
+    "crawl_url_rules": (q_url_rules, SQL_URL_RULES),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),
     "crawl_outlink_udtf": (q_outlink_udtf, SQL_OUTLINKS_UDTF),
     "crawl_lineage_rollup": (q_lineage_rollup, SQL_LINEAGE),

@@ -130,3 +130,25 @@ def select_wave_topk(
         pruned.withColumn("host_rank", F.row_number().over(w2))
         .where(F.col("host_rank") <= F.col(budget_col))
     )
+
+
+def apply_url_rules(
+    df: DataFrame,
+    *,
+    allow: str | None = None,
+    deny: str | None = None,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Frontier admission by URL pattern (Scrapy ``LinkExtractor``
+    allow/deny semantics): with ``allow`` set, only matching URLs pass;
+    ``deny`` then removes matches (deny wins over allow). Pure JVM-side
+    ``rlike`` filters — pushed into the scan, zero Python.
+
+    Applied to DISCOVERED candidates (link expansion), not to seeds:
+    operators gate growth, the seed list is the operator's intent.
+    """
+    if allow:
+        df = df.where(F.col(url_col).rlike(allow))
+    if deny:
+        df = df.where(~F.col(url_col).rlike(deny))
+    return df

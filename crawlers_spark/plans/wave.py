@@ -53,6 +53,7 @@ from crawlers_spark.operators.dedup import (
 )
 from crawlers_spark.operators.fetch import build_pages_index, fetch_split
 from crawlers_spark.operators.frontier import (
+    apply_url_rules,
     detect_hot_hosts,
     select_wave_topk,
     with_aged_priority,
@@ -131,6 +132,11 @@ class CrawlConfig:
     # rel="nofollow" drops that link — distinct from robots.txt, which
     # gates the FETCH; these gate what a fetched page contributes
     meta_robots: bool = False
+    # URL-pattern frontier admission (Scrapy LinkExtractor allow/deny;
+    # deny wins): Java-regex rlike over url_canon, applied to DISCOVERED
+    # candidates at link expansion — seeds are exempt
+    url_allow: str | None = None
+    url_deny: str | None = None
     # anti-starvation frontier aging (operators/frontier.py
     # `with_aged_priority`): +1 effective priority per N waves waited
     # since discovery, capped. Enabling it also stamps discovered
@@ -645,6 +651,10 @@ class CrawlEngine:
         trap_hosts = self._read_trap_hosts()
         if trap_hosts is not None:
             discovered = discovered.join(F.broadcast(trap_hosts), "host", "left_anti")
+        if cfg.url_allow or cfg.url_deny:
+            discovered = apply_url_rules(
+                discovered, allow=cfg.url_allow, deny=cfg.url_deny
+            )
         discovered = discovered.persist()
 
         # Follow-up plans root at DISK copies (the staged rels when

@@ -71,3 +71,17 @@ def test_aging_crawl_full_coverage(spark):
     assert set(got_rows) == set(exp_rows)
     for url, e in exp_rows.items():
         assert got_rows[url]["extracted_text"] == e["extracted_text"], url
+
+
+def test_url_deny_rules_e2e(spark):
+    """CrawlConfig.url_deny: odd hosts allow /private/ via robots, but
+    the deny pattern keeps those URLs out of the frontier entirely —
+    exactly the private offers disappear, everything else unchanged."""
+    fx = ensure_fixture(300)
+    eng = make_engine(spark, fx, "url_deny_e2e", url_deny=r"/private/")
+    stats = eng.run(max_waves=40)
+    assert stats[-1]["quiesced"]
+    got = {r["url"] for r in eng.offers().select("url").collect()}
+    exp = {r["url"] for r in _reachable_expected(spark, fx).select("url").collect()}
+    assert got == {u for u in exp if "/private/" not in u}
+    assert got < exp  # the rule actually removed reachable offers
