@@ -103,6 +103,9 @@ _FRONT = [
     # new this round: URL-pattern frontier admission (allow/deny);
     # crawl_sitemap_seeds (r2-green, untouched) rotates to the tail
     "crawl_url_rules",
+    # new this round: robots-cache TTL scheduling; crawl_offsite_filter
+    # (r2-green, untouched) rotates to the tail
+    "crawl_robots_ttl",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -136,6 +139,7 @@ _TAIL = [
     # this round — re-enters the window next round
     "crawl_lineage_rollup",
     "crawl_sitemap_seeds",
+    "crawl_offsite_filter",
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_simhash",

@@ -161,6 +161,33 @@ WHERE host_rank <= 5
 """
 
 
+# --------------------------------------------- O7+ robots cache expiry
+def q_robots_ttl(spark, sf):
+    """Robots-cache TTL scheduling: each host's robots row fetched at
+    EPOCH + src_n hours; at now = EPOCH + 30 h with a 24 h TTL, exactly
+    the hosts fetched before hour 6 are stale and due a /robots.txt
+    refresh (operators/robots.py `stale_robots`)."""
+    from crawlers_spark.operators.robots import stale_robots
+
+    hosts = _frontier(spark, sf).select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    robots = hosts.select(
+        "host",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(hours=n)
+        ).alias("fetched_ts"),
+    )
+    return stale_robots(robots, "2024-01-02 06:00:00", ttl_hours=24).select(
+        "host", "robots_stale"
+    )
+
+
+SQL_ROBOTS_TTL = f"""
+SELECT DISTINCT host, src_n < 6 AS robots_stale
+FROM ({_SQL_URLS}) u
+"""
+
+
 # ------------------------------------ O13+ URL-pattern frontier admission
 def q_url_rules(spark, sf):
     """Scrapy-LinkExtractor allow/deny admission: allow keeps /doc/
@@ -1176,6 +1203,7 @@ QUERIES = {
     "crawl_warc_read": (q_warc_read, SQL_WARC_READ),
     "crawl_cdx_surt": (q_cdx_surt, SQL_CDX_SURT),
     "crawl_url_rules": (q_url_rules, SQL_URL_RULES),
+    "crawl_robots_ttl": (q_robots_ttl, SQL_ROBOTS_TTL),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),
     "crawl_outlink_udtf": (q_outlink_udtf, SQL_OUTLINKS_UDTF),
     "crawl_lineage_rollup": (q_lineage_rollup, SQL_LINEAGE),

@@ -330,3 +330,28 @@ def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
                                 "loc": pd.array(locs, dtype="string")})
 
     return robots.select("host", "rules").mapInPandas(derive, "host string, loc string")
+
+
+def stale_robots(
+    robots: DataFrame,
+    now_ts: str,
+    *,
+    ttl_hours: int = 24,
+    default_delay_s: float = 0.5,
+) -> DataFrame:
+    """Robots-cache expiry (REP caching guidance: cached robots.txt is
+    honored up to ~24 h; Scrapy caches per run, a long-running crawler
+    must refresh): flag hosts whose robots row is older than
+    ``ttl_hours`` relative to ``now_ts``.
+
+    Output adds ``robots_stale`` — the scheduler refetches flagged
+    hosts' /robots.txt ahead of their next wave (the refetch itself is
+    one politeness-bounded candidate per host). Host-cardinality input,
+    pure column expressions; RFC 9309 §2.4 allows serving from cache on
+    unreachability, so staleness schedules a refresh, never a fetch
+    block.
+    """
+    age_ok = F.col("fetched_ts") >= (
+        F.lit(now_ts).cast("timestamp") - F.expr(f"INTERVAL {int(ttl_hours)} HOURS")
+    )
+    return robots.withColumn("robots_stale", ~F.coalesce(age_ok, F.lit(False)))
