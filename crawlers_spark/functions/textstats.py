@@ -266,3 +266,53 @@ def scrub_pii(text: Column) -> dict[str, Column]:
         "n_ips": F.regexp_count(text, F.lit(PII_IP_RE)).cast("int"),
         "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("int"),
     }
+
+
+# ------------------------------------------------- sequence packing
+
+def pack_sequences(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 32,
+):
+    """Token-stream packing for training (concat-then-split, the
+    GPT-style data layout): docs are concatenated in deterministic
+    order and the stream is cut into fixed ``budget``-token training
+    sequences; a doc may span a cut. Packing is per-SHARD
+    (``hash(id) % n_shards``) so the cumulative sum parallelizes — one
+    window per shard, no global single-partition scan; at cluster
+    scale each shard packs independently exactly like a data-parallel
+    tokenizer worker.
+
+    Output per doc: ``shard``, ``n_tokens``, ``seq_first``/``seq_last``
+    (which training sequences the doc lands in, shard-local numbering)
+    and ``offset`` (token position of the doc's first token within
+    ``seq_first``). Pure integer window arithmetic — bit-exact in any
+    engine.
+    """
+    from pyspark.sql import Window
+
+    toks = token_count_ws(F.col(text_col))
+    d = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        toks.cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    end = F.sum("n_tokens").over(w)  # cumulative tokens incl. this doc
+    start = end - F.col("n_tokens")
+    seq_first = F.floor(start / budget).cast("bigint")
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        seq_first.alias("seq_first"),
+        # empty docs occupy no tokens: clamp so seq_last >= seq_first
+        F.greatest(seq_first, F.floor((end - 1) / budget).cast("bigint")).alias(
+            "seq_last"
+        ),
+        F.pmod(start, F.lit(budget)).cast("int").alias("offset"),
+    )

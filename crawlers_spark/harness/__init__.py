@@ -106,6 +106,9 @@ _FRONT = [
     # new this round: robots-cache TTL scheduling; crawl_offsite_filter
     # (r2-green, untouched) rotates to the tail
     "crawl_robots_ttl",
+    # new this round: GPT-style token-stream sequence packing;
+    # crawl_retry_policy (r2-green, untouched) rotates to the tail
+    "docs_sequence_packing",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -140,6 +143,7 @@ _TAIL = [
     "crawl_lineage_rollup",
     "crawl_sitemap_seeds",
     "crawl_offsite_filter",
+    "crawl_retry_policy",
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_simhash",

@@ -770,10 +770,42 @@ FROM corpus LEFT JOIN hits ON hits.doc_id = corpus.doc_id
 """
 
 
+def q_sequence_packing(spark, sf):
+    """GPT-style concat-then-split token-stream packing over the
+    expanded corpus (budget 512, 8 shards): per-shard window cumsum
+    gives every doc its (seq_first, seq_last, offset) in the training
+    stream — pure integer arithmetic, replayed verbatim by the SQL
+    window (`functions/textstats.py pack_sequences`)."""
+    from crawlers_spark.functions.textstats import pack_sequences
+
+    return pack_sequences(_corpus(spark, sf), budget=512, n_shards=8)
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+toks AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len({_SQL_WS_GUARD}) AS BIGINT) AS n_tokens
+  FROM corpus),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM toks)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum_end - n_tokens) // 512 AS BIGINT) AS seq_first,
+       GREATEST(CAST((cum_end - n_tokens) // 512 AS BIGINT),
+                CAST((cum_end - 1) // 512 AS BIGINT)) AS seq_last,
+       CAST((cum_end - n_tokens) % 512 AS INT) AS offset
+FROM cum
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "docs_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "docs_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "docs_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "docs_passage_dedup": (q_passage_dedup, SQL_PASSAGE),
     "docs_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "docs_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -373,3 +373,33 @@ def test_contamination_flags_hand_cases(spark):
         3: (3, True),
         4: (0, False),
     }
+
+
+def test_pack_sequences_hand_cases(spark):
+    """Hand-packed stream, budget 5, one shard: docs of 3/4/5/0/2
+    tokens → boundaries at token 5/10; doc b spans seqs 0-1, doc c
+    spans 1-2, the empty doc occupies no tokens (clamped), and the
+    final doc starts mid-seq 2."""
+    from crawlers_spark.functions.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),          # tokens 0-2   → seq 0, offset 0
+            (3, "d e f g"),        # tokens 3-6   → seqs 0-1, offset 3
+            (6, "h i j k l"),      # tokens 7-11  → seqs 1-2, offset 2
+            (9, ""),               # empty        → seq 2, offset 2
+            (12, "m n"),           # tokens 12-13 → seq 2, offset 2
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.seq_first, r.seq_last, r.offset)
+        for r in pack_sequences(docs, budget=5, n_shards=1).collect()
+    }
+    assert got == {
+        0: (0, 3, 0, 0, 0),
+        3: (0, 4, 0, 1, 3),
+        6: (0, 5, 1, 2, 2),
+        9: (0, 0, 2, 2, 2),
+        12: (0, 2, 2, 2, 2),
+    }
