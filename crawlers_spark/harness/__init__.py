@@ -109,6 +109,10 @@ _FRONT = [
     # new this round: GPT-style token-stream sequence packing;
     # crawl_retry_policy (r2-green, untouched) rotates to the tail
     "docs_sequence_packing",
+    # new this round: embedding-cosine dedup clusters (near-dup pairs →
+    # connected components); crawl_politeness_budget (r2-green,
+    # untouched) rotates to the tail
+    "embed_dedup_clusters",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -144,6 +148,7 @@ _TAIL = [
     "crawl_sitemap_seeds",
     "crawl_offsite_filter",
     "crawl_retry_policy",
+    "crawl_politeness_budget",
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_simhash",

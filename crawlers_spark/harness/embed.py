@@ -322,8 +322,55 @@ FROM assigned asg LEFT JOIN dominated dom ON dom.vec_id = asg.vec_id
 """
 
 
+def q_embed_clusters(spark, sf):
+    """Embedding-cosine dedup clusters: the LSH-bucketed near-dup pairs
+    (embed_near_dup_pairs) fed through the same pointer-doubling
+    connected-components used for text dedup — the full 'embedding
+    near-dup → cluster → keep canonical' curation path. The oracle
+    reuses the near-dup SQL as a CTE and closes it with the recursive
+    reachability fold."""
+    from crawlers_spark.operators.textdedup import connected_components
+
+    e = load(spark, sf, "embeddings")
+    corpus_ids = e.select("vec_id").unionByName(
+        e.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id")
+        )
+    )
+    pairs = q_near_dup(spark, sf).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return corpus_ids.join(comp, corpus_ids.vec_id == comp.id, "left").select(
+        "vec_id",
+        F.coalesce("cluster", "vec_id").alias("cluster"),
+        (F.coalesce("cluster", "vec_id") == F.col("vec_id")).alias("is_canonical"),
+    )
+
+
+SQL_EMBED_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({SQL_NEAR_DUP}),
+corpus AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 FROM embeddings WHERE vec_id % 10 = 0),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+comp AS (SELECT src AS id, min(lbl) AS cluster FROM reach GROUP BY src)
+SELECT c.vec_id,
+       COALESCE(comp.cluster, c.vec_id) AS cluster,
+       COALESCE(comp.cluster, c.vec_id) = c.vec_id AS is_canonical
+FROM corpus c LEFT JOIN comp ON comp.id = c.vec_id
+"""
+
+
 QUERIES = {
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embed_dedup_clusters": (q_embed_clusters, SQL_EMBED_CLUSTERS),
     "embed_semdedup_prune": (q_semdedup, SQL_SEMDEDUP),
     "embed_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "embed_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
