@@ -12,6 +12,7 @@ analog is per-spider text cleanup inside extraction callbacks (SURVEY
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -316,3 +317,48 @@ def pack_sequences(
         ),
         F.pmod(start, F.lit(budget)).cast("int").alias("offset"),
     )
+
+
+# ------------------------------------------------- text normalization
+
+def normalize_text_series(s):
+    """Dedup-key text normalization (the standard pre-dedup fold):
+    NFC unicode normalization → lowercase → accent folding (NFD, drop
+    combining marks, re-NFC). Matches DuckDB's
+    ``strip_accents(lower(nfc_normalize(x)))`` exactly — which is why
+    ``lower`` and not ``casefold`` (casefold maps ß→ss; SQL lower does
+    not), pinning one cross-engine-replayable definition. Pandas batch
+    path for the Arrow-vectorized pipeline; ASCII fast path skips the
+    per-row unicodedata work for the common case.
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    out = s.fillna("").astype("object")
+    ascii_mask = out.map(lambda t: t.isascii())
+    lowered = out.str.lower()
+    if bool((~ascii_mask).any()):
+        def fold(t: str) -> str:
+            t = unicodedata.normalize("NFC", t).lower()
+            t = "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if unicodedata.category(c) != "Mn"
+            )
+            return unicodedata.normalize("NFC", t)
+
+        lowered = lowered.copy()
+        lowered[~ascii_mask] = out[~ascii_mask].map(fold)
+    return lowered
+
+
+def normalize_text_udf():
+    """Arrow-batched UDF wrapper (built lazily: `pandas_udf` needs an
+    active session-side registration path)."""
+
+    @F.pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:
+        return normalize_text_series(s)
+
+    return _udf

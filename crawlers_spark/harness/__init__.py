@@ -113,6 +113,10 @@ _FRONT = [
     # connected components); crawl_politeness_budget (r2-green,
     # untouched) rotates to the tail
     "embed_dedup_clusters",
+    # new this round: dedup-key text normalization (NFC/lower/accent
+    # fold); crawl_politeness_from_robots (r2-green, untouched) rotates
+    # to the tail
+    "docs_text_normalize",
     # new this round: passage-level exact dedup (C4-style span dedup),
     # SemDedup semantic pruning over IVF cells, relational pivot, and
     # the two-phase exact-median rank selection
@@ -149,6 +153,7 @@ _TAIL = [
     "crawl_offsite_filter",
     "crawl_retry_policy",
     "crawl_politeness_budget",
+    "crawl_politeness_from_robots",
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_simhash",

@@ -801,11 +801,44 @@ FROM cum
 """
 
 
+def q_text_normalize(spark, sf):
+    """Dedup-key normalization (NFC → lower → accent fold) over a
+    corpus with deterministically planted accented/uppercase suffixes
+    (the synthetic docs are plain ASCII): the Arrow-batched fold must
+    match DuckDB's ``strip_accents(lower(nfc_normalize(x)))`` byte for
+    byte — the shared cross-engine definition pinned in
+    ``functions/textstats.py normalize_text_series``."""
+    from crawlers_spark.functions.textstats import normalize_text_udf
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" Éléphant Ça FAÇADE crème Brûlée naÏve")),
+    ).when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.col("text"), F.lit(" MIXED Case ASCII Tail")),
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", normalize_text_udf()(planted).alias("normalized"))
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       strip_accents(lower(nfc_normalize(
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' Éléphant Ça FAÇADE crème Brûlée naÏve'
+              WHEN doc_id % 4 = 1
+              THEN text || ' MIXED Case ASCII Tail'
+              ELSE text END))) AS normalized
+FROM documents
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "docs_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "docs_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "docs_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "docs_text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "docs_passage_dedup": (q_passage_dedup, SQL_PASSAGE),
     "docs_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "docs_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

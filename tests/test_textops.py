@@ -403,3 +403,37 @@ def test_pack_sequences_hand_cases(spark):
         9: (0, 0, 2, 2, 2),
         12: (0, 2, 2, 2, 2),
     }
+
+
+def test_normalize_text_hand_cases():
+    """The pinned cross-engine normalization: NFC → lower → accent
+    fold; lower (not casefold — SQL lower keeps ß) so DuckDB's
+    strip_accents(lower(nfc_normalize(x))) replays it byte-for-byte."""
+    import pandas as pd
+
+    from crawlers_spark.functions.textstats import normalize_text_series
+
+    got = list(
+        normalize_text_series(
+            pd.Series(
+                [
+                    "Éléphant Ça FAÇADE",
+                    "crème BRÛLÉE naÏve",
+                    "ÜBER straße",      # ß survives (lower, not casefold)
+                    "œuvre Æon",        # ligatures survive (not accents)
+                    "PLAIN ascii 42!",
+                    "",
+                    None,
+                ]
+            )
+        )
+    )
+    assert got == [
+        "elephant ca facade",
+        "creme brulee naive",
+        "uber straße",
+        "œuvre æon",
+        "plain ascii 42!",
+        "",
+        "",
+    ]
