@@ -102,3 +102,39 @@ def test_redirects_off_loses_alias_only_jobs(spark, fxr):
     assert missing <= (aliased_targets & exp)
     assert missing
     assert got <= exp
+
+
+def test_kill_and_resume_mid_redirect_chain(spark, fxr, crawled_r):
+    """Interrupt after 3 waves — mid-flight of the alias→target chains —
+    and resume with a NEW engine on the same state dir: wave log and
+    offers must be identical to the uninterrupted redirect run
+    (redirect rows ride the committed wave_out like any other kind, so
+    the chain's pending targets survive the restart)."""
+    import json
+
+    from crawlers_spark.plans.wave import CrawlConfig, CrawlEngine
+    from tests.test_crawl_e2e import STATE
+
+    full, _ = crawled_r
+    part = make_engine(spark, fxr, "redirect_resume", follow_redirects=True)
+    part.run(max_waves=3)
+    assert part.io.last_committed_wave() == 3
+    resumed = CrawlEngine(
+        spark,
+        str(fxr / "pages.parquet"),
+        json.loads((fxr / "seeds.json").read_text()),
+        spark.read.parquet(str(fxr / "robots.parquet")),
+        spark.read.parquet(str(fxr / "politeness.parquet")),
+        STATE / "redirect_resume",
+        CrawlConfig(
+            hot_hosts={"src0.example": 4, "src1.example": 4},
+            follow_redirects=True,
+        ),
+    )
+    resumed.run(max_waves=40)
+    assert sorted(map(tuple, resumed.wave_log().collect())) == sorted(
+        map(tuple, full.wave_log().collect())
+    )
+    assert sorted(r["url"] for r in resumed.offers().select("url").collect()) == sorted(
+        r["url"] for r in full.offers().select("url").collect()
+    )
