@@ -188,18 +188,33 @@ def extract_offers(fetched: DataFrame) -> DataFrame:
 _LINKS_SCHEMA = "url string, src_source string, depth int, out_url string, anchor string"
 
 # REP in-page directives (Google robots-meta spec): <meta name="robots">
-# content tokens + per-link rel="nofollow"
-_META_ROBOTS_RE = re.compile(
-    r'<meta\s+name="robots"\s+content="([^"]*)"', re.I
+# content tokens + per-link rel="nofollow". Real REP parsers (w3lib,
+# Protego consumers) accept either attribute ORDER, either quote style,
+# and extra attributes in the tag — two bounded within-tag regexes
+# cover name-then-content and content-then-name (r3 ADVICE: the old
+# single double-quoted fixed-order pattern silently missed variants).
+_META_NC_RE = re.compile(
+    r'<meta\b[^>]*\bname\s*=\s*["\']?robots["\']?[^>]*'
+    r'\bcontent\s*=\s*(["\'])([^"\']*)\1',
+    re.I,
 )
-_REL_NOFOLLOW_RE = re.compile(r'\brel="[^"]*\bnofollow\b[^"]*"', re.I)
+_META_CN_RE = re.compile(
+    r'<meta\b[^>]*\bcontent\s*=\s*(["\'])([^"\']*)\1[^>]*'
+    r'\bname\s*=\s*["\']?robots["\']?',
+    re.I,
+)
+_REL_NOFOLLOW_RE = re.compile(r'\brel\s*=\s*(["\'])[^"\']*\bnofollow\b[^"\']*\1', re.I)
 
 
 def _meta_robots_flags(html: pd.Series) -> tuple[pd.Series, pd.Series]:
     """(noindex, nofollow) boolean masks from each page's robots meta
-    tag — one bounded regex extract per page, token-matched
-    case-insensitively per the robots-meta spec."""
-    content = html.str.extract(_META_ROBOTS_RE, expand=False).str.lower()
+    tag — two bounded regex extracts per page (attr order variants),
+    token-matched case-insensitively per the robots-meta spec."""
+    content = (
+        html.str.extract(_META_NC_RE, expand=True)[1]
+        .fillna(html.str.extract(_META_CN_RE, expand=True)[1])
+        .str.lower()
+    )
     noindex = content.str.contains(r"\bnoindex\b", na=False)
     nofollow = content.str.contains(r"\bnofollow\b", na=False)
     return noindex, nofollow

@@ -257,15 +257,22 @@ def scrub_pii(text: Column) -> dict[str, Column]:
     (their local parts may embed digits), IPs before phones (the phone
     pattern must not eat dotted quads — it can't: it requires a ``+``
     prefix and has no ``.``), markers last so replacements can't chain.
+
+    Each count is taken on the string the corresponding replacement ran
+    on (emails on the raw text, IPs on the email-scrubbed text, phones
+    on the IP-scrubbed text), so ``n_*`` always equals the number of
+    markers actually inserted — a phone-shaped digit run inside an
+    email's local part is swallowed by ``<EMAIL>`` and must not count
+    as a phone (r3 ADVICE).
     """
-    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
-    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
-    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IP_RE, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
     return {
         "scrubbed": scrubbed,
         "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("int"),
-        "n_ips": F.regexp_count(text, F.lit(PII_IP_RE)).cast("int"),
-        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("int"),
+        "n_ips": F.regexp_count(after_email, F.lit(PII_IP_RE)).cast("int"),
+        "n_phones": F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("int"),
     }
 
 

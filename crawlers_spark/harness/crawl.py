@@ -360,7 +360,7 @@ def q_robots_rfc9309(spark, sf):
 
     fr = _frontier(spark, sf)
     hosts = fr.select("host").distinct()
-    n = F.regexp_extract("host", r"(\d+)", 1).cast("int") % 4
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int") % 5
     rules = (
         # longest-match: Allow(15) beats mid-path-wildcard Disallow(8)
         F.when(n == 0, F.lit(
@@ -372,9 +372,14 @@ def q_robots_rfc9309(spark, sf):
         .when(n == 2, F.lit("User-agent: *\nDisallow: /doc/\nAllow: /doc/$\n"))
         # agent-group selection: otherbot's blanket Disallow must not
         # leak onto our agent's group
-        .otherwise(F.lit(
+        .when(n == 3, F.lit(
             "User-agent: otherbot\nDisallow: /\n\n"
             "User-agent: crawlers-spark\nDisallow: /private/*$\n"))
+        # matched-but-EMPTY group: naming our agent with zero rules means
+        # allow-all for us — no fallback to the '*' blanket Disallow
+        .otherwise(F.lit(
+            "User-agent: crawlers-spark\nCrawl-delay: 7\n\n"
+            "User-agent: *\nDisallow: /\n"))
     )
     robots = hosts.withColumn("rules", rules)
     return robots_flag(fr, robots, mode="rfc9309").select(
@@ -384,11 +389,12 @@ def q_robots_rfc9309(spark, sf):
 
 SQL_ROBOTS_RFC9309 = f"""
 SELECT doc_id, expected_canon AS url_canon,
-       CASE src_n % 4
+       CASE src_n % 5
          WHEN 0 THEN ncpath NOT LIKE '%ivate%' OR ncpath LIKE '/private/doc/1%'
          WHEN 1 THEN NOT regexp_matches(ncpath, '^/doc/.*2$')
          WHEN 2 THEN NOT (ncpath LIKE '/doc/%' AND ncpath <> '/doc/')
-         ELSE NOT (ncpath LIKE '/private/%')
+         WHEN 3 THEN NOT (ncpath LIKE '/private/%')
+         ELSE TRUE
        END AS robots_ok
 FROM (
   SELECT doc_id, expected_canon, src_n,

@@ -720,14 +720,16 @@ WITH planted AS (
               ELSE text END AS text
   FROM documents)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-         '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
-         '{_PII_IP_SQL}', '<IP>', 'g'),
-         '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS scrubbed,
+       regexp_replace(after_ip, '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS scrubbed,
        CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{_PII_IP_SQL}')) AS INT) AS n_ips,
-       CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS INT) AS n_phones
-FROM planted
+       CAST(len(regexp_extract_all(after_email, '{_PII_IP_SQL}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ip, '{_PII_PHONE_SQL}')) AS INT) AS n_phones
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g') AS after_email,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                        '{_PII_IP_SQL}', '<IP>', 'g') AS after_ip
+  FROM planted) staged
 """
 
 

@@ -196,9 +196,13 @@ def _compile_rules_9309(rules: str, agent: str = USER_AGENT):
     case-insensitive exact match for ``agent`` (or a prefix of it, per
     Google's product-token matching); if none, the ``*`` groups.
     Multiple groups naming the same agent merge (RFC 9309 §2.2.1).
-    Empty-pattern rules are ignored (they match nothing).
+    Empty-pattern rules are ignored (they match nothing). A group that
+    NAMES our agent but carries zero rules is still the most specific
+    match — it means allow-all for this agent (RFC 9309 / Protego), so
+    evaluation must NOT fall back to the ``*`` group then.
     """
     want = agent.lower()
+    agent_named = False  # any UA line matched us, even in an empty group
     specific: list[tuple[str, bool]] = []
     star: list[tuple[str, bool]] = []
     current: list[list[tuple[str, bool]]] = []  # groups the open UA lines name
@@ -212,11 +216,11 @@ def _compile_rules_9309(rules: str, agent: str = USER_AGENT):
         val = val.strip()
         if key == "user-agent":
             token = val.lower()
-            bucket = (
-                specific
-                if token and token != "*" and (token == want or want.startswith(token))
-                else (star if token == "*" else None)
+            names_us = bool(token) and token != "*" and (
+                token == want or want.startswith(token)
             )
+            agent_named = agent_named or names_us
+            bucket = specific if names_us else (star if token == "*" else None)
             if not last_was_agent:
                 current = []
             if bucket is not None:
@@ -230,7 +234,7 @@ def _compile_rules_9309(rules: str, agent: str = USER_AGENT):
                 bucket.append((val, key == "allow"))
         else:  # crawl-delay / sitemap / unknown — ends the UA-line run only
             last_was_agent = False
-    chosen = specific if specific else star
+    chosen = specific if (specific or agent_named) else star
     if not chosen:
         return True
     normed = [(_normalize_pattern_9309(p), allow) for p, allow in chosen]

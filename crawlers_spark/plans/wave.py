@@ -826,7 +826,8 @@ class CrawlEngine:
     def run(self, max_waves: int = 50) -> list[dict]:
         """Run waves until quiesce (O11) or max_waves; resume-safe (O16).
 
-        With ``cfg.pipeline_waves`` (default), wave k's follow-up
+        With ``cfg.pipeline_waves`` enabled (OFF by default — see the
+        CrawlConfig comment and the BASELINE.md A/B), wave k's follow-up
         staging — frontier', filter shards, lineage, all small state
         over already-staged files, running while politeness-bounded
         waves leave most executor cores idle — overlaps wave k+1's plan
@@ -1210,9 +1211,12 @@ class CrawlEngine:
         the data listing is bounded. Safe at any point between waves:
         readers and resume see identical state."""
         rel = self.io.compact_table("wave_out")
-        # frontier + filter shards are latest-version-wins state; the
-        # checkpoint must not fold their historical snapshots together
-        self.io.checkpoint(snapshot_tables=("frontier", "bloom", "cuckoo"))
+        # frontier + filter shards + trap denylist are latest-version-wins
+        # state; the checkpoint must not fold their historical snapshots
+        # together (trap_hosts is monotone today, but folding would both
+        # scan every historical snapshot dir on read and resurrect
+        # removed hosts if gate semantics ever allow removal — r3 ADVICE)
+        self.io.checkpoint(snapshot_tables=("frontier", "bloom", "cuckoo", "trap_hosts"))
         return rel
 
     def expire(self, keep_waves: int = 100) -> dict:

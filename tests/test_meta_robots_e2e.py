@@ -122,3 +122,54 @@ def test_meta_robots_off_control(spark, fxm):
     got = {r["url"] for r in eng.offers().select("url").collect()}
     assert noindex & got  # noindex ignored → extracted
     assert got > (_bfs_reachable(pages) & got)  # nofollow edges followed → strictly more
+
+
+def test_meta_robots_tag_variants():
+    """The robots-meta matcher accepts what real REP parsers accept:
+    single quotes, reversed attribute order, extra attributes, odd
+    casing/whitespace — and does not misfire on other meta tags
+    (r3 ADVICE)."""
+    import pandas as pd
+
+    from crawlers_spark.extraction.extractors import _meta_robots_flags
+
+    html = pd.Series(
+        [
+            '<meta name="robots" content="noindex, nofollow">',   # strict form
+            "<meta name='robots' content='noindex'>",             # single quotes
+            '<meta content="nofollow" name="robots">',            # reversed order
+            '<meta charset="utf-8" name="robots" id="x" content="noindex" lang="fr">',
+            '<META NAME = "Robots"  CONTENT = "NOINDEX">',        # casing + spaces
+            "<meta name=robots content='noindex'>",               # unquoted name
+            '<meta name="description" content="noindex talk">',   # different meta
+            '<meta name="robots" content="all">',                 # robots, no directive
+            "<p>no meta at all</p>",
+        ]
+    )
+    noindex, nofollow = _meta_robots_flags(html)
+    assert list(noindex) == [True, True, False, True, True, True, False, False, False]
+    assert list(nofollow) == [True, False, True, False, False, False, False, False, False]
+
+
+def test_rel_nofollow_variants():
+    """rel=nofollow is honored in either quote style and among other
+    rel tokens."""
+    import pandas as pd
+
+    from crawlers_spark.extraction.extractors import _outlink_batches
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://h1/x"] * 1,
+            "src_source": ["src0"],
+            "depth": [0],
+            "html": [
+                '<a href="/a" rel="nofollow">a</a>'
+                '<a href="/b" rel=\'ugc nofollow\'>b</a>'
+                '<a href="/c" rel="me">c</a>'
+                '<a href="/d">d</a>'
+            ],
+        }
+    )
+    out = pd.concat(list(_outlink_batches(iter([pdf]), drop_nofollow=True)))
+    assert sorted(out["out_url"]) == ["https://h1/c", "https://h1/d"]

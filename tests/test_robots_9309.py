@@ -61,6 +61,7 @@ def _oracle_allowed(rules: str, path: str, agent: str = USER_AGENT) -> bool:
     groups: dict[str, list[tuple[str, bool]]] = {}
     open_tokens: list[str] = []
     last_was_agent = False
+    agent_named = False  # a UA line matched us, even in a rule-less group
     for raw in rules.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -70,7 +71,10 @@ def _oracle_allowed(rules: str, path: str, agent: str = USER_AGENT) -> bool:
         if key == "user-agent":
             if not last_was_agent:
                 open_tokens = []
-            open_tokens.append(val.lower())
+            tok = val.lower()
+            open_tokens.append(tok)
+            if tok and tok != "*" and (tok == want or want.startswith(tok)):
+                agent_named = True
             last_was_agent = True
         elif key in ("allow", "disallow"):
             last_was_agent = False
@@ -85,7 +89,9 @@ def _oracle_allowed(rules: str, path: str, agent: str = USER_AGENT) -> bool:
         if t and t != "*" and (t == want or want.startswith(t))
         for r in rs
     ]
-    chosen = specific if specific else groups.get("*", [])
+    # a matched-but-empty group is still the most specific match: allow
+    # all for this agent, no fallback to '*' (RFC 9309 / Protego)
+    chosen = specific if (specific or agent_named) else groups.get("*", [])
     best: tuple[int, bool] | None = None
     for pattern, allow in chosen:
         if _match_pattern(pattern, path):
@@ -146,6 +152,22 @@ Disallow: /extra
         # mid-pattern $ is literal
         ("User-agent: *\nDisallow: /a$b\n", "/a$b/c", False),
         ("User-agent: *\nDisallow: /a$b\n", "/ab/c", True),
+        # a group NAMING our agent with zero rules is still the most
+        # specific match → allow-all, no fallback to the '*' group
+        (
+            "User-agent: crawlers-spark\nCrawl-delay: 7\n\n"
+            "User-agent: *\nDisallow: /\n",
+            "/x",
+            True,
+        ),
+        ("User-agent: *\nDisallow: /\nUser-agent: crawlers-spark\n", "/x", True),
+        # ...but consecutive UA lines share the following rules, so this
+        # specific group is NOT empty
+        (
+            "User-agent: crawlers-spark\nUser-agent: *\nDisallow: /\n",
+            "/x",
+            False,
+        ),
     ],
 )
 def test_hand_cases_both_impls(rules, path, expect):

@@ -323,6 +323,10 @@ def test_scrub_pii_hand_cases(spark):
             (3, "host 192.168.0.1 and 10.0.0.255"),
             (4, "clean text no pii"),
             (5, "mix u@v.com +1 555 0100 42 1.2.3.4"),
+            # phone-shaped digit run INSIDE an email local part: swallowed
+            # by <EMAIL>, must not count as a phone (counts are taken on
+            # the progressively scrubbed string, r3 ADVICE)
+            (6, "reach +12345678901@ex.com soon"),
         ],
         "id int, text string",
     )
@@ -342,6 +346,7 @@ def test_scrub_pii_hand_cases(spark):
     assert got[3] == ("host <IP> and <IP>", 0, 2, 0)
     assert got[4] == ("clean text no pii", 0, 0, 0)
     assert got[5] == ("mix <EMAIL> <PHONE> <IP>", 1, 1, 1)
+    assert got[6] == ("reach <EMAIL> soon", 1, 0, 0)
 
 
 def test_contamination_flags_hand_cases(spark):

@@ -199,3 +199,37 @@ def test_gate_resume_determinism(spark, trapfx):
     assert sorted(r["host"] for r in resumed._read_trap_hosts().collect()) == sorted(
         r["host"] for r in full._read_trap_hosts().collect()
     )
+
+
+def test_compact_checkpoint_keeps_trap_denylist(spark, trapfx):
+    """compact()'s manifest checkpoint treats trap_hosts as a
+    latest-writer-wins snapshot table (r3 ADVICE): after checkpointing,
+    the denylist read resolves through the checkpoint to exactly the
+    newest snapshot dirs — not a union of every historical snapshot."""
+    eng = _make_engine(spark, trapfx, "trap_compact", trap_check_every=2)
+    eng.run(max_waves=30)
+    before = sorted(r["host"] for r in eng._read_trap_hosts().collect())
+    assert before == ["trap.example"]
+
+    eng.compact()
+    ckpt = eng.io._manifests()[0]
+    assert ckpt["meta"].get("checkpoint") is True
+    # folded entry lists ONE snapshot's dirs, and the read still works
+    n_gate_commits = sum(
+        1
+        for m in eng.io._manifests(use_checkpoint=False)
+        if "trap_hosts" in m.get("tables", {}) and not m["meta"].get("checkpoint")
+    )
+    assert len(ckpt["tables"]["trap_hosts"]) <= max(1, n_gate_commits)
+    assert sorted(r["host"] for r in eng._read_trap_hosts().collect()) == before
+    # a resumed engine through the checkpoint agrees
+    resumed = CrawlEngine(
+        spark,
+        str(trapfx / "pages.parquet"),
+        json.loads((trapfx / "seeds.json").read_text()),
+        eng.robots,
+        eng.politeness,
+        STATE / "trap_compact",
+        CrawlConfig(trap_check_every=2),
+    )
+    assert sorted(r["host"] for r in resumed._read_trap_hosts().collect()) == before
