@@ -140,7 +140,9 @@ def test_ann_plan_building_issues_no_driver_jobs(spark, vectors):
     sc.setJobGroup("plan-build-probe", "building plans only")
     try:
         lsh_topk(vectors.where("vec_id < 5"), vectors, n_dims=DIMS, k=3)
-        embedding_near_dup_pairs(vectors, n_dims=DIMS, threshold=0.9)
+        # n_vectors is metadata the caller supplies — deriving buckets
+        # from it must not run a count job either
+        embedding_near_dup_pairs(vectors, n_dims=DIMS, threshold=0.9, n_vectors=31)
         ivf_topk(vectors.where("vec_id < 5"), vectors, k=3, n_cells=4)
         jobs = sc.statusTracker().getJobIdsForGroup("plan-build-probe")
         assert list(jobs) == []
@@ -241,3 +243,83 @@ def test_semdedup_prune_drops_doubled_copies(spark):
     assert len(rows) == len(base) + len(doubled)
     assert dropped == {100, 102}
     assert kept == {i for i, _ in base}
+
+
+def test_bucket_derivation_scales_with_corpus():
+    """Scale-adaptive bucketing (r3 VERDICT): bucket counts grow with
+    the corpus so E[bucket size] stays bounded — the within-bucket pair
+    join is quadratic in bucket size, so this is what keeps SemDedup /
+    LSH near-dup linear-ish at warehouse scale."""
+    from crawlers_spark.operators.similarity import (
+        TARGET_BUCKET_ROWS,
+        derive_n_cells,
+        derive_n_planes,
+    )
+
+    for n in (1, 1000, 10**6, 10**9, 10**10):
+        cells = derive_n_cells(n)
+        assert n / cells <= TARGET_BUCKET_ROWS or cells == 1 and n <= TARGET_BUCKET_ROWS
+        planes = derive_n_planes(n)
+        assert 1 <= planes <= 24
+        if planes < 24:
+            assert n / 2**planes <= TARGET_BUCKET_ROWS
+    assert derive_n_cells(10**9) == 976563          # ~1k rows per cell
+    assert derive_n_planes(10**9) == 20             # 2^20 buckets
+    assert derive_n_cells(10**10) > derive_n_cells(10**9)
+    # the cap: beyond 2^24 buckets, shard the corpus instead
+    assert derive_n_planes(10**12) == 24
+
+
+def test_bucket_counts_required_or_derived(spark, vectors):
+    """No silent fixed default: the operators demand an explicit bucket
+    count or the corpus size to derive one from."""
+    from crawlers_spark.operators.similarity import semdedup_prune
+
+    with pytest.raises(ValueError, match="n_cells"):
+        semdedup_prune(vectors)
+    with pytest.raises(ValueError, match="n_planes"):
+        embedding_near_dup_pairs(vectors, n_dims=DIMS)
+    # explicit centroids make n_cells unnecessary
+    from crawlers_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(vectors, id_col="vec_id", vec_col="embedding", n_cells=4)
+    assert semdedup_prune(vectors, centroids=cents).count() == 31
+
+
+def test_semdedup_replicated_scale_bounds_cell_pair_join(spark):
+    """Replicated-scale guard (mirrors test_ivf_plan_has_no_corpus_
+    shuffle's intent for the pair join): at 64× the base corpus with
+    DERIVED cell count, the realized max cell size stays within a
+    small factor of the target, so the within-cell pair join is
+    O(n · cell_size), not O(n²). A fixed n_cells=8 would put ~1/8 of
+    the corpus in one cell here."""
+    from crawlers_spark.operators.similarity import derive_n_cells, ivf_assign, ivf_centroids, quantize as q
+
+    n = 4096
+    target = 64
+    corpus = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda d: F.sin(F.col("id") * 31 + d * 7).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    n_cells = derive_n_cells(n, target_cell_rows=target)
+    assert n_cells == n // target
+    cents = ivf_centroids(corpus, id_col="vec_id", vec_col="embedding", n_cells=n_cells)
+    assigned = ivf_assign(
+        corpus.select(F.col("vec_id"), q(F.col("embedding")).alias("v_q")),
+        cents,
+        vec_q="v_q",
+        n_probe=1,
+    )
+    sizes = [r["c"] for r in assigned.groupBy("cell").agg(F.count("*").alias("c")).collect()]
+    assert sum(sizes) == n
+    # skew tolerance: sin-grid vectors are not uniform over cells, but
+    # no cell may degenerate toward "most of the corpus"
+    assert max(sizes) <= 16 * target
+    # the pair-join upper bound stays linear-ish: sum(s^2) ≪ n^2
+    assert sum(s * s for s in sizes) < n * 32 * target
