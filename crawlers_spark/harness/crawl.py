@@ -326,6 +326,63 @@ WHERE doc_id % 2 = 1 OR first_wave > 5
 """
 
 
+# ------------------------------- O11+ conditional revisit (ETag / 304)
+def q_revalidate(spark, sf):
+    """Conditional-revisit split (``operators/recrawl.py
+    revalidate_candidates`` — the ETag / If-Modified-Since / 304
+    analog): every doc_id % 2 == 0 URL is "due" per its sitemap, but
+    only those whose RECORDED validator no longer matches the corpus's
+    current text hash are actually modified. Fixture knobs: doc_id % 4
+    == 1 docs changed since fetch (recorded digest is of the OLD text),
+    doc_id % 10 == 6 docs have no recorded validator (digests were off
+    — full GET fallback), doc_id % 10 == 8 docs vanished from the
+    corpus. The oracle replays the md5 comparisons verbatim (DuckDB's
+    md5 hashes the same UTF-8 bytes Spark's does).
+    """
+    from crawlers_spark.operators.recrawl import revalidate_candidates
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    urls = _doc_urls(spark, sf).join(docs, "doc_id")
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+
+    urls = with_canonical_url(urls)
+    d = F.col("doc_id")
+    due = urls.where(d % 2 == 0).select("doc_id", "url_canon")
+    corpus = urls.where(d % 10 != 8).select("url_canon", "text")
+    recorded = urls.where(d % 10 != 6).select(
+        "url_canon",
+        F.md5(
+            F.encode(
+                F.when(d % 4 == 1, F.concat(F.col("text"), F.lit("OLD")))
+                .otherwise(F.col("text")),
+                "UTF-8",
+            )
+        ).alias("content_digest"),
+    )
+    return revalidate_candidates(due, corpus, recorded).select(
+        "doc_id", "url_canon", "not_modified"
+    )
+
+
+SQL_REVALIDATE = f"""
+WITH u AS (
+  SELECT doc_id, expected_canon AS url_canon, d.text
+  FROM ({_SQL_URLS}) x JOIN documents d USING (doc_id)),
+due AS (SELECT doc_id, url_canon FROM u WHERE doc_id % 2 = 0),
+corpus AS (SELECT url_canon, md5(text) AS etag_now FROM u WHERE doc_id % 10 <> 8),
+recorded AS (
+  SELECT url_canon,
+         md5(CASE WHEN doc_id % 4 = 1 THEN text || 'OLD' ELSE text END) AS etag_rec
+  FROM u WHERE doc_id % 10 <> 6)
+SELECT due.doc_id, due.url_canon,
+       COALESCE(r.etag_rec IS NOT NULL AND c.etag_now IS NOT NULL
+                AND r.etag_rec = c.etag_now, FALSE) AS not_modified
+FROM due
+LEFT JOIN recorded r ON r.url_canon = due.url_canon
+LEFT JOIN corpus c ON c.url_canon = due.url_canon
+"""
+
+
 # ---------------------------------------------------- O7 robots.txt gate
 def q_robots_gate(spark, sf):
     from crawlers_spark.operators.robots import robots_flag
@@ -1195,6 +1252,7 @@ QUERIES = {
     "crawl_bloom_dedup_exactness": (q_bloom_dedup, SQL_BLOOM),
     "crawl_cuckoo_dedup_exactness": (q_cuckoo_dedup, SQL_CUCKOO),
     "crawl_recrawl_seen_semantics": (q_recrawl_seen, SQL_RECRAWL_SEEN),
+    "crawl_revalidate_semantics": (q_revalidate, SQL_REVALIDATE),
     "crawl_robots_gate": (q_robots_gate, SQL_ROBOTS),
     "crawl_robots_rfc9309": (q_robots_rfc9309, SQL_ROBOTS_RFC9309),
     "crawl_redirect_resolution": (q_redirect_resolution, SQL_REDIRECTS),

@@ -19,7 +19,7 @@ join keys and the (small) sitemap side can broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crawlers_spark.functions.canonicalize import with_canonical_url
@@ -78,4 +78,58 @@ def recrawl_candidates(
             F.lit(priority).cast("int").alias("priority"),
             "lastmod_ts",
         )
+    )
+
+
+def etag_expr(text: Column) -> Column:
+    """The corpus's current entity tag for a page: md5 of its ``text``
+    column — by the engine's pinned invariant (tests/test_traps.py
+    ``content_digest == md5(text)``) this equals the ``content_digest``
+    the fused extraction pass recorded at fetch time, so comparing the
+    two is exactly an ``If-None-Match`` revalidation."""
+    return F.md5(F.encode(text, "UTF-8"))
+
+
+def revalidate_candidates(
+    due: DataFrame,
+    pages_index: DataFrame,
+    recorded: DataFrame,
+    *,
+    etag_col: str = "content_digest",
+) -> DataFrame:
+    """Conditional revisit (the HttpCacheMiddleware / RFC 9110
+    validator analog): flag each due recrawl candidate ``not_modified``
+    when the corpus's CURRENT representation still matches the
+    validator recorded at last fetch — the 304 path. A 304 costs no
+    html read and no re-extraction: the caller refreshes the freshness
+    clock (seen stays intact) and only modified rows re-enter the
+    frontier.
+
+    ``recorded`` carries (url_canon, ``etag_col``) — the fused pass's
+    per-page content digest at the LAST fetch. The current validator is
+    computed scan-side from ``pages_index`` reading ONLY (url_canon,
+    text) — column pruning keeps ``html``, the corpus's dominant
+    column, entirely unread on the revalidation path; and the corpus
+    never shuffles: it is semi-joined against the broadcast due set
+    (recrawl batches are politeness-bounded, like fetch candidates).
+
+    A URL missing from the corpus, or whose recorded validator is null
+    (digests were off at fetch time), is treated as modified — exactly
+    how a real revalidation falls back to a full GET when it has no
+    validator to send.
+    """
+    current = pages_index.select(
+        "url_canon", etag_expr(F.col("text")).alias("_etag_now")
+    ).join(F.broadcast(due.select("url_canon").distinct()), "url_canon")
+    rec = recorded.select("url_canon", F.col(etag_col).alias("_etag_rec"))
+    return (
+        due.join(F.broadcast(rec), "url_canon", "left")
+        .join(F.broadcast(current), "url_canon", "left")
+        .withColumn(
+            "not_modified",
+            F.col("_etag_rec").isNotNull()
+            & F.col("_etag_now").isNotNull()
+            & (F.col("_etag_rec") == F.col("_etag_now")),
+        )
+        .drop("_etag_rec", "_etag_now")
     )

@@ -174,6 +174,15 @@ class CrawlConfig:
     trap_check_every: int | None = None
     trap_max_urls_per_content_pct: int = 300
     trap_max_repeat_seg_pct: int = 20
+    # conditional revisit (ETag / If-Modified-Since analog, Scrapy
+    # HttpCacheMiddleware's validator semantics): before tombstoning a
+    # recrawl candidate, compare the content digest recorded at last
+    # fetch against the corpus's current text hash (reading only
+    # (url_canon, text) — never html). Unchanged pages become a
+    # kind='revalidated' freshness record (no refetch, no
+    # re-extraction, seen intact); only changed pages re-enter the
+    # frontier. Needs page digests (force-enabled below).
+    revalidate: bool = False
     # Mercator content-seen test (operators/dedup.py
     # `content_seen_winners`): outlinks of a page whose content digest
     # was already seen (earlier wave, or a lower-url_canon page in the
@@ -539,7 +548,10 @@ class CrawlEngine:
         combined = extract_page_outputs(
             fetched,
             detail_pattern=cfg.detail_url_pattern,
-            digests=cfg.page_digests or bool(cfg.trap_check_every) or cfg.content_seen,
+            digests=cfg.page_digests
+            or bool(cfg.trap_check_every)
+            or cfg.content_seen
+            or cfg.revalidate,
             redirect_col=redirect_col,
             charset_sniff=cfg.charset_sniff,
             meta_robots=cfg.meta_robots,
@@ -982,14 +994,15 @@ class CrawlEngine:
             ).alias("fetched_ts"),
         )
         due = recrawl_candidates(seen_ts, sitemap_entries, priority=priority)
-        # a URL already recrawled FOR this lastmod is not due again: the
+        # a URL already acted on FOR this lastmod is not due again: the
         # wave clock is much coarser than real sitemap dates, so the
         # fetched_ts comparison alone would re-trigger forever. Each
-        # tombstone records its triggering lastmod (publication_ts);
-        # due requires lastmod strictly newer than the last one acted on.
-        if self._kind_paths("tombstone"):
+        # tombstone AND each revalidation record its triggering lastmod
+        # (publication_ts); due requires lastmod strictly newer than the
+        # last one acted on.
+        if self._kind_paths("tombstone", "revalidated"):
             prev = (
-                self._read_wave_out("tombstone")
+                self._read_wave_out("tombstone", "revalidated")
                 .groupBy("url_canon")
                 .agg(F.max("publication_ts").alias("_prev_lastmod"))
             )
@@ -1001,6 +1014,24 @@ class CrawlEngine:
                 )
                 .drop("_prev_lastmod")
             )
+        revalidated = None
+        if self.cfg.revalidate:
+            # conditional revisit: sitemap lastmod says stale, but the
+            # validator may say otherwise (lastmod bumps spuriously all
+            # the time — that is WHY conditional requests exist). The
+            # recorded validator is the latest fetch generation's
+            # content digest; the current one is md5(text) straight off
+            # the corpus scan — html is never read on this path.
+            from crawlers_spark.operators.recrawl import revalidate_candidates
+
+            recorded = (
+                self._read_wave_out("page")
+                .groupBy("url_canon")
+                .agg(F.max_by("content_digest", "wave").alias("content_digest"))
+            )
+            flagged = revalidate_candidates(due, self.pages_index, recorded).persist()
+            revalidated = flagged.where(F.col("not_modified"))
+            due = flagged.where(~F.col("not_modified")).drop("not_modified")
         due = due.persist()
 
         # frontier rows need src_source: reverse the seed host→source map
@@ -1018,31 +1049,58 @@ class CrawlEngine:
         )
 
         staged: dict[str, list[str]] = {}
-        tomb_df = (
-            _tagged_keys(
-                due.select("url_canon", "lastmod_ts"),
-                "tombstone",
-                carry={"publication_ts": "lastmod_ts"},
+        out_df = _tagged_keys(
+            due.select("url_canon", "lastmod_ts"),
+            "tombstone",
+            carry={"publication_ts": "lastmod_ts"},
+        )
+        if revalidated is not None:
+            # 304 path: record the acted-on lastmod (freshness clock
+            # refresh) — no tombstone, no frontier row, seen intact
+            out_df = out_df.unionByName(
+                _tagged_keys(
+                    revalidated.select("url_canon", "lastmod_ts"),
+                    "revalidated",
+                    carry={"publication_ts": "lastmod_ts"},
+                )
             )
-            .withColumn("wave", F.lit(wave).cast("long"))
-            .repartition(F.col("kind"))
+        out_df = out_df.withColumn("wave", F.lit(wave).cast("long")).repartition(
+            F.col("kind")
         )
         staged["wave_out"] = [
-            self._stage(tomb_df, "wave_out", wave, compact="none", partition_by="kind")
+            self._stage(out_df, "wave_out", wave, compact="none", partition_by="kind")
         ]
         n_due = self._rowcount(staged["wave_out"], sub="kind=tombstone")
-        if n_due == 0:
+        n_reval = (
+            self._rowcount(staged["wave_out"], sub="kind=revalidated")
+            if revalidated is not None
+            else 0
+        )
+        if n_due == 0 and n_reval == 0:
             # nothing due → no commit (the staged empty dir is crash
             # debris for vacuum_uncommitted); state is untouched
             due.unpersist()
-            return {"wave": None, "recrawled": 0}
+            if revalidated is not None:
+                flagged.unpersist()
+            return {"wave": None, "recrawled": 0, "revalidated": 0}
+        if n_due == 0:
+            # everything revalidated 304: commit only the freshness
+            # records — frontier and seen filters are untouched
+            self.io.commit_wave(wave, staged, {"recrawled": 0, "revalidated": n_reval})
+            due.unpersist()
+            flagged.unpersist()
+            return {"wave": wave, "recrawled": 0, "revalidated": n_reval}
         next_frontier = self._merge_frontier(self._read_frontier(), recrawl_rows)
         staged["frontier"] = [self._stage(next_frontier, "frontier", wave, "none")]
         if self.filter_mode == "cuckoo":
             shards = self._read_filter()
             if shards is not None:
-                tomb_keys = self.spark.read.parquet(
-                    str(self.io.root / staged["wave_out"][0])
+                # ONLY tombstoned keys lose their fingerprint — a
+                # revalidated (304) page stays seen, and deleting its
+                # fingerprint would open the definitely-new fast lane
+                # for a URL the exact seen-set still contains
+                tomb_keys = self.spark.read.schema(WAVE_OUT_DATA_SCHEMA).parquet(
+                    str(self.io.root / staged["wave_out"][0] / "kind=tombstone")
                 ).select("url_canon")
                 staged[self.filter_table] = [
                     self._stage(
@@ -1050,9 +1108,11 @@ class CrawlEngine:
                         self.filter_table, wave, "none",
                     )
                 ]
-        self.io.commit_wave(wave, staged, {"recrawled": n_due})
+        self.io.commit_wave(wave, staged, {"recrawled": n_due, "revalidated": n_reval})
         due.unpersist()
-        return {"wave": wave, "recrawled": n_due}
+        if revalidated is not None:
+            flagged.unpersist()
+        return {"wave": wave, "recrawled": n_due, "revalidated": n_reval}
 
     # -------------------------------------------------------- linkrank
     def apply_linkrank(self, *, iterations: int = 3) -> dict:
