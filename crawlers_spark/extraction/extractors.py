@@ -309,6 +309,7 @@ def extract_page_outputs(
     redirect_col: str | None = None,
     charset_sniff: bool = False,
     meta_robots: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """ONE html pass producing every per-page output of a wave, as
     tagged rows (``kind``):
@@ -375,6 +376,15 @@ def extract_page_outputs(
                     )
                 )
             meta = pdf[_META_COLS].copy()
+            if main_content:
+                # generic boilerplate-stripped main text (jusText/Arc90
+                # block heuristic, extraction/maincontent.py) rides the
+                # page row's otherwise-null extracted_text — one more
+                # regex pass over html the batch already holds; the
+                # selector-program offer lane is untouched
+                from crawlers_spark.extraction.maincontent import main_content_series
+
+                meta["extracted_text"] = main_content_series(pdf["html"]).values
             if digests:
                 meta["content_digest"] = _content_digests(pdf["html"])
                 if redirect_col is not None:

@@ -835,7 +835,83 @@ FROM documents
 """
 
 
+# ---------------------------------------- generic main-content extraction
+def q_main_content(spark, sf):
+    """Boilerplate stripping (`extraction/maincontent.py
+    extract_main_content` — the jusText / Arc90 block + link-density
+    heuristic): each doc's text is wrapped in synthetic page chrome (a
+    nav bar of links, an optional link-heavy promo block, a too-short
+    block, a footer whose link density is decided by arithmetic, and
+    the real <p> payload); the operator must recover exactly the
+    payload. The oracle replays the BLOCK SEGMENTATION AND DENSITY
+    FORMULA — len(text) >= 25 and 2·len(anchor_text) < len(text), on
+    ASCII-collapsed whitespace — in DuckDB lambdas over the same
+    regexes (Python re and RE2 agree on this syntax subset), not the
+    construction, so the density call on every block is independently
+    derived.
+    """
+    from crawlers_spark.extraction.maincontent import extract_main_content
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<div class="nav"><a href="/">Home</a> <a href="/jobs">Jobs</a></div>'),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<li><a href="/promo">click here for today promotions</a> deal</li>'),
+        ).otherwise(F.lit("")),
+        F.lit("<div>tiny</div>"),
+        F.lit('<div class="footer">contact <a href="/tos">terms of service</a> 2024</div>'),
+    )
+    return extract_main_content(d.select("doc_id", html.alias("html")), id_col="doc_id")
+
+
+_MC_BLOCK_RE = (
+    "(?s)<(?:p|div|h[1-6]|li|td|article|section)\\b[^>]*>"
+    "(.*?)</(?:p|div|h[1-6]|li|td|article|section)>"
+)
+_MC_CLEAN = (
+    "trim(regexp_replace(regexp_replace({x}, '<[^>]+>', ' ', 'g'),"
+    " '[ \\t\\r\\n\\f\\v]+', ' ', 'g'))"
+)
+# COALESCE: DuckDB's array_to_string yields NULL (not '') on an empty list
+_MC_LINKS = (
+    "coalesce(array_to_string("
+    "regexp_extract_all({x}, '(?s)<a\\b[^>]*>(.*?)</a>', 1), ' '), '')"
+)
+_MC_IS_CONTENT = (
+    f"length({_MC_CLEAN.format(x='b')}) >= 25 AND "
+    f"2 * length({_MC_CLEAN.format(x=_MC_LINKS.format(x='b'))})"
+    f" < length({_MC_CLEAN.format(x='b')})"
+)
+
+SQL_MAIN_CONTENT = f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<div class="nav"><a href="/">Home</a> <a href="/jobs">Jobs</a></div>'
+         || '<p>' || text || '</p>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<li><a href="/promo">click here for today promotions</a> deal</li>'
+                 ELSE '' END
+         || '<div>tiny</div>'
+         || '<div class="footer">contact <a href="/tos">terms of service</a> 2024</div>'
+         AS html
+  FROM documents),
+blocks AS (
+  SELECT doc_id, regexp_extract_all(html, '{_MC_BLOCK_RE}', 1) AS bs FROM pages)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_transform(list_filter(bs, b -> {_MC_IS_CONTENT}),
+                        b -> {_MC_CLEAN.format(x='b')}),
+         chr(10)), '') AS main_text,
+       CAST(len(bs) AS INT) AS n_blocks,
+       CAST(len(list_filter(bs, b -> {_MC_IS_CONTENT})) AS INT) AS n_content
+FROM blocks
+"""
+
+
 QUERIES = {
+    "docs_main_content": (q_main_content, SQL_MAIN_CONTENT),
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "docs_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "docs_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

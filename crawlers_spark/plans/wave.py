@@ -183,6 +183,12 @@ class CrawlConfig:
     # re-extraction, seen intact); only changed pages re-enter the
     # frontier. Needs page digests (force-enabled below).
     revalidate: bool = False
+    # generic main-content extraction (extraction/maincontent.py —
+    # jusText/Arc90 block+link-density heuristic): page rows' otherwise
+    # null extracted_text carries the boilerplate-stripped main text.
+    # For pages with no selector program — the LLM-corpus lane; the
+    # per-site offer extraction and its byte parity are untouched.
+    main_content: bool = False
     # Mercator content-seen test (operators/dedup.py
     # `content_seen_winners`): outlinks of a page whose content digest
     # was already seen (earlier wave, or a lower-url_canon page in the
@@ -555,6 +561,7 @@ class CrawlEngine:
             redirect_col=redirect_col,
             charset_sniff=cfg.charset_sniff,
             meta_robots=cfg.meta_robots,
+            main_content=cfg.main_content,
         )
 
         retryable = (
