@@ -35,119 +35,39 @@ from crawlers_spark.harness import crawl, docs, embed, media, relational, stream
 _MODULES = [relational, crawl, docs, embed, media, stream]
 
 # Registry ORDER is part of the driver contract: the external gate
-# records exactly the first 50 registry entries (CORRECTNESS_r01/r02
-# both cut there). Rotation policy (r2 ADVICE + VERDICT item 3):
+# records exactly the first 50 registry entries (CORRECTNESS_r01/r02/r03
+# all cut there). Rotation policy (r2 ADVICE + r3 VERDICT item 1):
 #
-# 1. anything NEW or MODIFIED this round (query body, oracle SQL, or a
-#    fixture/golden it reads) goes in the first-50 window — modified
-#    queries must NEVER ride the tail past external re-verification;
+# 1. anything NEW or MODIFIED this round (query body, oracle SQL, the
+#    operator it calls, or a fixture/golden it reads) goes in the
+#    first-50 window — modified queries must NEVER ride the tail past
+#    external re-verification;
 # 2. the previous round's tail rotates back INTO the window so every
-#    query regains a fresh driver row within ~2 rounds — including the
-#    five whose DuckDB oracle changed in r2 (rel_mktsegment_summary,
-#    rel_hourly_event_windows, rel_range_join_30d, rel_rollup_revenue,
-#    rel_cube_events), which r2 wrongly labeled "untouched";
-# 3. only queries DRIVER-GREEN in CORRECTNESS_r02.json and untouched
+#    query regains a fresh driver row within ~2 rounds — this round the
+#    ENTIRE r2-countersigned tail (43 queries) re-enters the window,
+#    clearing r3 VERDICT's staleness item: after r4 every query has an
+#    r3-or-r4 driver signature;
+# 3. only queries DRIVER-GREEN in CORRECTNESS_r03.json and untouched
 #    since rotate to the tail.
 #
 # The full set still runs in pytest (tests/test_driver_shape.py) and
 # scripts/check_oracle.py regardless of position.
 _FRONT = [
-    # modified this round (red-row shape fixes; media fixture regen;
-    # recrawl_candidates gained a url column)
-    "docs_hashing_tf",
-    "multi_embed_media",
-    "multi_decode_real",
-    "crawl_recrawl_candidates",
-    # new this round (cuckoo deletions + tombstone seen semantics + BPE
-    # trainer round statistics)
-    "crawl_cuckoo_dedup_exactness",
-    "crawl_recrawl_seen_semantics",
-    "docs_bpe_round1_pair_counts",
-    "docs_token_counts_bpe_trained",
-    "crawl_pagerank_priorities",
-    "crawl_linkrank_boost",
-    "crawl_anchor_text_index",
-    "crawl_trap_host_signals",
-    # new this round: the trap-gate frontier prune fold (the engine-side
-    # apply_trap_gate wiring landed with it), the Mercator content-seen
-    # winner fold (CrawlConfig.content_seen), and robots.txt Sitemap:
-    # directive discovery; embed_lsh_topk / embed_cosine_topk /
-    # docs_bigram_stats (all r2-green, untouched) rotate to the tail to
-    # keep the window at 50
-    "crawl_trap_gate_prune",
-    "crawl_content_seen_dedup",
-    "crawl_robots_sitemaps",
-    # new this round: RFC 9309 robots dialect (wildcards/$-anchors/
-    # longest-match precedence — Scrapy/Protego parity);
-    # docs_ngram_jaccard (r2-green, untouched) rotates to the tail to
-    # keep the window at 50
+    # NEW this round: conditional revisit (ETag/304) + generic
+    # main-content extraction
+    "crawl_revalidate_semantics",
+    "docs_main_content",
+    # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
+    # oracle rule family), PII counts on the progressively scrubbed
+    # string, and the scale-adaptive-bucketing signature change in
+    # operators/similarity.py (semdedup_prune / embedding_near_dup_pairs
+    # — embed_near_dup_pairs itself is below, in the returning tail)
     "crawl_robots_rfc9309",
-    # new this round: declarative 3xx-chain resolution (max_hops
-    # broadcast joins, exhausted-loop detection); docs_simhash_near_pairs
-    # (r2-green, untouched) rotates to the tail
-    "crawl_redirect_resolution",
-    # new this round: AIMD adaptive politeness from observed fetch
-    # outcomes; docs_simhash (r2-green, untouched) rotates to the tail
-    "crawl_adaptive_politeness",
-    # new this round: anti-starvation frontier aging; docs_dedup_clusters
-    # (r2-green, untouched) rotates to the tail
-    "crawl_frontier_aging",
-    # new this round: PII scrubbing + benchmark decontamination (the
-    # training-data curation pair); docs_exact_dedup and
-    # docs_minhash_lsh_pairs (r2-green, untouched) rotate to the tail
     "docs_pii_scrub",
-    "docs_decontaminate",
-    # new this round: CDX/SURT capture-index keying; crawl_lineage_rollup
-    # (r2-green, untouched) rotates to the tail
-    "crawl_cdx_surt",
-    # new this round: URL-pattern frontier admission (allow/deny);
-    # crawl_sitemap_seeds (r2-green, untouched) rotates to the tail
-    "crawl_url_rules",
-    # new this round: robots-cache TTL scheduling; crawl_offsite_filter
-    # (r2-green, untouched) rotates to the tail
-    "crawl_robots_ttl",
-    # new this round: GPT-style token-stream sequence packing;
-    # crawl_retry_policy (r2-green, untouched) rotates to the tail
-    "docs_sequence_packing",
-    # new this round: embedding-cosine dedup clusters (near-dup pairs →
-    # connected components); crawl_politeness_budget (r2-green,
-    # untouched) rotates to the tail
-    "embed_dedup_clusters",
-    # new this round: dedup-key text normalization (NFC/lower/accent
-    # fold); crawl_politeness_from_robots (r2-green, untouched) rotates
-    # to the tail
-    "docs_text_normalize",
-    # new this round: passage-level exact dedup (C4-style span dedup),
-    # SemDedup semantic pruning over IVF cells, relational pivot, and
-    # the two-phase exact-median rank selection
-    "docs_passage_dedup",
     "embed_semdedup_prune",
-    "rel_pivot_status_priority",
-    "rel_median_price_per_priority",
-    # new this round: streaming session windows (merging stateful
-    # windows) and the watermarked stream-stream interval join
-    "stream_session_windows",
-    "stream_stream_join_clicks_purchases",
-    # r2 tail rotating back in — driver rows are 2 rounds old, and the
-    # five starred ones had oracle edits in r2 (ADVICE high)
-    "rel_mktsegment_summary",      # *
-    "rel_hourly_event_windows",    # *
-    "rel_range_join_30d",          # *
-    "rel_rollup_revenue",          # *
-    "rel_cube_events",             # *
-    "rel_semi_join_suppliers",
-    "rel_dedup_latest_event",
-    "rel_global_top10_orders",
-    "rel_intersect_nations",
-    "rel_nations_cust_no_supp",
-    "rel_approx_distinct_bounds",
-    "rel_latest5_events_per_user",
-    "rel_sessionize_events",
-    "rel_window_top3_orders_per_customer",
-]
-_TAIL = [
-    # round-2 driver rows: all green (CORRECTNESS_r02.json); untouched
-    # this round — re-enters the window next round
+    "embed_dedup_clusters",
+    # the ENTIRE r2-countersigned tail rotates back into the window
+    # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "crawl_lineage_rollup",
     "crawl_sitemap_seeds",
     "crawl_offsite_filter",
@@ -190,7 +110,57 @@ _TAIL = [
     "crawl_canonicalize_urls",
     "crawl_seen_antijoin",
     "crawl_frontier_topk_per_host",
-    "embed_near_dup_pairs",
+    "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
+]
+_TAIL = [
+    # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
+    # round — re-enter the window next round
+    "docs_hashing_tf",
+    "multi_embed_media",
+    "multi_decode_real",
+    "crawl_recrawl_candidates",
+    "crawl_cuckoo_dedup_exactness",
+    "crawl_recrawl_seen_semantics",
+    "docs_bpe_round1_pair_counts",
+    "docs_token_counts_bpe_trained",
+    "crawl_pagerank_priorities",
+    "crawl_linkrank_boost",
+    "crawl_anchor_text_index",
+    "crawl_trap_host_signals",
+    "crawl_trap_gate_prune",
+    "crawl_content_seen_dedup",
+    "crawl_robots_sitemaps",
+    "crawl_redirect_resolution",
+    "crawl_adaptive_politeness",
+    "crawl_frontier_aging",
+    "docs_decontaminate",
+    "crawl_cdx_surt",
+    "crawl_url_rules",
+    "crawl_robots_ttl",
+    "docs_sequence_packing",
+    "docs_text_normalize",
+    "docs_passage_dedup",
+    "rel_pivot_status_priority",
+    "rel_median_price_per_priority",
+    "stream_session_windows",
+    "stream_stream_join_clicks_purchases",
+    "rel_mktsegment_summary",
+    "rel_hourly_event_windows",
+    "rel_range_join_30d",
+    "rel_rollup_revenue",
+    "rel_cube_events",
+    "rel_semi_join_suppliers",
+    "rel_dedup_latest_event",
+    "rel_global_top10_orders",
+    "rel_intersect_nations",
+    "rel_nations_cust_no_supp",
+    "rel_approx_distinct_bounds",
+    "rel_latest5_events_per_user",
+    "rel_sessionize_events",
+    "rel_window_top3_orders_per_customer",
+    "crawl_bloom_dedup_exactness",
+    "crawl_robots_gate",
+    "crawl_outlink_explode",
 ]
 
 
