@@ -59,6 +59,8 @@ HEADLINE = [
     "docs_passage_dedup",         # C4-style span dedup (chunk-hash shuffle)
     "embed_cosine_topk",          # brute-force ANN baseline
     "embed_semdedup_prune",       # SemDedup cell-bucketed semantic prune
+    "docs_main_content",          # generic boilerplate stripping (r4)
+    "crawl_revalidate_semantics", # conditional-revisit 304 split (r4)
 ]
 
 

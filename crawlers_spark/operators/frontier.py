@@ -21,6 +21,8 @@ deterministic distributed top-k per host:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,12 +34,19 @@ def with_salt(df: DataFrame, hot_hosts: DataFrame | None = None, url_col: str = 
 
     ``hot_hosts``: small (host, n_salts) DataFrame — broadcast joined.
     """
+    base_cols = df.columns
     if hot_hosts is not None:
         df = df.join(F.broadcast(hot_hosts), "host", "left")
-        df = df.withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(DEFAULT_SALTS)))
+        ns = F.coalesce(F.col("n_salts"), F.lit(DEFAULT_SALTS))
     else:
-        df = df.withColumn("n_salts", F.lit(DEFAULT_SALTS))
-    return df.withColumn("salt", F.pmod(F.xxhash64(F.col(url_col)), F.col("n_salts")).cast("int"))
+        ns = F.lit(DEFAULT_SALTS)
+    # one projection for both derived columns (op-count matters: every
+    # DataFrame op is a py4j round-trip on the per-wave critical path)
+    return df.select(
+        *base_cols,
+        ns.alias("n_salts"),
+        F.pmod(F.xxhash64(F.col(url_col)), ns).cast("int").alias("salt"),
+    )
 
 
 def detect_hot_hosts(
@@ -71,6 +80,16 @@ def _order_cols(priority_col: str = "priority"):
         F.col("discovered_ts").asc(),
         F.col("url_canon").asc(),
     ]
+
+
+@lru_cache(maxsize=8)
+def _topk_windows(priority_col: str):
+    """WindowSpecs built once per priority column and reused every wave
+    (immutable expression trees; building them is driver py4j work on
+    the per-wave critical path — plan_build amortization)."""
+    w1 = Window.partitionBy("host", "salt").orderBy(*_order_cols(priority_col))
+    w2 = Window.partitionBy("host").orderBy(*_order_cols(priority_col))
+    return w1, w2
 
 
 def with_aged_priority(
@@ -118,18 +137,15 @@ def select_wave_topk(
     a per-row per-host budget column. Returns selected rows only.
     """
     # phase 1: prune within (host, salt) — bounded skew
-    w1 = Window.partitionBy("host", "salt").orderBy(*_order_cols(priority_col))
-    pruned = (
-        frontier.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col(budget_col))
-        .drop("_r1")
-    )
+    w1, w2 = _topk_windows(priority_col)
+    cols = frontier.columns
+    pruned = frontier.select(
+        *cols, F.row_number().over(w1).alias("_r1")
+    ).where(F.col("_r1") <= F.col(budget_col))
     # phase 2: exact per-host rank over ≤ budget·n_salts survivors
-    w2 = Window.partitionBy("host").orderBy(*_order_cols(priority_col))
-    return (
-        pruned.withColumn("host_rank", F.row_number().over(w2))
-        .where(F.col("host_rank") <= F.col(budget_col))
-    )
+    return pruned.select(
+        *cols, F.row_number().over(w2).alias("host_rank")
+    ).where(F.col("host_rank") <= F.col(budget_col))
 
 
 def apply_url_rules(

@@ -107,6 +107,7 @@ def robots_flag(
     url_col: str = "url_canon",
     flag: str = "robots_ok",
     mode: str = "stdlib",
+    candidate_schema: str | None = None,
 ) -> DataFrame:
     """Add a ``robots_ok`` bool column (one pass; caller splits on it).
 
@@ -116,12 +117,18 @@ def robots_flag(
     dialect modern robots.txt files use: ``*`` wildcards, ``$`` end
     anchors, longest-match-wins precedence with Allow winning ties —
     what Scrapy's default Protego parser implements.
+
+    ``candidate_schema`` (optional, simple-DDL ``"name type, …"``): a
+    caller whose candidate shape is static can pass it to skip the
+    per-call py4j schema fetch (per-wave plan_build amortization).
     """
     evaluator = _allowed_mask if mode == "stdlib" else _allowed_mask_9309
-    out_cols = candidates.schema.fieldNames() + [flag]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
-    ) + f", {flag} boolean"
+    if candidate_schema is None:
+        candidate_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+        )
+    out_cols = [c.rsplit(" ", 1)[0].strip() for c in candidate_schema.split(",")] + [flag]
+    schema = f"{candidate_schema}, {flag} boolean"
     joined = candidates.join(
         F.broadcast(robots.select("host", "rules")), "host", "left"
     ).withColumn("_path", F.regexp_replace(F.col(url_col), r"^https?://[^/]+", ""))

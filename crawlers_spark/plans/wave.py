@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass, field
+from functools import lru_cache
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,7 +60,10 @@ from crawlers_spark.operators.frontier import (
     with_aged_priority,
     with_salt,
 )
-from crawlers_spark.operators.politeness import politeness_budget
+from crawlers_spark.operators.politeness import (
+    apply_politeness,
+    politeness_budget_table,
+)
 from crawlers_spark.operators.robots import robots_flag
 from crawlers_spark.sources.tables import SnapshotParquetIO
 
@@ -80,26 +84,44 @@ LINEAGE_SCHEMA = (
 
 EPOCH = "2024-01-01 00:00:00"
 
+# the robots gate's candidate shape is static — precomputed DDL skips a
+# per-wave py4j schema fetch (plan_build amortization)
+_CANDIDATE_SCHEMA = (
+    "url string, url_canon string, host string, priority int, depth int, "
+    "src_source string, discovered_ts timestamp, retry int, host_rank int"
+)
+
 _COMBINED_FIELDS = [c.split(" ") for c in COMBINED_SCHEMA.split(", ")]
 
 
-def _tagged_keys(keys: DataFrame, kind: str, carry: dict[str, str] | None = None) -> DataFrame:
+@lru_cache(maxsize=64)
+def _tagged_cols(kind: str | None, carry_items: tuple[tuple[str, str], ...]):
+    """Column template for :func:`_tagged_keys`, built ONCE per (kind,
+    carry) shape and reused every wave — Column objects are immutable
+    unresolved expressions, safe to share across plans, and building 17
+    typed-null literals is py4j round-trips on the driver's per-wave
+    critical path (plan_build amortization, r3 VERDICT item 4).
+    ``kind=None`` means the input already carries a ``kind`` column."""
+    carry = dict(carry_items)
+    return [
+        (F.lit(kind) if kind is not None else F.col("kind")).alias("kind")
+        if name == "kind"
+        else F.col("url_canon") if name == "url_canon"
+        else F.col(carry[name]).cast(typ).alias(name) if name in carry
+        else F.lit(None).cast(typ).alias(name)
+        for name, typ in _COMBINED_FIELDS
+    ]
+
+
+def _tagged_keys(keys: DataFrame, kind: str | None, carry: dict[str, str] | None = None) -> DataFrame:
     """Key-only rows shaped to COMBINED_SCHEMA with a ``kind`` tag —
     how robots-denied / retry-exhausted / tombstone keys ride in the
     same kind-partitioned wave_out table as real extraction rows.
     ``carry`` maps schema columns to source columns to preserve (e.g.
     tombstones store their triggering sitemap lastmod in
-    ``publication_ts``); everything else is a typed NULL."""
-    carry = carry or {}
-    return keys.select(
-        *[
-            F.lit(kind).alias("kind") if name == "kind"
-            else F.col("url_canon") if name == "url_canon"
-            else F.col(carry[name]).cast(typ).alias(name) if name in carry
-            else F.lit(None).cast(typ).alias(name)
-            for name, typ in _COMBINED_FIELDS
-        ]
-    )
+    ``publication_ts``); everything else is a typed NULL. ``kind=None``
+    keeps the input's own ``kind`` column (pre-unioned key frames)."""
+    return keys.select(*_tagged_cols(kind, tuple(sorted((carry or {}).items()))))
 
 
 @dataclass
@@ -275,6 +297,13 @@ class CrawlEngine:
 
             politeness = politeness_from_robots(self.robots)
         self.politeness = politeness.persist()
+        # wave-invariant (host, budget_k, cadence) derivation, built
+        # ONCE: each wave's politeness gate is then a broadcast join +
+        # one filter instead of rebuilding the whole budget-arithmetic
+        # plan (plan_build amortization, r3 VERDICT item 4)
+        self._p_budget = politeness_budget_table(
+            self.politeness, self.cfg.wave_interval_s
+        ).persist()
         # offsite map (O13): source -> allowed host, broadcast-sized
         self.allowed_hosts = spark.createDataFrame(
             [(s["source"], s["allowed_host"]) for s in seeds],
@@ -533,7 +562,7 @@ class CrawlEngine:
         seen = self._read_seen(extra_rels=seen_extra)
 
         # O6 politeness → O2/O17 salted deterministic top-k
-        gated = politeness_budget(frontier, self.politeness, wave, cfg.wave_interval_s)
+        gated = apply_politeness(frontier, self._p_budget, wave, cfg.wave_interval_s)
         hot = (
             detect_hot_hosts(frontier, threshold=cfg.hot_host_threshold)
             if cfg.hot_host_threshold
@@ -559,6 +588,7 @@ class CrawlEngine:
             ),
             self.robots,
             mode=cfg.robots_mode,
+            candidate_schema=_CANDIDATE_SCHEMA,
         ).persist()
         allowed = flagged.where(F.col("robots_ok")).drop("robots_ok")
         denied_keys = flagged.where(~F.col("robots_ok")).select("url_canon")
@@ -613,9 +643,16 @@ class CrawlEngine:
         # once; per-kind reads directory-prune and per-kind counts come
         # from the kind subtree's parquet footers. (Round 1 staged five
         # separate tables — five jobs re-deriving from cached html.)
+        extra_keys = denied_keys.select(
+            "url_canon", F.lit("denied").alias("kind")
+        ).unionByName(
+            exhausted_keys.select("url_canon", F.lit("exhausted").alias("kind"))
+        )
         wave_out_df = (
-            combined.unionByName(_tagged_keys(denied_keys, "denied"))
-            .unionByName(_tagged_keys(exhausted_keys, "exhausted"))
+            # keys union first (2 narrow columns), then ONE cached
+            # 17-column projection — half the per-wave plan expressions
+            # of the old two-projection two-union chain
+            combined.unionByName(_tagged_keys(extra_keys, None))
             .withColumn("wave", F.lit(wave).cast("long"))
             # exchange AFTER the full-width chain: one write task (and
             # one file) per kind — the seen/offers readers scan one
@@ -1360,3 +1397,8 @@ class CrawlEngine:
         old = self.politeness
         self.politeness = adaptive_politeness(old, fetch_log, **aimd_kw).persist()
         old.unpersist()
+        old_budget = self._p_budget
+        self._p_budget = politeness_budget_table(
+            self.politeness, self.cfg.wave_interval_s
+        ).persist()
+        old_budget.unpersist()

@@ -27,3 +27,39 @@ def test_overrides_win():
     c = CrawlConfig.cluster_profile(pipeline_waves=False, bloom_shards=7)
     assert c.pipeline_waves is False and c.bloom_shards == 7
     assert c.output_coalesce is None  # untouched profile values stay
+
+
+def test_politeness_two_phase_equals_one_shot(spark):
+    """apply_politeness over a precomputed politeness_budget_table (the
+    engine's amortized path) is row-identical to the one-shot
+    politeness_budget on every wave, including missing-host defaults
+    and delay > interval cadences."""
+    from crawlers_spark.operators.politeness import (
+        apply_politeness,
+        politeness_budget,
+        politeness_budget_table,
+    )
+    from pyspark.sql import functions as F
+
+    frontier = spark.createDataFrame(
+        [(f"h{i % 5}", f"u{i}") for i in range(40)], "host string, url_canon string"
+    )
+    pol = spark.createDataFrame(
+        [
+            ("h0", 0.5, 200),
+            ("h1", 120.0, 10),   # delay > interval → cadence gate
+            ("h2", None, None),  # explicit nulls → defaults
+            ("h3", 30.0, 0),     # budget 0 → full block
+            # h4 missing entirely → python-side defaults
+        ],
+        "host string, delay_s double, max_per_wave int",
+    )
+    table = politeness_budget_table(pol, 60.0)
+    for wave in range(0, 5):
+        one = sorted(
+            map(tuple, politeness_budget(frontier, pol, wave, 60.0).collect())
+        )
+        two = sorted(
+            map(tuple, apply_politeness(frontier, table, wave, 60.0).collect())
+        )
+        assert one == two, wave
