@@ -210,13 +210,14 @@ def _meta_robots_flags(html: pd.Series) -> tuple[pd.Series, pd.Series]:
     """(noindex, nofollow) boolean masks from each page's robots meta
     tag — two bounded regex extracts per page (attr order variants),
     token-matched case-insensitively per the robots-meta spec."""
-    content = (
-        html.str.extract(_META_NC_RE, expand=True)[1]
-        .fillna(html.str.extract(_META_CN_RE, expand=True)[1])
-        .str.lower()
-    )
-    noindex = content.str.contains(r"\bnoindex\b", na=False)
-    nofollow = content.str.contains(r"\bnofollow\b", na=False)
+    c1 = html.str.extract(_META_NC_RE, expand=True)[1]
+    c2 = html.str.extract(_META_CN_RE, expand=True)[1]
+    # a batch with ZERO matches leaves all-NaN float64 columns whose
+    # .str accessor raises — the explicit string cast keeps the no-meta
+    # batch on the same code path
+    content = c1.where(c1.notna(), c2).astype("string").str.lower()
+    noindex = content.str.contains(r"\bnoindex\b", na=False).astype(bool)
+    nofollow = content.str.contains(r"\bnofollow\b", na=False).astype(bool)
     return noindex, nofollow
 
 
