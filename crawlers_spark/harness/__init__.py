@@ -53,10 +53,13 @@ _MODULES = [relational, crawl, docs, embed, media, stream]
 # The full set still runs in pytest (tests/test_driver_shape.py) and
 # scripts/check_oracle.py regardless of position.
 _FRONT = [
-    # NEW this round: conditional revisit (ETag/304) + generic
-    # main-content extraction
+    # NEW this round: conditional revisit (ETag/304), generic
+    # main-content extraction, deterministic stratified sampling
+    # (data mixing), and count-min-sketch heavy hitters
     "crawl_revalidate_semantics",
     "docs_main_content",
+    "docs_stratified_sample",
+    "docs_countmin_heavyhitters",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -98,7 +101,6 @@ _FRONT = [
     "stream_stateful_user_totals",
     "multi_decode_media",
     "multi_resize_plan",
-    "multi_frame_sample",
     "rel_pricing_summary",
     "rel_shipping_priority",
     "rel_region_revenue",
@@ -113,6 +115,12 @@ _FRONT = [
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
+    # r2-signed, untouched, deferred to round 5 to make room for the
+    # two NEW queries (never-countersigned beats one-more-round-stale;
+    # its family is covered in-window by multi_decode_media /
+    # multi_resize_plan and r3-signed multi_embed_media /
+    # multi_decode_real)
+    "multi_frame_sample",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

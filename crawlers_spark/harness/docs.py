@@ -29,9 +29,12 @@ from crawlers_spark.functions.textstats import (
     repetition_ratios,
     token_count_bpe,
     token_count_ws,
+    tokens_ws,
     winnow_fingerprints,
 )
 from crawlers_spark.harness.common import load
+from crawlers_spark.operators.sampling import rate_threshold, stratified_sample
+from crawlers_spark.operators.sketches import countmin_estimate, countmin_sketch
 from crawlers_spark.operators.textdedup import (
     dedup_clusters,
     exact_dedup,
@@ -910,7 +913,94 @@ FROM blocks
 """
 
 
+# ------------------------------------- deterministic stratified sampling
+MIX_RATES = {"en": 0.5, "fr": 1.0, "zh": 0.25}
+MIX_DEFAULT_RATE = 0.125  # de / es
+
+
+def q_stratified_sample(spark, sf):
+    """Data mixing (`operators/sampling.py stratified_sample`): keep
+    each doc with its language's mixture rate, deterministically —
+    keep ⇔ first 8 md5 hex chars of ``'mix|' || doc_id`` sort below
+    the stratum's rate threshold. Map-only (zero exchanges added); the
+    oracle restates the exact same hash-threshold comparison, so the
+    kept MEMBERSHIP (not just counts) is countersigned.
+    """
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "doc_id", "lang", MIX_RATES, default_rate=MIX_DEFAULT_RATE
+    )
+
+
+_SQL_MIX_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN '{rate_threshold(rate)}'"
+        for lang, rate in sorted(MIX_RATES.items())
+    )
+    + f" ELSE '{rate_threshold(MIX_DEFAULT_RATE)}' END"
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('mix|' || doc_id), 1, 8) < {_SQL_MIX_CASE}
+"""
+
+
+# --------------------------------- count-min sketch heavy hitters
+def q_countmin(spark, sf):
+    """Bounded-memory heavy hitters (`operators/sketches.py`): build a
+    depth-4 × width-256 count-min grid over every whitespace token
+    occurrence (the grid is ≤ 1024 rows — broadcastable at ANY corpus
+    size; map-side combine bounds the shuffle), point-query it for
+    every distinct token, and report the top 50 by estimate alongside
+    exact counts and the sketch's overcount. est ≥ exact for every
+    token is the CMS invariant (pytest-pinned); the oracle rebuilds
+    the identical grid from the md5-nibble hash contract.
+    """
+    occ = load(spark, sf, "documents").select(
+        F.explode(tokens_ws(F.col("text"))).alias("tok")
+    )
+    sketch = countmin_sketch(occ, "tok")
+    est = countmin_estimate(occ, sketch, "tok")
+    exact = occ.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    joined = est.join(exact, "tok").select(
+        "tok", "est", "n_exact", (F.col("est") - F.col("n_exact")).alias("overcount")
+    )
+    # deterministic total order (est DESC, tok) + limit ⇒ Spark plans
+    # TakeOrderedAndProject — per-partition top-50 then a 50-row merge
+    # on the driver, no single-partition window at any corpus size
+    return joined.orderBy(F.desc("est"), "tok").limit(50)
+
+
+_SQL_CMS_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(i || '|' || tok), 7, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(i || '|' || tok), 8, 1)) - 1) % 256"
+)
+
+SQL_COUNTMIN = rf"""
+WITH occ AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE string_split_regex(trim(text), '\s+') END) AS tok
+  FROM documents),
+hashed AS (
+  SELECT tok, i, {_SQL_CMS_BUCKET} AS bucket
+  FROM occ CROSS JOIN range(0, 4) t(i)),
+sketch AS (SELECT i, bucket, COUNT(*) AS n FROM hashed GROUP BY 1, 2),
+exact AS (SELECT tok, COUNT(*) AS n_exact FROM occ GROUP BY 1),
+probe AS (SELECT DISTINCT tok, i, bucket FROM hashed),
+est AS (
+  SELECT p.tok, MIN(s.n) AS est
+  FROM probe p JOIN sketch s USING (i, bucket) GROUP BY 1)
+SELECT tok, est, n_exact, est - n_exact AS overcount
+FROM est JOIN exact USING (tok)
+QUALIFY row_number() OVER (ORDER BY est DESC, tok) <= 50
+"""
+
+
 QUERIES = {
+    "docs_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "docs_countmin_heavyhitters": (q_countmin, SQL_COUNTMIN),
     "docs_main_content": (q_main_content, SQL_MAIN_CONTENT),
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "docs_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

@@ -1,0 +1,78 @@
+"""Deterministic stratified sampling — the data-mixing primitive.
+
+A 100 TB training-data pipeline does not sample with RNG state: mixture
+weights per language/source/domain must be *reproducible* (same corpus
+in → same sample out, on any cluster size, resumable mid-job) and
+*cheap* (a map-only filter, no shuffle). The standard trick, used here:
+hash each row's id, keep the row iff the hash falls under the stratum's
+rate threshold.
+
+Implementation contract (chosen so a SQL oracle can restate it
+byte-for-byte in DuckDB — see harness/docs.py ``docs_stratified_sample``):
+
+- key    = first 8 hex chars of ``md5(salt || '|' || id)`` — a uniform
+  draw over 16^8 values, lexicographic comparison ≡ numeric comparison
+  because the hex alphabet is fixed-width lowercase in both engines.
+- keep   ⇔ ``key < threshold(rate)`` where
+  ``threshold = format(floor(rate * 16^8), '08x')``; a rate ≥ 1.0 maps
+  to the sentinel ``'g'`` (sorts after every hex char ⇒ keep-all), a
+  rate ≤ 0 maps to ``'00000000'`` (nothing sorts below ⇒ drop-all).
+- the salt decorrelates independent sampling decisions over the same
+  ids (mixing vs. held-out splits vs. eval carve-outs).
+
+Scale shape: pure scan-side column expressions (md5 + substring +
+CASE), whole-stage-codegen'd, zero exchanges added — the filter rides
+the same scan that feeds downstream work and Catalyst pushes it below
+column-heavy projections.
+
+Reference anchor: the reference (pyjobs/crawlers, SURVEY §0 — mount
+empty, spec per BASELINE.json) has no sampling surface; this is one of
+the mandated training-data-pipeline extensions (graft brief), modeled
+on public data-mixing practice (e.g. C4/Pile-style per-source weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_SPACE = 16**8
+
+# sorts strictly after '0'-'9','a'-'f' in ASCII ⇒ every key passes
+KEEP_ALL = "g"
+
+
+def rate_threshold(rate: float) -> str:
+    """8-hex-char keep threshold for ``rate`` (see module contract)."""
+    if rate >= 1.0:
+        return KEEP_ALL
+    return format(max(int(rate * HEX_SPACE), 0), "08x")
+
+
+def sample_key(id_col: Column, *, salt: str = "mix") -> Column:
+    """Uniform [0, 16^8) draw as a fixed-width lowercase hex string."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value → keep rate; strata not listed use
+    ``default_rate``. Returns ``df`` filtered (schema unchanged).
+    """
+    thr = F.lit(rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return df.where(sample_key(F.col(id_col), salt=salt) < thr)
