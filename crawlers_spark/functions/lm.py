@@ -1,0 +1,134 @@
+"""Bigram language-model perplexity scoring (CCNet-style quality
+filtering).
+
+The CCNet pipeline (Wenzek et al., public) buckets web documents into
+head/middle/tail by the perplexity of a language model trained on a
+trusted reference corpus, and keeps the low-perplexity slice for LLM
+training data. The public tool uses a KenLM 5-gram; the distributed
+re-expression here is an add-one-smoothed **bigram** model whose
+training AND scoring are both single Spark plans:
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + |V|)
+
+- ``c(w1 w2)``  bigram count over the training slice
+- ``c(w1 ·)``   count of w1 as a bigram head (Σ_w2 c(w1 w2))
+- ``|V|``       distinct training tokens
+
+Numeric portability (the repo-wide oracle contract): every per-pair
+log-probability is quantized ONCE to an integer number of milli-nats —
+``floor(ln(p) * 1000 + 0.5)`` — and everything downstream (the per-doc
+sum, the bucket compare) is exact integer arithmetic, so the result is
+independent of aggregation order and replayable bit-for-bit in DuckDB.
+The only cross-engine float op is a single ``ln`` of an
+IEEE-exact division, the same 1-ulp-then-round risk class as the
+round6 cosine contract in ``operators/similarity.py``.
+
+Scale shape (100 TB): tokenization/pair expansion is scan-side
+codegen; the unigram/bigram count aggregations get map-side combine
+(shuffle is O(distinct grams), not O(tokens)); scoring is two linear
+shuffle joins on the gram keys (an n-gram model is corpus-sized by
+nature — ``min_count`` prunes it the way CCNet prunes KenLM); the
+vocabulary size is a one-row broadcast; the per-doc rollup is one
+hash aggregation. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawlers_spark.functions.textstats import tokens_ws
+
+
+def _lm_tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens (``lower`` not ``casefold`` so the
+    SQL oracle replays byte-exact — same choice as normalize_text)."""
+    return tokens_ws(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+
+
+def _head_pairs(text_col: str) -> Column:
+    """array<struct<w1,pair>> of adjacent-token pairs with their head
+    token (one pass over the token array, scan-side)."""
+    ws = _lm_tokens(text_col)
+    return F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.struct(
+                F.element_at(ws, i + 1).alias("w1"),
+                F.concat_ws(
+                    " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+                ).alias("pair"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,pair:string>>"))
+
+
+def lm_perplexity_features(
+    docs: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Score every ``docs`` row under a bigram LM trained on ``train``.
+
+    Output (one row per input doc, membership-total):
+      - ``n_pairs   bigint`` — scored bigrams (0 for docs under 2 tokens)
+      - ``sum_lp    bigint`` — Σ quantized log-probs (milli-nats at the
+        default ``quant``; ≤ 0). Average nats/token-transition =
+        ``-sum_lp / (quant * n_pairs)``; perplexity = exp of that.
+        Exposing the exact integer pair instead of the float keeps the
+        result engine-portable; callers bucket via cross-multiplied
+        integer compares (see ``docs_lm_perplexity`` in the harness).
+
+    ``min_count`` drops bigrams rarer than the threshold from the model
+    (they score as unseen) — the CCNet/KenLM pruning analog that bounds
+    model size on a 100 TB corpus.
+    """
+    tp = (
+        train.select(F.explode(_head_pairs(text_col)).alias("p"))
+        .select("p.w1", "p.pair")
+    )
+    uni = tp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = tp.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    if min_count > 1:
+        big = big.where(F.col("c2") >= min_count)
+    vocab = (
+        train.select(F.explode(_lm_tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v_size"))
+    )
+
+    sp = docs.select(
+        F.col(id_col), F.explode(_head_pairs(text_col)).alias("p")
+    ).select(id_col, "p.w1", "p.pair")
+    lp = F.floor(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size")).cast("double")
+        )
+        * quant
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        sp.join(big, "pair", "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("lp").alias("sum_lp"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("sum_lp"), F.lit(0)).cast("long").alias("sum_lp"),
+        )
+    )

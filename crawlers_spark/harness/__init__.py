@@ -55,11 +55,13 @@ _MODULES = [relational, crawl, docs, embed, media, stream]
 _FRONT = [
     # NEW this round: conditional revisit (ETag/304), generic
     # main-content extraction, deterministic stratified sampling
-    # (data mixing), and count-min-sketch heavy hitters
+    # (data mixing), count-min-sketch heavy hitters, and CCNet-style
+    # bigram-LM perplexity bucketing
     "crawl_revalidate_semantics",
     "docs_main_content",
     "docs_stratified_sample",
     "docs_countmin_heavyhitters",
+    "docs_lm_perplexity",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -79,7 +81,6 @@ _FRONT = [
     "crawl_politeness_from_robots",
     "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
-    "docs_simhash",
     "docs_dedup_clusters",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
@@ -116,11 +117,14 @@ _FRONT = [
 ]
 _TAIL = [
     # r2-signed, untouched, deferred to round 5 to make room for the
-    # two NEW queries (never-countersigned beats one-more-round-stale;
-    # its family is covered in-window by multi_decode_media /
-    # multi_resize_plan and r3-signed multi_embed_media /
-    # multi_decode_real)
+    # three NEW queries (never-countersigned beats one-more-round-stale;
+    # multi_frame_sample's family is covered in-window by
+    # multi_decode_media / multi_resize_plan and r3-signed
+    # multi_embed_media / multi_decode_real; docs_simhash's operator is
+    # exercised in-window by docs_simhash_near_pairs plus the
+    # expr≡udf pytest parity suite)
     "multi_frame_sample",
+    "docs_simhash",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

@@ -32,6 +32,7 @@ from crawlers_spark.functions.textstats import (
     tokens_ws,
     winnow_fingerprints,
 )
+from crawlers_spark.functions.lm import lm_perplexity_features
 from crawlers_spark.harness.common import load
 from crawlers_spark.operators.sampling import rate_threshold, stratified_sample
 from crawlers_spark.operators.sketches import countmin_estimate, countmin_sketch
@@ -998,7 +999,80 @@ QUALIFY row_number() OVER (ORDER BY est DESC, tok) <= 50
 """
 
 
+# --------------------------------- bigram-LM perplexity (CCNet-style)
+# Bucket thresholds in avg milli-nats per transition, chosen from the
+# fixture distribution (sf0.01 spans ~3246..3620) for a balanced
+# head/middle/tail split; the compare is cross-multiplied integer
+# arithmetic so no division/float enters the hash.
+LM_HEAD_MAX_MILLI = 3370
+LM_MID_MAX_MILLI = 3410
+
+
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality bucketing (`functions/lm.py`): train an
+    add-one bigram model on the held-in slice (doc_id % 5 != 0), score
+    EVERY doc, and bucket head/middle/tail by average milli-nats per
+    token transition. The operator's contract is exact-integer
+    (per-pair quantized log-prob, then integer sums), so the per-doc
+    features and the bucket labels are engine-portable; the oracle
+    retrains and rescores the identical model in DuckDB.
+    """
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    feats = lm_perplexity_features(
+        d, d.where(F.col("doc_id") % 5 != 0), id_col="doc_id", text_col="text"
+    )
+    neg = -F.col("sum_lp")
+    bucket = (
+        F.when(F.col("n_pairs") == 0, F.lit("empty"))
+        .when(neg < LM_HEAD_MAX_MILLI * F.col("n_pairs"), F.lit("head"))
+        .when(neg < LM_MID_MAX_MILLI * F.col("n_pairs"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return feats.select(
+        "doc_id",
+        "n_pairs",
+        F.col("sum_lp").alias("sum_lp_milli"),
+        bucket.alias("ppl_bucket"),
+    )
+
+
+SQL_LM_PERPLEXITY = rf"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []
+       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS ws
+  FROM documents),
+tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+tp AS (SELECT ws[CAST(i AS INT)] AS w1,
+              ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS pair
+       FROM tr, unnest(range(1, len(ws))) t(i)),
+uni AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY w1),
+big AS (SELECT pair, count(*) AS c2 FROM tp GROUP BY pair),
+v AS (SELECT count(DISTINCT tok) AS v_size
+      FROM (SELECT unnest(ws) AS tok FROM tr)),
+sp AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+              ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS pair
+       FROM d, unnest(range(1, len(ws))) t(i)),
+sc AS (SELECT doc_id,
+              CAST(floor(ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+                            / CAST(coalesce(c1, 0) + v_size AS DOUBLE))
+                         * 1000 + 0.5) AS BIGINT) AS lp
+       FROM sp LEFT JOIN big USING (pair) LEFT JOIN uni USING (w1)
+            CROSS JOIN v),
+pd AS (SELECT doc_id, count(*) AS n_pairs, CAST(sum(lp) AS BIGINT) AS sum_lp
+       FROM sc GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum_lp, 0) AS BIGINT) AS sum_lp_milli,
+       CASE WHEN coalesce(n_pairs, 0) = 0 THEN 'empty'
+            WHEN -coalesce(sum_lp, 0) < {LM_HEAD_MAX_MILLI} * n_pairs THEN 'head'
+            WHEN -coalesce(sum_lp, 0) < {LM_MID_MAX_MILLI} * n_pairs THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM (SELECT doc_id FROM documents) base LEFT JOIN pd USING (doc_id)
+"""
+
+
 QUERIES = {
+    "docs_lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "docs_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "docs_countmin_heavyhitters": (q_countmin, SQL_COUNTMIN),
     "docs_main_content": (q_main_content, SQL_MAIN_CONTENT),

@@ -119,17 +119,33 @@ def urllib_transport(timeout_s: float = 10.0, max_workers: int = 16):
     """Stdlib live-HTTP transport for :func:`live_fetch`: a callable
     ``urls → [(status, body|None)]`` using ``urllib.request`` over a
     thread pool (Twisted-downloader analog without dependencies).
-    Unexercisable in this sandbox (no network) — the code path is real;
-    tests inject a deterministic fake transport instead.
+    Exercised end-to-end against a loopback HTTP fixture server in
+    tests/test_live_fetch_localhost.py (no external network needed).
+
+    The imports live INSIDE ``fetch_many`` on purpose: the closure is
+    pickled to executors, and a closure cell holding the bare
+    ``urllib`` package deserializes WITHOUT its ``request`` submodule
+    imported — every ``urlopen`` then dies as an AttributeError inside
+    the error guard and silently reports status 0 (found by the
+    loopback test; keep the imports worker-side).
     """
-    import urllib.request
-    from concurrent.futures import ThreadPoolExecutor
 
     def fetch_many(urls: list[str]) -> list[tuple[int, bytes | None]]:
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
         def one(u: str) -> tuple[int, bytes | None]:
             try:
                 with urllib.request.urlopen(u, timeout=timeout_s) as r:
                     return int(getattr(r, "status", 200)), r.read()
+            except urllib.error.HTTPError as e:
+                # a 4xx/5xx is a DEFINITIVE server answer, not a
+                # transport failure — report the real status so the
+                # wave's retry policy (O12) can distinguish a permanent
+                # 404 from a transient network error (urlopen raises on
+                # non-2xx/3xx; only the blanket except below means
+                # "no response at all" → status 0 → retry)
+                return int(e.code), None
             except Exception:
                 return 0, None  # network errors → status 0, retry path
 
