@@ -61,6 +61,7 @@ HEADLINE = [
     "embed_semdedup_prune",       # SemDedup cell-bucketed semantic prune
     "docs_main_content",          # generic boilerplate stripping (r4)
     "crawl_revalidate_semantics", # conditional-revisit 304 split (r4)
+    "docs_lm_perplexity",         # bigram-LM perplexity bucketing (r4)
 ]
 
 

@@ -48,19 +48,29 @@ def _lm_tokens(text_col: str) -> Column:
 
 def _head_pairs(text_col: str) -> Column:
     """array<struct<w1,pair>> of adjacent-token pairs with their head
-    token (one pass over the token array, scan-side)."""
+    token (one pass over the token array, scan-side).
+
+    Built with ``zip_with`` rather than ``transform(sequence(...),
+    i -> element_at(ws, i))`` ON PURPOSE: Catalyst inlines the whole
+    split/lower/trim tokenization expression at every ``ws`` reference,
+    and a reference INSIDE a higher-order-function lambda is evaluated
+    per array element — the sequence form re-tokenized the text O(n)
+    times per doc (O(n²) total; profiled at 2× the whole op's runtime
+    at sf0.1). ``zip_with`` evaluates its array inputs once per row and
+    its lambda touches only the elements, so tokenization stays O(n).
+    """
     ws = _lm_tokens(text_col)
-    return F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 2),
-            lambda i: F.struct(
-                F.element_at(ws, i + 1).alias("w1"),
-                F.concat_ws(
-                    " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-                ).alias("pair"),
-            ),
+    zipped = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            a.alias("w1"), F.concat_ws(" ", a, b).alias("pair")
         ),
+    )
+    # zip_with pads the shorter side with null (the last element pairs
+    # the final token with null) — keep exactly the n-1 true bigrams
+    return F.when(
+        F.size(ws) >= 2, F.slice(zipped, 1, F.size(ws) - 1)
     ).otherwise(F.array().cast("array<struct<w1:string,pair:string>>"))
 
 
@@ -92,10 +102,19 @@ def lm_perplexity_features(
         train.select(F.explode(_head_pairs(text_col)).alias("p"))
         .select("p.w1", "p.pair")
     )
-    uni = tp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    big = tp.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    big_full = tp.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    # c(w1 ·) = Σ_w2 c(w1 w2): fold the (tiny) bigram-count table by
+    # its head token instead of re-exploding the corpus a second time
+    # — same numbers, one less full-text pass, and the rollup input is
+    # O(distinct bigrams). Heads come from the UNPRUNED counts so
+    # min_count changes only which pairs score as seen, not the
+    # denominator (pruned KenLM keeps backoff mass the same way).
+    uni = big_full.groupBy(
+        F.substring_index(F.col("pair"), " ", 1).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    big = big_full
     if min_count > 1:
-        big = big.where(F.col("c2") >= min_count)
+        big = big_full.where(F.col("c2") >= min_count)
     vocab = (
         train.select(F.explode(_lm_tokens(text_col)).alias("tok"))
         .agg(F.countDistinct("tok").alias("v_size"))

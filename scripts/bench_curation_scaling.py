@@ -1,9 +1,9 @@
-"""Same-window N→4N scaling probe for the curation ops added late in
-round 3 (decontamination, passage dedup, sequence packing), on a
-corpus big enough to engage every core: the sf documents table
-replicated ``mult``× with remapped doc_ids (~67k docs × mult at
-sf0.1). Interleaved legs (N, 4N, N, 4N) neutralize VM drift;
-efficiency = t_N / t_4N / 4 per op.
+"""Same-window N→4N scaling probe for the curation ops added in
+rounds 3–4 (decontamination, passage dedup, sequence packing,
+bigram-LM perplexity), on a corpus big enough to engage every core:
+the sf documents table replicated ``mult``× with remapped doc_ids
+(~67k docs × mult at sf0.1). Interleaved legs (N, 4N, N, 4N)
+neutralize VM drift; efficiency = t_N / t_4N / 4 per op.
 
 Usage: python scripts/bench_curation_scaling.py [sf_dir] [n] [reps] [mult]
 Prints one JSON line.
@@ -19,7 +19,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-QUERIES = ["contamination", "passage_dedup", "packing"]
+QUERIES = ["contamination", "passage_dedup", "packing", "lm_perplexity"]
 
 
 def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
@@ -70,6 +70,13 @@ def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
             "noop"
         ).mode("overwrite").save()
         out["packing"] = time.monotonic() - t
+        from crawlers_spark.functions.lm import lm_perplexity_features
+
+        t = time.monotonic()
+        lm_perplexity_features(
+            corpus, corpus.where(F.col("doc_id") % 5 != 0)
+        ).write.format("noop").mode("overwrite").save()
+        out["lm_perplexity"] = time.monotonic() - t
         corpus.unpersist()
         return out
     finally:
