@@ -1,0 +1,108 @@
+"""BM25 document ranking (Okapi BM25, Robertson et al. — public).
+
+The classic lexical relevance score over an inverted-index view of the
+corpus, re-expressed as three Spark aggregations and one join — the
+shape a 100 TB search-over-crawl pipeline needs:
+
+    score(d, q) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k1+1)
+                             ───────────────────────────────
+                             tf(t,d) + k1·(1 − b + b·dl/avgdl)
+
+    idf(t) = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form,
+                                                            always ≥ 0)
+
+Numeric portability: same repo-wide contract as ``functions/lm.py`` —
+every per-(doc, term) contribution is quantized ONCE to integer
+micro-units (``floor(x·1e6 + 0.5)``; the only cross-engine float ops
+are an IEEE-exact division chain and one ``ln``), and the per-doc
+score is an exact integer sum, so ranking order and the DuckDB replay
+are aggregation-order-independent.
+
+Scale shape: term frequencies = one explode + 2-phase hash agg
+(shuffle O(distinct (doc, term)) with map-side combine); document
+frequencies fold the tf table (O(distinct terms)), never the corpus;
+N and avgdl are a one-row broadcast; scoring joins tf against the
+(query-terms-only, semi-join-pruned) df table — the corpus text is
+read exactly once. Top-k is TakeOrderedAndProject via orderBy+limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawlers_spark.functions.lm import _lm_tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` docs for a bag of ``query_terms`` under BM25.
+
+    ``k1``/``b`` arrive as exact integer millis (defaults 1.2 / 0.75)
+    so both engines reconstruct identical doubles. Output:
+    ``(id, score_micro bigint, rank int)`` — ties broken by id for a
+    deterministic total order.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    tok = docs.select(
+        F.col(id_col), F.explode(_lm_tokens(text_col)).alias("tok")
+    )
+    # per-doc lengths over ALL tokens (BM25's dl), then term freqs
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        tok.where(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    k1 = F.lit(k1_milli).cast("double") / 1000.0
+    b = F.lit(b_milli).cast("double") / 1000.0
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    contrib = idf * (
+        tfd * (k1 + 1.0)
+        / (tfd + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    contrib_q = F.floor(contrib * quant + F.lit(0.5)).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib_q.alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap + k-row driver merge — no global single-partition sort even
+    # when millions of docs match a term), THEN rank the ≤k survivors
+    topk = scored.orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k)
+    return topk.select(
+        id_col,
+        "score_micro",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), F.asc(id_col)))
+        .cast("int")
+        .alias("rank"),
+    )

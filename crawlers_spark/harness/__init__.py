@@ -62,6 +62,8 @@ _FRONT = [
     "docs_stratified_sample",
     "docs_countmin_heavyhitters",
     "docs_lm_perplexity",
+    "docs_bm25_topk",
+    "crawl_change_rate_schedule",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -94,11 +96,9 @@ _FRONT = [
     "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_ivf_topk",
-    "embed_ivf_kmeans_topk",
     "crawl_outlink_udtf",
     "crawl_warc_read",
     "stream_hourly_windows",
-    "stream_distinct_users_per_type",
     "stream_stateful_user_totals",
     "multi_decode_media",
     "multi_resize_plan",
@@ -125,6 +125,14 @@ _TAIL = [
     # expr≡udf pytest parity suite)
     "multi_frame_sample",
     "docs_simhash",
+    # stream_distinct_users_per_type's families stay in-window via
+    # stream_hourly_windows (streaming agg) and
+    # rel_distinct_users_per_type (the identical distinct shape)
+    "stream_distinct_users_per_type",
+    # embed_ivf_kmeans_topk's family stays in-window via embed_ivf_topk
+    # (same IVF plan) and the Lloyd-replay parity suite in
+    # tests/test_similarity_multimodal.py
+    "embed_ivf_kmeans_topk",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

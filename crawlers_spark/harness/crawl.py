@@ -326,6 +326,75 @@ WHERE doc_id % 2 = 1 OR first_wave > 5
 """
 
 
+# ------------- O11+ change-rate recrawl scheduling (Cho & Garcia-Molina)
+def q_change_rate(spark, sf):
+    """Change-rate-driven revisit scheduling (`operators/recrawl.py
+    change_rate_schedule`, Cho & Garcia-Molina's bias-corrected Poisson
+    estimator): probe history derives deterministically from `events`
+    (one URL per user_id, probe at each event ts, changed ⇔
+    event_id % 3 == 0), giving ~150 URLs × ~67 probes over 30 days
+    with a spread of estimated rates. One hash aggregation + row-local
+    arithmetic; the single ln per URL is quantized once (bigint
+    micro-λ/day, bigint clamped interval, microsecond-exact due
+    timestamp) so the oracle replays it bit-for-bit.
+    """
+    from crawlers_spark.operators.recrawl import change_rate_schedule
+
+    ev = load(spark, sf, "events")
+    history = ev.select(
+        F.concat(
+            F.lit("https://src"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example/job/"),
+            F.col("user_id").cast("string"),
+        ).alias("url_canon"),
+        F.col("ts").alias("probe_ts"),
+        (F.col("event_id") % 3 == 0).alias("changed"),
+    )
+    return change_rate_schedule(history)
+
+
+SQL_CHANGE_RATE = """
+WITH h AS (
+  SELECT 'https://src' || CAST(user_id % 20 AS VARCHAR) || '.example/job/'
+           || CAST(user_id AS VARCHAR) AS url_canon,
+         ts AS probe_ts,
+         (event_id % 3 = 0) AS changed
+  FROM events),
+agg AS (
+  SELECT url_canon,
+         count(*) AS n_probes,
+         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         epoch_us(max(probe_ts)) - epoch_us(min(probe_ts)) AS span_us,
+         epoch_us(max(probe_ts)) AS last_us
+  FROM h GROUP BY 1),
+calc AS (
+  SELECT *,
+         (n_probes >= 2 AND span_us > 0 AND n_changed > 0) AS has_rate,
+         -ln((CAST(n_probes AS DOUBLE) - CAST(n_changed AS DOUBLE) + 0.5)
+             / (CAST(n_probes AS DOUBLE) + 0.5)) AS neg_ln,
+         (CAST(span_us AS DOUBLE) / 1000000.0)
+           / CAST(n_probes - 1 AS DOUBLE) AS ibar
+  FROM agg),
+sched AS (
+  SELECT url_canon, n_probes, n_changed,
+         CASE WHEN has_rate
+              THEN CAST(floor(neg_ln / ibar * 86400.0 * 1000000 + 0.5) AS BIGINT)
+              ELSE 0 END AS lambda_micro_per_day,
+         CASE WHEN NOT has_rate THEN CAST(2592000 AS BIGINT)
+              ELSE GREATEST(CAST(3600 AS BIGINT),
+                            LEAST(CAST(2592000 AS BIGINT),
+                                  CAST(floor(ibar / neg_ln + 0.5) AS BIGINT)))
+              END AS interval_s,
+         last_us
+  FROM calc)
+SELECT url_canon, CAST(n_probes AS BIGINT) AS n_probes, n_changed,
+       lambda_micro_per_day, interval_s,
+       make_timestamp(last_us + interval_s * 1000000) AS next_due_ts
+FROM sched
+"""
+
+
 # ------------------------------- O11+ conditional revisit (ETag / 304)
 def q_revalidate(spark, sf):
     """Conditional-revisit split (``operators/recrawl.py
@@ -1239,6 +1308,7 @@ WHERE rn = 1
 
 
 QUERIES = {
+    "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
     "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),

@@ -33,6 +33,7 @@ from crawlers_spark.functions.textstats import (
     winnow_fingerprints,
 )
 from crawlers_spark.functions.lm import lm_perplexity_features
+from crawlers_spark.functions.ranking import bm25_topk
 from crawlers_spark.harness.common import load
 from crawlers_spark.operators.sampling import rate_threshold, stratified_sample
 from crawlers_spark.operators.sketches import countmin_estimate, countmin_sketch
@@ -1071,7 +1072,63 @@ FROM (SELECT doc_id FROM documents) base LEFT JOIN pd USING (doc_id)
 """
 
 
+# ------------------------------------------------ BM25 ranking
+BM25_TERMS = ["hash", "join", "spark", "window"]
+
+
+def q_bm25(spark, sf):
+    """Okapi BM25 top-10 (`functions/ranking.py bm25_topk`) for a
+    4-term query over `documents`. Exact-integer contract: each
+    (doc, term) contribution is quantized once to micro-units and the
+    per-doc score is an integer sum, so the ranking and the DuckDB
+    replay are aggregation-order-independent. Corpus text is read
+    once; df folds the tf table; top-k is TakeOrderedAndProject.
+    """
+    return bm25_topk(
+        load(spark, sf, "documents").select("doc_id", "text"),
+        BM25_TERMS,
+        id_col="doc_id",
+        text_col="text",
+        k=10,
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
+
+SQL_BM25 = rf"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []
+       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       WHERE tok IN ({_BM25_IN}) GROUP BY 1, 2),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT doc_id,
+         CAST(floor(
+           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * ((1.0 - 0.75)
+                          + (0.75 * CAST(dl AS DOUBLE))
+                            / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           * 1000000 + 0.5) AS BIGINT) AS c
+  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+scored AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+           FROM sc GROUP BY 1)
+SELECT doc_id, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 QUERIES = {
+    "docs_bm25_topk": (q_bm25, SQL_BM25),
     "docs_lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "docs_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "docs_countmin_heavyhitters": (q_countmin, SQL_COUNTMIN),

@@ -81,6 +81,97 @@ def recrawl_candidates(
     )
 
 
+def change_rate_schedule(
+    history: DataFrame,
+    *,
+    url_col: str = "url_canon",
+    ts_col: str = "probe_ts",
+    changed_col: str = "changed",
+    min_interval_s: int = 3600,
+    max_interval_s: int = 30 * 86400,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Change-rate-driven recrawl scheduling (Cho & Garcia-Molina,
+    "Estimating Frequency of Change", ACM TOIT 2003 — public): from a
+    per-URL probe history (each revalidation/refetch recorded as
+    ``(url, probe_ts, changed)``), estimate the page's Poisson change
+    rate with the paper's bias-corrected estimator
+
+        λ̂ = -ln( (n - X + 0.5) / (n + 0.5) ) / Ī
+
+    (n probes, X detected changes, Ī the mean inter-probe interval)
+    and schedule the next visit at ``last_probe + clamp(1/λ̂, min,
+    max)`` — pages that change often are revisited often, static pages
+    decay toward ``max_interval_s``. This closes the loop the
+    lastmod/ETag lanes open: sitemap lastmod says WHAT changed,
+    revalidation says WHETHER it changed, and this op decides WHEN to
+    look again for hosts that publish neither.
+
+    Numeric portability (repo contract): one ``ln`` per URL quantized
+    once — ``lambda_micro_per_day`` = floor(λ̂·86400·quant + 0.5) and
+    ``interval_s`` = floor(Ī / -ln(ratio) + 0.5), both bigint, clamp
+    via integer compares; no float aggregates anywhere (the inputs to
+    the float step are exact integer counts/spans from one hash agg).
+
+    URLs with n < 2 probes, zero probe span, or X = 0 (never seen to
+    change) carry ``lambda_micro_per_day`` = 0/null-free zero and park
+    at ``max_interval_s`` — the estimator needs evidence before it
+    accelerates anyone.
+
+    Scale: ONE hash aggregation over the history table (map-side
+    combine; shuffle O(distinct URLs)) then row-local arithmetic — no
+    joins, nothing driver-side. Output feeds ``schedule_recrawls``'s
+    due-set exactly like sitemap-lastmod candidates: due ⇔
+    ``next_due_ts <= wave_ts``.
+    """
+    agg = history.groupBy(F.col(url_col).alias("url_canon")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col(changed_col).cast("long")).alias("n_changed"),
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+    )
+    # exact integer MICROSECONDS on both engines (Spark unix_micros ≡
+    # DuckDB epoch_us; second-granularity helpers disagree on
+    # truncate-vs-round, see harness/stream.py)
+    span_us = F.unix_micros(F.col("_last_ts").cast("timestamp")) - F.unix_micros(
+        F.col("_first_ts").cast("timestamp")
+    )
+    neg_ln = -F.log(
+        (F.col("n_probes").cast("double") - F.col("n_changed").cast("double") + 0.5)
+        / (F.col("n_probes").cast("double") + 0.5)
+    )
+    has_rate = (
+        (F.col("n_probes") >= 2) & (span_us > 0) & (F.col("n_changed") > 0)
+    )
+    # mean inter-probe interval in seconds: (span_us/1e6) / (n-1)
+    ibar = (span_us.cast("double") / 1000000.0) / (
+        F.col("n_probes") - 1
+    ).cast("double")
+    lam_day = F.floor(neg_ln / ibar * 86400.0 * quant + F.lit(0.5)).cast("long")
+    raw_interval = F.floor(ibar / neg_ln + F.lit(0.5)).cast("long")
+    interval = F.when(
+        ~has_rate, F.lit(max_interval_s).cast("long")
+    ).otherwise(
+        F.greatest(
+            F.lit(min_interval_s).cast("long"),
+            F.least(F.lit(max_interval_s).cast("long"), raw_interval),
+        )
+    )
+    return agg.select(
+        "url_canon",
+        "n_probes",
+        "n_changed",
+        F.when(has_rate, lam_day).otherwise(F.lit(0).cast("long")).alias(
+            "lambda_micro_per_day"
+        ),
+        interval.alias("interval_s"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("_last_ts").cast("timestamp"))
+            + interval * F.lit(1000000)
+        ).alias("next_due_ts"),
+    )
+
+
 def etag_expr(text: Column) -> Column:
     """The corpus's current entity tag for a page: md5 of its ``text``
     column — by the engine's pinned invariant (tests/test_traps.py
