@@ -1190,6 +1190,99 @@ class CrawlEngine:
             flagged.unpersist()
         return {"wave": wave, "recrawled": n_due, "revalidated": n_reval}
 
+    def schedule_adaptive_recrawls(
+        self,
+        *,
+        priority: int = 110,
+        min_interval_s: int = 3600,
+        max_interval_s: int = 30 * 86400,
+    ) -> dict:
+        """Change-rate recrawl scheduling for hosts that publish NO
+        sitemap (the third leg of the freshness triad: sitemap lastmod
+        says WHAT changed, the validator lane says WHETHER, and this
+        lane decides WHEN to look again with no external signal —
+        Cho & Garcia-Molina's estimator over the engine's own history).
+
+        Probe history comes entirely from committed state:
+        - a URL's FIRST fetch is its baseline observation
+          (``changed=False``);
+        - every REfetch is a probe that found change (with
+          ``cfg.revalidate`` on, refetches only happen when the
+          validator mismatched, so this is literal; without it, the
+          trigger's claim of change is taken at face value);
+        - every ``kind='revalidated'`` record (304) is a probe that
+          found NO change.
+        Timestamps are the same pure wave clock politeness uses, so the
+        schedule is deterministic and resume-stable.
+
+        URLs whose estimated next-due time has arrived are re-enqueued
+        by SYNTHESIZING sitemap-entry rows (lastmod = the current wave
+        clock) and delegating to :meth:`schedule_recrawls` — one code
+        path owns tombstones, pending-dedup, validator interplay,
+        frontier merge, and cuckoo deletion, so the adaptive lane
+        inherits every invariant its e2e suite pins (a due URL that
+        still revalidates 304 becomes another ``changed=False`` probe,
+        closing the estimator's feedback loop).
+
+        ``priority`` defaults to 110: above seeds (100), below
+        explicit-lastmod freshness (120). Scale: one hash agg over
+        page/revalidated keys + row-local estimator arithmetic — no
+        new shuffle shapes beyond ``schedule_recrawls`` itself.
+        """
+        from crawlers_spark.operators.recrawl import change_rate_schedule
+
+        if not self._kind_paths("page"):
+            return {"wave": None, "recrawled": 0, "revalidated": 0}
+        interval = int(self.cfg.wave_interval_s)
+        wave = self.io.last_committed_wave() + 1
+        now_sql = (
+            f"timestampadd(SECOND, CAST({wave} * {interval} AS INT), "
+            f"TIMESTAMP '{EPOCH}')"
+        )
+        wave_ts = F.expr(
+            f"timestampadd(SECOND, CAST(wave * {interval} AS INT), "
+            f"TIMESTAMP '{EPOCH}')"
+        )
+        pages = self._read_wave_out("page").select(
+            "url", "host", "url_canon", "wave"
+        )
+        first = pages.groupBy("url_canon").agg(F.min("wave").alias("_w0"))
+        probes = pages.join(first, "url_canon").select(
+            "url_canon",
+            wave_ts.alias("probe_ts"),
+            (F.col("wave") > F.col("_w0")).alias("changed"),
+        )
+        if self._kind_paths("revalidated"):
+            probes = probes.unionByName(
+                self._read_wave_out("revalidated").select(
+                    "url_canon",
+                    wave_ts.alias("probe_ts"),
+                    F.lit(False).alias("changed"),
+                )
+            )
+        sched = change_rate_schedule(
+            probes,
+            min_interval_s=min_interval_s,
+            max_interval_s=max_interval_s,
+        )
+        due = sched.where(F.col("next_due_ts") <= F.expr(now_sql)).select(
+            "url_canon"
+        )
+        # latest fetch generation's (url, host) → the fetchable form
+        latest = pages.groupBy("url_canon").agg(
+            F.max_by("url", "wave").alias("loc"),
+            F.max_by("host", "wave").alias("host"),
+        )
+        entries = due.join(latest, "url_canon").select(
+            "host",
+            F.lit("url").alias("kind"),
+            "loc",
+            F.date_format(F.expr(now_sql), "yyyy-MM-dd HH:mm:ss").alias(
+                "lastmod"
+            ),
+        )
+        return self.schedule_recrawls(entries, priority=priority)
+
     # -------------------------------------------------------- linkrank
     def apply_linkrank(self, *, iterations: int = 3) -> dict:
         """Fold link-graph PageRank into frontier priorities (O2 priority
