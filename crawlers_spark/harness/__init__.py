@@ -64,6 +64,7 @@ _FRONT = [
     "docs_lm_perplexity",
     "docs_bm25_topk",
     "crawl_change_rate_schedule",
+    "crawl_hits_scores",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -81,7 +82,6 @@ _FRONT = [
     "crawl_retry_policy",
     "crawl_politeness_budget",
     "crawl_politeness_from_robots",
-    "docs_ngram_jaccard",
     "docs_simhash_near_pairs",
     "docs_dedup_clusters",
     "docs_exact_dedup",
@@ -116,13 +116,14 @@ _FRONT = [
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
-    # r2-signed, untouched, deferred to round 5 to make room for the
-    # three NEW queries (never-countersigned beats one-more-round-stale;
-    # multi_frame_sample's family is covered in-window by
-    # multi_decode_media / multi_resize_plan and r3-signed
-    # multi_embed_media / multi_decode_real; docs_simhash's operator is
-    # exercised in-window by docs_simhash_near_pairs plus the
-    # expr≡udf pytest parity suite)
+    # r2-signed, untouched, deferred to round 5 to make room for this
+    # round's EIGHT new queries (never-countersigned beats
+    # one-more-round-stale; each deferral's operator family keeps an
+    # in-window countersignature, noted per entry).
+    # multi_frame_sample: family in-window via multi_decode_media /
+    # multi_resize_plan (+ r3-signed multi_embed_media /
+    # multi_decode_real); docs_simhash: exercised in-window by
+    # docs_simhash_near_pairs plus the expr≡udf pytest parity suite
     "multi_frame_sample",
     "docs_simhash",
     # stream_distinct_users_per_type's families stay in-window via
@@ -133,6 +134,9 @@ _TAIL = [
     # (same IVF plan) and the Lloyd-replay parity suite in
     # tests/test_similarity_multimodal.py
     "embed_ivf_kmeans_topk",
+    # docs_ngram_jaccard's pair-candidate family stays in-window via
+    # docs_minhash_lsh_pairs and docs_simhash_near_pairs
+    "docs_ngram_jaccard",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

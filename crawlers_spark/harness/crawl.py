@@ -1043,6 +1043,74 @@ FROM {prev} r, nn)
 SQL_PAGERANK = _pagerank_sql()
 
 
+# --------------------------------------- HITS hubs/authorities (O2+)
+def q_hits(spark, sf):
+    """Kleinberg HITS over the same deterministic doc-id link graph as
+    the PageRank query (century hubs + next-chains; dangling k%4=0
+    pages participate as link targets only). Fixed-point bigint with
+    sum-normalization per half-step, so the oracle unrolls both
+    mutual-reinforcement rounds VERBATIM and the match is exact —
+    century-hub pages surface as hubs, hub targets as authorities."""
+    from crawlers_spark.operators.linkrank import hits_scores
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def u(k):
+        return F.concat(
+            F.lit("https://h"), (k % 10).cast("string"),
+            F.lit(".example/p/"), k.cast("string"),
+        )
+
+    linked = docs.where(d % 4 != 0)
+    hub = linked.select(u(d).alias("src_canon"), u(d - d % 100).alias("dst_canon"))
+    nxt = linked.select(u(d).alias("src_canon"), u(d + 1).alias("dst_canon"))
+    return hits_scores(hub.unionByName(nxt), iterations=2)
+
+
+def _hits_sql(scale: int = 10**9, iterations: int = 2) -> str:
+    url = lambda k: _URL_EXPR.format(k=k)  # noqa: E731
+    raw_edges_sql = f"""
+  SELECT {url('doc_id')} AS src, {url('doc_id - doc_id % 100')} AS dst
+  FROM documents WHERE doc_id % 4 <> 0
+  UNION ALL
+  SELECT {url('doc_id')}, {url('doc_id + 1')}
+  FROM documents WHERE doc_id % 4 <> 0"""
+    steps = [f"""
+WITH raw_edges AS ({raw_edges_sql}),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT id, {scale} // nn.n AS s FROM nodes, nn)"""]
+    prev_hub = "h0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+a{i}r AS (SELECT e.dst AS id, SUM(h.s) AS raw
+          FROM edges e JOIN {prev_hub} h ON e.src = h.id GROUP BY 1),
+a{i}t AS (SELECT COALESCE(SUM(raw), 0) AS t FROM a{i}r),
+a{i} AS (SELECT n.id,
+                CAST(CASE WHEN t = 0 THEN 0
+                     ELSE (COALESCE(raw, 0) * {scale}) // t END AS BIGINT) AS s
+         FROM nodes n LEFT JOIN a{i}r ON n.id = a{i}r.id, a{i}t),
+h{i}r AS (SELECT e.src AS id, SUM(a.s) AS raw
+          FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY 1),
+h{i}t AS (SELECT COALESCE(SUM(raw), 0) AS t FROM h{i}r),
+h{i} AS (SELECT n.id,
+                CAST(CASE WHEN t = 0 THEN 0
+                     ELSE (COALESCE(raw, 0) * {scale}) // t END AS BIGINT) AS s
+         FROM nodes n LEFT JOIN h{i}r ON n.id = h{i}r.id, h{i}t)""")
+        prev_hub = f"h{i}"
+    k = iterations
+    return ",".join(steps) + f"""
+SELECT h.id AS url_canon, h.s AS hub_scaled, a.s AS auth_scaled
+FROM h{k} h JOIN a{k} a ON h.id = a.id
+"""
+
+
+SQL_HITS = _hits_sql()
+
+
 # --------------------------------- apply_linkrank fold (engine merge)
 def q_linkrank_boost(spark, sf):
     """The exact ``CrawlEngine.apply_linkrank`` fold: frontier priority
@@ -1309,6 +1377,7 @@ WHERE rn = 1
 
 QUERIES = {
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
+    "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
     "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),

@@ -116,6 +116,97 @@ def _power_round(ranks, edges, deg, nodes, n1, damping_pct: int) -> DataFrame:
     )
 
 
+SCALE_H = 10**9  # raw ≤ ΣSCALE_H ⇒ raw·SCALE_H ≤ 1e18 < int64 max
+
+
+def hits_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    iterations: int = 2,
+) -> DataFrame:
+    """(id, hub_scaled, auth_scaled) — Kleinberg's HITS
+    ("Authoritative Sources in a Hyperlinked Environment", JACM 1999 —
+    public) after ``iterations`` mutual-reinforcement rounds:
+
+        auth(v) ∝ Σ_{u→v} hub(u)      hub(u) ∝ Σ_{u→v} auth(v)
+
+    Same portability discipline as :func:`pagerank_fixed`: all mass is
+    fixed-point bigint, and each half-step SUM-normalizes (Σ = SCALE_H
+    via exact floor division — L2 would need a float sqrt; any
+    consistent normalization preserves the ranking, and the integer
+    form is bit-identical at any parallelism and replayable in DuckDB).
+    Per half-step shuffle budget: one edge-keyed join + one
+    dst(/src)-keyed partial agg + one vertex left join; the normalizing
+    total is a 1-row broadcast. ``localCheckpoint`` per round truncates
+    lineage exactly like PageRank/connected-components.
+    """
+    edges = edges.select("src", "dst").persist()
+    n1 = nodes.agg(F.count("*").alias("n"))
+    hub = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select("id", F.expr(f"{SCALE_H} div n").alias("score"))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(iterations):
+        auth = _hits_half(edges, hub, nodes, "src", "dst").localCheckpoint()
+        hub = _hits_half(edges, auth, nodes, "dst", "src").localCheckpoint()
+    edges.unpersist()
+    out = (
+        hub.select(F.col("id"), F.col("score").alias("hub_scaled"))
+        .join(
+            auth.select(F.col("id"), F.col("score").alias("auth_scaled")),
+            "id",
+        )
+    )
+    return out
+
+
+def _hits_half(edges, scores, nodes, from_col: str, to_col: str) -> DataFrame:
+    """One HITS half-step: propagate ``scores`` along edges from
+    ``from_col`` endpoints onto ``to_col`` endpoints, then sum-normalize
+    to SCALE_H (CASE-guarded for the empty-graph total)."""
+    raw = (
+        edges.join(scores, edges[from_col] == scores["id"])
+        .select(edges[to_col].alias("_to"), "score")
+        .groupBy("_to")
+        .agg(F.sum("score").alias("raw"))
+    )
+    total = raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("t"))
+    return (
+        nodes.join(raw, nodes["id"] == raw["_to"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.expr(
+                f"CASE WHEN t = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (coalesce(raw, 0) * {SCALE_H}) div t END"
+            ).alias("score"),
+        )
+    )
+
+
+def hits_scores(outlinks: DataFrame, *, iterations: int = 2) -> DataFrame:
+    """(url_canon, hub_scaled, auth_scaled) from a crawled outlink
+    table ``(src_canon, dst_canon)`` — the hub/authority complement of
+    :func:`pagerank_priorities`: authorities are fetch-priority
+    material (pages many good hubs endorse), hubs are frontier-
+    expansion material (pages whose outlinks are worth following
+    first). Parallel edges are dropped, vertex set = src ∪ dst."""
+    nodes = (
+        outlinks.select(F.col("src_canon").alias("id"))
+        .unionByName(outlinks.select(F.col("dst_canon").alias("id")))
+        .distinct()
+    )
+    edges = outlinks.select(
+        F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+    ).distinct()
+    return hits_fixed(edges, nodes, iterations=iterations).withColumnRenamed(
+        "id", "url_canon"
+    )
+
+
 def pagerank_priorities(
     outlinks: DataFrame,
     *,
