@@ -55,8 +55,10 @@ _MODULES = [relational, crawl, docs, embed, media, stream]
 _FRONT = [
     # NEW this round: conditional revisit (ETag/304), generic
     # main-content extraction, deterministic stratified sampling
-    # (data mixing), count-min-sketch heavy hitters, and CCNet-style
-    # bigram-LM perplexity bucketing
+    # (data mixing), count-min-sketch heavy hitters, CCNet-style
+    # bigram-LM perplexity bucketing, Okapi BM25 ranking, change-rate
+    # recrawl scheduling, HITS hubs/authorities, and registrable-domain
+    # (PSL-lite) politeness slots
     "crawl_revalidate_semantics",
     "docs_main_content",
     "docs_stratified_sample",
@@ -65,6 +67,7 @@ _FRONT = [
     "docs_bm25_topk",
     "crawl_change_rate_schedule",
     "crawl_hits_scores",
+    "crawl_registrable_domain",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -79,7 +82,6 @@ _FRONT = [
     "crawl_lineage_rollup",
     "crawl_sitemap_seeds",
     "crawl_offsite_filter",
-    "crawl_retry_policy",
     "crawl_politeness_budget",
     "crawl_politeness_from_robots",
     "docs_simhash_near_pairs",
@@ -137,6 +139,9 @@ _TAIL = [
     # docs_ngram_jaccard's pair-candidate family stays in-window via
     # docs_minhash_lsh_pairs and docs_simhash_near_pairs
     "docs_ngram_jaccard",
+    # crawl_retry_policy's lane is additionally e2e-pinned every run by
+    # test_crawl_e2e's lineage_totals + kill-and-resume assertions
+    "crawl_retry_policy",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

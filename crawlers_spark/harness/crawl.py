@@ -395,6 +395,94 @@ FROM sched
 """
 
 
+# --------------------- registrable-domain politeness slots (PSL-lite)
+def q_registrable_domain(spark, sf):
+    """eTLD+1 extraction (`functions/domains.py registrable_domain`,
+    Scrapy's per-DOMAIN politeness-slot key) over a deterministic host
+    zoo derived from doc ids: six TLDs (three of them listed 2-label
+    public suffixes), three subdomain depths, plus IPv4 and
+    single-label specials. Output is the per-domain slot rollup
+    (distinct hosts + rows per site) — the aggregation Scrapy's
+    downloader does when it coalesces subdomains onto one delay queue.
+    Scan-side codegen only; the suffix set is a plan literal.
+    """
+    from crawlers_spark.functions.domains import registrable_domain
+
+    d = F.col("doc_id")
+    tld = (
+        F.when(d % 6 == 0, "com")
+        .when(d % 6 == 1, "co.uk")
+        .when(d % 6 == 2, "com.au")
+        .when(d % 6 == 3, "net")
+        .when(d % 6 == 4, "co.jp")
+        .otherwise("org")
+    )
+    sub = (
+        F.when(d % 3 == 0, "")
+        .when(d % 3 == 1, "www.")
+        .otherwise("jobs.sub.")
+    )
+    host = (
+        F.when(d % 41 == 0, F.concat(F.lit("10.0.0."), (d % 256).cast("string")))
+        .when(d % 43 == 0, F.lit("localhost"))
+        .otherwise(
+            F.concat(sub, F.lit("site"), (d % 40).cast("string"), F.lit("."), tld)
+        )
+    )
+    hosts = load(spark, sf, "documents").select(host.alias("host"))
+    return (
+        hosts.select("host", registrable_domain(F.col("host")).alias("site"))
+        .groupBy("site")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("host").alias("sample_host"),
+        )
+    )
+
+
+def _registrable_sql() -> str:
+    from crawlers_spark.functions.domains import PSL_LITE
+
+    suffixes = ", ".join(f"'{s}'" for s in PSL_LITE)
+    return rf"""
+WITH h AS (
+  SELECT CASE WHEN doc_id % 41 = 0 THEN '10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              WHEN doc_id % 43 = 0 THEN 'localhost'
+              ELSE (CASE WHEN doc_id % 3 = 0 THEN ''
+                         WHEN doc_id % 3 = 1 THEN 'www.'
+                         ELSE 'jobs.sub.' END)
+                   || 'site' || CAST(doc_id % 40 AS VARCHAR) || '.'
+                   || (CASE WHEN doc_id % 6 = 0 THEN 'com'
+                            WHEN doc_id % 6 = 1 THEN 'co.uk'
+                            WHEN doc_id % 6 = 2 THEN 'com.au'
+                            WHEN doc_id % 6 = 3 THEN 'net'
+                            WHEN doc_id % 6 = 4 THEN 'co.jp'
+                            ELSE 'org' END)
+         END AS host
+  FROM documents),
+p AS (
+  SELECT host, string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+  FROM h),
+s AS (
+  SELECT host,
+         CASE WHEN regexp_matches(host, '^\d{{1,3}}(\.\d{{1,3}}){{3}}$') OR n <= 1
+                THEN host
+              WHEN (parts[n - 1] || '.' || parts[n]) IN ({suffixes}) AND n >= 3
+                THEN parts[n - 2] || '.' || parts[n - 1] || '.' || parts[n]
+              WHEN (parts[n - 1] || '.' || parts[n]) IN ({suffixes})
+                THEN host
+              ELSE parts[n - 1] || '.' || parts[n] END AS site
+  FROM p)
+SELECT site, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_rows, min(host) AS sample_host
+FROM s GROUP BY site
+"""
+
+
+SQL_REGISTRABLE_DOMAIN = _registrable_sql()
+
+
 # ------------------------------- O11+ conditional revisit (ETag / 304)
 def q_revalidate(spark, sf):
     """Conditional-revisit split (``operators/recrawl.py
@@ -1378,6 +1466,7 @@ WHERE rn = 1
 QUERIES = {
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
+    "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
     "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),

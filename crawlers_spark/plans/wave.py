@@ -211,6 +211,13 @@ class CrawlConfig:
     # For pages with no selector program — the LLM-corpus lane; the
     # per-site offer extraction and its byte parity are untouched.
     main_content: bool = False
+    # Scrapy OffsiteMiddleware parity (functions/domains.py
+    # `same_site`): with this on, a source's allowed_host admits its
+    # subdomains at dot boundaries (api.src0.example passes for
+    # src0.example); off (default) keeps exact-host admission. Pure
+    # predicate change on the link-admission filter — the broadcast
+    # join shape is identical either way.
+    offsite_subdomains: bool = False
     # Mercator content-seen test (operators/dedup.py
     # `content_seen_winners`): outlinks of a page whose content digest
     # was already seen (earlier wave, or a lower-url_canon page in the
@@ -709,10 +716,17 @@ class CrawlEngine:
                     "url", "src_source", "depth", "out_url"
                 )
             )
+        from crawlers_spark.functions.domains import same_site
+
+        offsite_ok = (
+            same_site(F.col("host"), F.col("allowed_host"))
+            if cfg.offsite_subdomains
+            else F.col("host") == F.col("allowed_host")
+        )
         discovered = (
             with_canonical_url(links, "out_url", "url_canon")
             .join(F.broadcast(self.allowed_hosts), "src_source", "left")
-            .where(F.col("host") == F.col("allowed_host"))
+            .where(offsite_ok)
             .where(F.col("depth") + 1 <= cfg.max_depth)
             .select(
                 F.col("out_url").alias("url"),
