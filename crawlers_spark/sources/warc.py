@@ -191,3 +191,127 @@ def write_warc_pages(
         )
 
     return df.select("url", "warc_ts", "html").mapInPandas(emit, schema)
+
+
+# ----------------------------------------------------- WET (conversion)
+def wet_record_bytes(url: str, iso_ts: str, text: str) -> bytes:
+    """One WARC ``conversion`` record (the WET layout: Common Crawl's
+    extracted-text sidecar files are WARC containers whose records are
+    ``WARC-Type: conversion`` with a plain UTF-8 text payload). Record
+    ids are content-derived like :func:`warc_record_bytes`, so the
+    writer is byte-idempotent."""
+    import hashlib
+
+    payload = text.encode("utf-8")
+    rid = hashlib.md5(f"wet|{url}|{iso_ts}".encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso_ts}\r\n"
+        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def write_wet_pages(
+    df: DataFrame, out_dir: str, *, text_col: str = "text", compress: bool = True
+) -> DataFrame:
+    """pages-shape DataFrame → ``part-NNNNN.warc.wet[.gz]`` shards —
+    the WET third of the Common-Crawl container triad (WARC response
+    shards: :func:`write_warc_pages`; CDX index: ``sources/cdx.py``).
+    Same contract as the WARC sink: one gzip member per record, one
+    shard per input partition streamed executor-side (text never
+    shuffles), content-derived record ids (idempotent re-runs), and a
+    lazily-executed lineage DataFrame ``(wet_file, n_records,
+    n_bytes)`` for staged commits."""
+    from typing import Iterator as _Iter
+
+    from pyspark import TaskContext
+
+    schema = "wet_file string, n_records bigint, n_bytes bigint"
+
+    def emit(it: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import gzip as _gzip
+        import os
+
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        n = 0
+        for pdf in it:
+            iso = pdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+            for url, ts, text in zip(pdf["url"], iso, pdf["_wet_text"]):
+                rec = wet_record_bytes(url, ts, text if text is not None else "")
+                chunks.append(_gzip.compress(rec, 6, mtime=0) if compress else rec)
+                n += 1
+        if not n:
+            yield pd.DataFrame(
+                {
+                    "wet_file": pd.Series([], dtype="object"),
+                    "n_records": pd.Series([], dtype="int64"),
+                    "n_bytes": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        name = f"part-{pid:05d}.warc.wet" + (".gz" if compress else "")
+        path = os.path.join(out_dir, name)
+        blob = b"".join(chunks)
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {"wet_file": [path], "n_records": [n], "n_bytes": [len(blob)]}
+        )
+
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "url", "warc_ts", F.col(text_col).alias("_wet_text")
+    ).mapInPandas(emit, schema)
+
+
+WET_PAGES_SCHEMA = "url string, warc_ts timestamp, text string, wet_file string"
+
+
+def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WET shards → (url, warc_ts, text, wet_file) — the reader half of
+    the round trip; only ``conversion`` records are emitted (a mixed
+    container's response records are the WARC reader's business).
+    Same file-level parallelism as :func:`read_warc_pages`."""
+    from typing import Iterator as _Iter
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(it: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import gzip as _gzip
+
+        for pdf in it:
+            rows = []
+            for fpath, data in zip(pdf["path"], pdf["content"]):
+                raw = bytes(data)
+                if fpath.endswith(".gz"):
+                    raw = _gzip.decompress(raw)
+                for headers, block in iter_warc_records(raw):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            block.decode("utf-8", "replace"),
+                            fpath,
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=["url", "warc_ts", "text", "wet_file"])
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(
+                    out["warc_ts"], format="%Y-%m-%dT%H:%M:%SZ"
+                )
+            else:
+                out["warc_ts"] = pd.Series([], dtype="datetime64[ns]")
+            yield out
+
+    return files.mapInPandas(parse, WET_PAGES_SCHEMA)
