@@ -369,3 +369,47 @@ def normalize_text_udf():
         return normalize_text_series(s)
 
     return _udf
+
+
+# ------------------------------------------------ C4 line-level filter
+def c4_line_filter(
+    text: Column, *, min_words: int = 5, min_lines: int = 3
+) -> dict[str, Column]:
+    """The C4 cleaning rules (Raffel et al. 2020, public — the "Colossal
+    Clean Crawled Corpus" heuristics), line-level where C4 is
+    line-level:
+
+    - retain only lines ending in a terminal punctuation mark
+      (``. ! ? "``);
+    - retain only lines with at least ``min_words`` words;
+    - drop any line containing the word "javascript";
+    - drop the whole PAGE when fewer than ``min_lines`` lines survive,
+      or when it contains "lorem ipsum" or a curly brace.
+
+    Returns {``kept``: bool, ``n_lines_kept``: int, ``clean_text``:
+    retained lines rejoined with newlines}. Pure higher-order Catalyst
+    expressions over ONE split of the text — scan-side codegen, zero
+    exchanges, and every predicate restates verbatim in DuckDB
+    (regexp_matches / len / contains / list_filter)."""
+    lines = F.split(text, "\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= min_words)
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    kept_lines = F.filter(lines, _keep)
+    n_kept = F.size(kept_lines)
+    page_ok = (
+        (n_kept >= min_lines)
+        & ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+        & ~F.contains(text, F.lit("{"))
+    )
+    return {
+        "kept": page_ok,
+        "n_lines_kept": n_kept.cast("int"),
+        "clean_text": F.array_join(kept_lines, "\n"),
+    }

@@ -57,8 +57,8 @@ _FRONT = [
     # main-content extraction, deterministic stratified sampling
     # (data mixing), count-min-sketch heavy hitters, CCNet-style
     # bigram-LM perplexity bucketing, Okapi BM25 ranking, change-rate
-    # recrawl scheduling, HITS hubs/authorities, and registrable-domain
-    # (PSL-lite) politeness slots
+    # recrawl scheduling, HITS hubs/authorities, registrable-domain
+    # (PSL-lite) politeness slots, and the C4 line-level filter
     "crawl_revalidate_semantics",
     "docs_main_content",
     "docs_stratified_sample",
@@ -68,6 +68,7 @@ _FRONT = [
     "crawl_change_rate_schedule",
     "crawl_hits_scores",
     "crawl_registrable_domain",
+    "docs_c4_line_filter",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -79,7 +80,6 @@ _FRONT = [
     "embed_dedup_clusters",
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
-    "crawl_lineage_rollup",
     "crawl_sitemap_seeds",
     "crawl_offsite_filter",
     "crawl_politeness_budget",
@@ -119,7 +119,7 @@ _FRONT = [
 ]
 _TAIL = [
     # r2-signed, untouched, deferred to round 5 to make room for this
-    # round's EIGHT new queries (never-countersigned beats
+    # round's TEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an
     # in-window countersignature, noted per entry).
     # multi_frame_sample: family in-window via multi_decode_media /
@@ -142,6 +142,9 @@ _TAIL = [
     # crawl_retry_policy's lane is additionally e2e-pinned every run by
     # test_crawl_e2e's lineage_totals + kill-and-resume assertions
     "crawl_retry_policy",
+    # crawl_lineage_rollup's lane is likewise e2e-pinned every run by
+    # test_crawl_e2e's lineage_totals invariant
+    "crawl_lineage_rollup",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

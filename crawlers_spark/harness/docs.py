@@ -33,6 +33,7 @@ from crawlers_spark.functions.textstats import (
     winnow_fingerprints,
 )
 from crawlers_spark.functions.lm import lm_perplexity_features
+from crawlers_spark.functions.textstats import c4_line_filter
 from crawlers_spark.functions.ranking import bm25_topk
 from crawlers_spark.harness.common import load
 from crawlers_spark.operators.sampling import rate_threshold, stratified_sample
@@ -1072,6 +1073,84 @@ FROM (SELECT doc_id FROM documents) base LEFT JOIN pd USING (doc_id)
 """
 
 
+# ------------------------------------------------ C4 line filter
+def q_c4_line_filter(spark, sf):
+    """C4 cleaning rules (`functions/textstats.py c4_line_filter`) over
+    a deterministic lined input (the fixture docs are single-line, so
+    both engines assemble the same multi-line page around each doc's
+    text prefix): terminal-punctuation + ≥5-word + no-javascript line
+    retention, then the <3-lines / lorem-ipsum / curly-brace page
+    drops. The value hash covers the REJOINED clean text, so the
+    per-line verdicts are countersigned character-for-character.
+    """
+    d = F.col("doc_id")
+    snippet = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" end of crawled snippet words."),
+    )
+    base = F.concat_ws(
+        "\n",
+        F.lit("This is a good sentence with enough words."),
+        F.lit("Too short line."),
+        F.lit("This line mentions javascript and enough words here."),
+        snippet,
+    )
+    txt = F.concat(
+        base,
+        F.when(
+            d % 5 != 0,
+            F.lit("\nAnother good sentence with plenty of words included."),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0, F.lit("\nlorem ipsum dolor sit amet words here.")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.lit("\nconfig = { enough words follow here anyway. }"),
+        ).otherwise(F.lit("")),
+    )
+    cols = c4_line_filter(txt)
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        cols["kept"].alias("kept"),
+        cols["n_lines_kept"].alias("n_lines_kept"),
+        cols["clean_text"].alias("clean_text"),
+    )
+
+
+SQL_C4_LINE_FILTER = r"""
+WITH t AS (
+  SELECT doc_id,
+    'This is a good sentence with enough words.' || chr(10) ||
+    'Too short line.' || chr(10) ||
+    'This line mentions javascript and enough words here.' || chr(10) ||
+    substr(text, 1, 60) || ' end of crawled snippet words.'
+    || CASE WHEN doc_id % 5 <> 0
+            THEN chr(10) || 'Another good sentence with plenty of words included.'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet words here.'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN chr(10) || 'config = { enough words follow here anyway. }'
+            ELSE '' END AS txt
+  FROM documents),
+k AS (
+  SELECT doc_id, txt,
+    list_filter(string_split(txt, chr(10)),
+      l -> regexp_matches(trim(l), '[.!?"]$')
+           AND len(string_split_regex(trim(l), '\s+')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept_lines
+  FROM t)
+SELECT doc_id,
+       (len(kept_lines) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+        AND NOT contains(txt, '{')) AS kept,
+       CAST(len(kept_lines) AS INT) AS n_lines_kept,
+       array_to_string(kept_lines, chr(10)) AS clean_text
+FROM k
+"""
+
+
 # ------------------------------------------------ BM25 ranking
 BM25_TERMS = ["hash", "join", "spark", "window"]
 
@@ -1128,6 +1207,7 @@ QUALIFY rank <= 10
 
 
 QUERIES = {
+    "docs_c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "docs_bm25_topk": (q_bm25, SQL_BM25),
     "docs_lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "docs_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
