@@ -413,3 +413,72 @@ def c4_line_filter(
         "n_lines_kept": n_kept.cast("int"),
         "clean_text": F.array_join(kept_lines, "\n"),
     }
+
+
+# --------------------------------------------- Gopher quality filter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The Gopher quality rules (Rae et al. 2021, Appendix A — public),
+    the non-repetition half (repetition ratios live in
+    :func:`repetition_ratios`):
+
+    - word count in [``min_words``, ``max_words``];
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (``#`` or ``...``) ≤ 0.1;
+    - ≥ 80% of words contain at least one alphabetic character;
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis;
+    - at least two of the eight required English stop words appear.
+
+    Every ratio threshold is a CROSS-MULTIPLIED integer compare over
+    exact counts (no division anywhere), so the verdict replays
+    bit-for-bit in DuckDB. One token split + one line split, all
+    scan-side codegen, zero exchanges.
+
+    Returns the per-rule booleans plus the conjunction ``kept``.
+    """
+    ws = tokens_ws(text)
+    n_words = F.size(ws)
+    total_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+    n_symbols = (
+        F.size(F.filter(ws, lambda w: w.contains("#")))
+        + F.size(F.filter(ws, lambda w: w.contains("...")))
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    low = F.transform(ws, F.lower)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low, s),
+        )
+    )
+    rules = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (3 * n_words <= total_chars)
+        & (total_chars <= 10 * n_words),
+        "ok_symbol_ratio": 10 * n_symbols <= n_words,
+        "ok_alpha_words": 10 * n_alpha >= 8 * n_words,
+        "ok_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "ok_ellipsis_lines": 10 * n_ellipsis <= 3 * n_lines,
+        "ok_stopwords": n_stop >= 2,
+    }
+    kept = None
+    for c in rules.values():
+        kept = c if kept is None else (kept & c)
+    return {**rules, "kept": kept}

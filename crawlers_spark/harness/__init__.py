@@ -58,7 +58,8 @@ _FRONT = [
     # (data mixing), count-min-sketch heavy hitters, CCNet-style
     # bigram-LM perplexity bucketing, Okapi BM25 ranking, change-rate
     # recrawl scheduling, HITS hubs/authorities, registrable-domain
-    # (PSL-lite) politeness slots, and the C4 line-level filter
+    # (PSL-lite) politeness slots, the C4 line-level filter, and the
+    # Gopher quality filter
     "crawl_revalidate_semantics",
     "docs_main_content",
     "docs_stratified_sample",
@@ -69,6 +70,7 @@ _FRONT = [
     "crawl_hits_scores",
     "crawl_registrable_domain",
     "docs_c4_line_filter",
+    "docs_gopher_quality",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -92,7 +94,6 @@ _FRONT = [
     "docs_quality",
     "docs_token_counts",
     "docs_repetition_ratios",
-    "docs_curation_pipeline",
     "docs_winnow_fingerprints",
     "docs_bigram_stats",
     "embed_cosine_topk",
@@ -119,7 +120,7 @@ _FRONT = [
 ]
 _TAIL = [
     # r2-signed, untouched, deferred to round 5 to make room for this
-    # round's TEN new queries (never-countersigned beats
+    # round's ELEVEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an
     # in-window countersignature, noted per entry).
     # multi_frame_sample: family in-window via multi_decode_media /
@@ -145,6 +146,9 @@ _TAIL = [
     # crawl_lineage_rollup's lane is likewise e2e-pinned every run by
     # test_crawl_e2e's lineage_totals invariant
     "crawl_lineage_rollup",
+    # docs_curation_pipeline composes quality/lang/near-dup/canonical —
+    # every component op is individually countersigned in-window
+    "docs_curation_pipeline",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

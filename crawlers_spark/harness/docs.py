@@ -33,7 +33,7 @@ from crawlers_spark.functions.textstats import (
     winnow_fingerprints,
 )
 from crawlers_spark.functions.lm import lm_perplexity_features
-from crawlers_spark.functions.textstats import c4_line_filter
+from crawlers_spark.functions.textstats import c4_line_filter, gopher_quality_filter
 from crawlers_spark.functions.ranking import bm25_topk
 from crawlers_spark.harness.common import load
 from crawlers_spark.operators.sampling import rate_threshold, stratified_sample
@@ -1151,6 +1151,94 @@ FROM k
 """
 
 
+# --------------------------------------------- Gopher quality filter
+def q_gopher_quality(spark, sf):
+    """Gopher quality rules (`functions/textstats.py
+    gopher_quality_filter`) over a deterministic augmentation of each
+    doc (the fixture vocabulary contains no English stop words, single
+    lines, and no symbols, so each rule's TRIP branch is planted on a
+    doc_id stride): stop-word sentence on %3=0, symbol burst on %17=0,
+    bullet block on %23=0, ellipsis line on %29=0. Every threshold is
+    a cross-multiplied integer compare — no division enters the hash.
+    """
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.lit(
+                " the cat and the dog have fun with that to be sure of it"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 17 == 0,
+            F.lit(" " + " ".join(["#"] * 40)),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 23 == 0,
+            F.lit("".join("\n- bullet item like this" for _ in range(10))),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 29 == 0, F.lit("\nto be continued...")
+        ).otherwise(F.lit("")),
+    )
+    cols = gopher_quality_filter(txt, min_words=20)
+    return load(spark, sf, "documents").select(
+        "doc_id", *[cols[k].alias(k) for k in sorted(cols)]
+    )
+
+
+_G_STOPS = ", ".join(f"'{s}'" for s in ("the", "be", "to", "of", "and", "that", "have", "with"))
+_G_SYMS = " ".join(["#"] * 40)
+_G_BULLETS = "".join("\n- bullet item like this" for _ in range(10))
+
+SQL_GOPHER_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' the cat and the dog have fun with that to be sure of it'
+            ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' {_G_SYMS}' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN '{_G_BULLETS}' ELSE '' END
+    || CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+      AS txt
+  FROM documents),
+c AS (
+  SELECT doc_id, txt,
+    CASE WHEN trim(txt) = '' THEN []
+         ELSE string_split_regex(trim(txt), '\s+') END AS ws,
+    string_split(txt, chr(10)) AS lines
+  FROM t),
+m AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS total_chars,
+    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-zÀ-ÿ]'))) AS n_alpha,
+    len(list_filter(ws, w -> contains(w, '#')))
+      + len(list_filter(ws, w -> contains(w, '...'))) AS n_symbols,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+    len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS n_ellipsis,
+    len(list_filter([{_G_STOPS}],
+        s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS n_stop
+  FROM c)
+SELECT doc_id,
+  (n_words >= 20 AND n_words <= 100000) AND (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+    AND (10 * n_symbols <= n_words) AND (10 * n_alpha >= 8 * n_words)
+    AND (10 * n_bullet <= 9 * n_lines) AND (10 * n_ellipsis <= 3 * n_lines)
+    AND (n_stop >= 2) AS kept,
+  (10 * n_alpha >= 8 * n_words) AS ok_alpha_words,
+  (10 * n_bullet <= 9 * n_lines) AS ok_bullet_lines,
+  (10 * n_ellipsis <= 3 * n_lines) AS ok_ellipsis_lines,
+  (3 * n_words <= total_chars AND total_chars <= 10 * n_words) AS ok_mean_word_len,
+  (n_stop >= 2) AS ok_stopwords,
+  (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+  (n_words >= 20 AND n_words <= 100000) AS ok_word_count
+FROM m
+"""
+
+
 # ------------------------------------------------ BM25 ranking
 BM25_TERMS = ["hash", "join", "spark", "window"]
 
@@ -1208,6 +1296,7 @@ QUALIFY rank <= 10
 
 QUERIES = {
     "docs_c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "docs_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "docs_bm25_topk": (q_bm25, SQL_BM25),
     "docs_lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "docs_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
