@@ -315,3 +315,167 @@ def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
             yield out
 
     return files.mapInPandas(parse, WET_PAGES_SCHEMA)
+
+
+# ------------------------------------------------------ WAT (metadata)
+def wat_record_bytes(url: str, iso_ts: str, meta_json: str) -> bytes:
+    """One WARC ``metadata`` record (the WAT layout: Common Crawl's
+    metadata sidecars are WARC containers whose records carry a JSON
+    envelope describing the corresponding response record). Content-
+    derived record id → byte-idempotent writer."""
+    import hashlib
+
+    payload = meta_json.encode("utf-8")
+    rid = hashlib.md5(f"wat|{url}|{iso_ts}".encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso_ts}\r\n"
+        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def write_wat_pages(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    title_col: str = "title",
+    links_col: str = "outlinks",
+    compress: bool = True,
+) -> DataFrame:
+    """(url, warc_ts, title, outlinks:array<string>) → WAT shards —
+    the metadata third of the Common-Crawl derivative family (WARC
+    responses, WAT metadata, WET text; plus the CDX index in
+    ``sources/cdx.py``). The JSON envelope is canonicalized
+    deterministically (sorted keys, compact separators, sorted link
+    list) so re-runs are byte-identical like the WARC/WET sinks.
+    Same scale contract: one shard per partition, executor-side, a
+    lazy lineage DataFrame ``(wat_file, n_records, n_bytes)`` back."""
+    from typing import Iterator as _Iter
+
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    schema = "wat_file string, n_records bigint, n_bytes bigint"
+
+    def emit(it: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import gzip as _gzip
+        import json as _json
+        import os
+
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        n = 0
+        for pdf in it:
+            iso = pdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+            for url, ts, title, links in zip(
+                pdf["url"], iso, pdf["_wat_title"], pdf["_wat_links"]
+            ):
+                envelope = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {
+                            "WARC-Target-URI": url,
+                            "WARC-Date": ts,
+                        },
+                        "Payload-Metadata": {
+                            "HTML-Metadata": {
+                                # Arrow hands array cells as numpy
+                                # arrays: no truthiness, test None
+                                "Head": {"Title": title if title is not None else ""},
+                                "Links": sorted(
+                                    [] if links is None else list(links)
+                                ),
+                            }
+                        },
+                    }
+                }
+                meta = _json.dumps(
+                    envelope, sort_keys=True, separators=(",", ":")
+                )
+                rec = wat_record_bytes(url, ts, meta)
+                chunks.append(_gzip.compress(rec, 6, mtime=0) if compress else rec)
+                n += 1
+        if not n:
+            yield pd.DataFrame(
+                {
+                    "wat_file": pd.Series([], dtype="object"),
+                    "n_records": pd.Series([], dtype="int64"),
+                    "n_bytes": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        name = f"part-{pid:05d}.warc.wat" + (".gz" if compress else "")
+        path = os.path.join(out_dir, name)
+        blob = b"".join(chunks)
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {"wat_file": [path], "n_records": [n], "n_bytes": [len(blob)]}
+        )
+
+    return df.select(
+        "url",
+        "warc_ts",
+        F.col(title_col).alias("_wat_title"),
+        F.col(links_col).alias("_wat_links"),
+    ).mapInPandas(emit, schema)
+
+
+WAT_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, title string, "
+    "outlinks array<string>, wat_file string"
+)
+
+
+def read_wat_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WAT shards → (url, warc_ts, title, outlinks, wat_file); only
+    ``metadata`` records with a parseable JSON envelope are emitted."""
+    from typing import Iterator as _Iter
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(it: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import gzip as _gzip
+        import json as _json
+
+        for pdf in it:
+            rows = []
+            for fpath, data in zip(pdf["path"], pdf["content"]):
+                raw = bytes(data)
+                if fpath.endswith(".gz"):
+                    raw = _gzip.decompress(raw)
+                for headers, block in iter_warc_records(raw):
+                    if headers.get("warc-type") != "metadata":
+                        continue
+                    try:
+                        env = _json.loads(block.decode("utf-8"))["Envelope"]
+                        html = env["Payload-Metadata"]["HTML-Metadata"]
+                    except (ValueError, KeyError):
+                        continue
+                    rows.append(
+                        (
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            html.get("Head", {}).get("Title", ""),
+                            list(html.get("Links", [])),
+                            fpath,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "title", "outlinks", "wat_file"]
+            )
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(
+                    out["warc_ts"], format="%Y-%m-%dT%H:%M:%SZ"
+                )
+            else:
+                out["warc_ts"] = pd.Series([], dtype="datetime64[ns]")
+            yield out
+
+    return files.mapInPandas(parse, WAT_PAGES_SCHEMA)
