@@ -71,6 +71,7 @@ _FRONT = [
     "crawl_registrable_domain",
     "docs_c4_line_filter",
     "docs_gopher_quality",
+    "crawl_domain_budget_topk",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -84,7 +85,6 @@ _FRONT = [
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "crawl_sitemap_seeds",
     "crawl_offsite_filter",
-    "crawl_politeness_budget",
     "crawl_politeness_from_robots",
     "docs_simhash_near_pairs",
     "docs_dedup_clusters",
@@ -120,7 +120,7 @@ _FRONT = [
 ]
 _TAIL = [
     # r2-signed, untouched, deferred to round 5 to make room for this
-    # round's ELEVEN new queries (never-countersigned beats
+    # round's TWELVE new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an
     # in-window countersignature, noted per entry).
     # multi_frame_sample: family in-window via multi_decode_media /
@@ -149,6 +149,10 @@ _TAIL = [
     # docs_curation_pipeline composes quality/lang/near-dup/canonical —
     # every component op is individually countersigned in-window
     "docs_curation_pipeline",
+    # crawl_politeness_budget's gate is e2e-pinned every run by
+    # test_crawl_e2e's politeness_invariant; its broadcast-state sibling
+    # crawl_politeness_from_robots stays in-window
+    "crawl_politeness_budget",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

@@ -483,6 +483,70 @@ FROM s GROUP BY site
 SQL_REGISTRABLE_DOMAIN = _registrable_sql()
 
 
+# ------------------- per-domain slot budget top-k (Scrapy granularity)
+def q_domain_topk(spark, sf):
+    """`operators/frontier.py select_domain_topk`: the downloader-slot
+    budget enforced per registrable DOMAIN (subdomains share the
+    queue). Deterministic multi-subdomain frontier from doc ids — 8
+    sites × 2 TLDs (one a listed public suffix) × 3 subdomain depths;
+    per-domain budget 2 + site%3. The two-phase (domain, host)-salted
+    top-k must equal the oracle's single window rank per domain —
+    exactness of the prune is the claim under test.
+    """
+    from crawlers_spark.operators.frontier import select_domain_topk
+
+    d = F.col("doc_id")
+    site = F.concat(F.lit("site"), (d % 8).cast("string"))
+    tld = F.when(d % 2 == 0, "com").otherwise("co.uk")
+    sub = (
+        F.when(d % 3 == 0, "")
+        .when(d % 3 == 1, "www.")
+        .otherwise("api.")
+    )
+    host = F.concat(sub, site, F.lit("."), tld)
+    fr = load(spark, sf, "documents").select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string")).alias(
+            "url_canon"
+        ),
+        (d % 7).cast("int").alias("priority"),
+        F.timestamp_seconds(F.lit(1704067200) + d).alias("discovered_ts"),
+        (2 + (d % 8) % 3).cast("int").alias("budget_k"),
+    )
+    return select_domain_topk(fr).select(
+        "domain", "domain_rank", "url_canon", "priority"
+    )
+
+
+SQL_DOMAIN_TOPK = """
+WITH fr AS (
+  SELECT
+    (CASE WHEN doc_id % 3 = 0 THEN ''
+          WHEN doc_id % 3 = 1 THEN 'www.' ELSE 'api.' END)
+      || 'site' || CAST(doc_id % 8 AS VARCHAR) || '.'
+      || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'co.uk' END) AS host,
+    'site' || CAST(doc_id % 8 AS VARCHAR) || '.'
+      || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'co.uk' END) AS domain,
+    'https://'
+      || (CASE WHEN doc_id % 3 = 0 THEN ''
+               WHEN doc_id % 3 = 1 THEN 'www.' ELSE 'api.' END)
+      || 'site' || CAST(doc_id % 8 AS VARCHAR) || '.'
+      || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'co.uk' END)
+      || '/p/' || CAST(doc_id AS VARCHAR) AS url_canon,
+    CAST(doc_id % 7 AS INT) AS priority,
+    make_timestamp((1704067200 + doc_id) * 1000000) AS discovered_ts,
+    CAST(2 + (doc_id % 8) % 3 AS INT) AS budget_k
+  FROM documents)
+SELECT domain,
+       CAST(row_number() OVER (PARTITION BY domain
+            ORDER BY priority DESC, discovered_ts ASC, url_canon ASC) AS INT)
+         AS domain_rank,
+       url_canon, priority
+FROM fr
+QUALIFY domain_rank <= budget_k
+"""
+
+
 # ------------------------------- O11+ conditional revisit (ETag / 304)
 def q_revalidate(spark, sf):
     """Conditional-revisit split (``operators/recrawl.py
@@ -1467,6 +1531,7 @@ QUERIES = {
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
+    "crawl_domain_budget_topk": (q_domain_topk, SQL_DOMAIN_TOPK),
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
     "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),

@@ -168,3 +168,41 @@ def apply_url_rules(
     if deny:
         df = df.where(~F.col(url_col).rlike(deny))
     return df
+
+
+def select_domain_topk(
+    frontier: DataFrame,
+    budget_col: str = "budget_k",
+    priority_col: str = "priority",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Per-registrable-DOMAIN top-budget selection — the Scrapy
+    downloader-slot analog at its true granularity (Scrapy keys slots
+    by domain, so ``api.foo.com`` and ``www.foo.com`` share one delay
+    queue; the engine's default host-keyed gate is equivalent for
+    single-host sources like the reference's job boards, and this
+    operator supplies the multi-subdomain semantics).
+
+    Two-phase exact top-k like :func:`select_wave_topk`, with the
+    HOST as the natural intra-domain salt: phase 1 ranks within
+    (domain, host) and prunes to the budget, phase 2 exact-ranks the
+    ≤ budget·n_hosts survivors per domain — one hot domain's heavy
+    window never sees more than its pruned survivors. Order is the
+    engine's total chain (priority DESC, discovered_ts, url_canon),
+    so ranks are deterministic at any parallelism. Adds ``domain``
+    and ``domain_rank``; ``budget_col`` must be constant per domain
+    (joined from a domain-keyed budget table upstream).
+    """
+    from crawlers_spark.functions.domains import registrable_domain
+
+    d = F.col(domain_col) if domain_col else registrable_domain(F.col("host"))
+    cols = frontier.columns
+    df = frontier.select(*cols, d.alias("domain"))
+    w1 = Window.partitionBy("domain", "host").orderBy(*_order_cols(priority_col))
+    w2 = Window.partitionBy("domain").orderBy(*_order_cols(priority_col))
+    pruned = df.select(
+        *cols, "domain", F.row_number().over(w1).alias("_r1")
+    ).where(F.col("_r1") <= F.col(budget_col))
+    return pruned.select(
+        *cols, "domain", F.row_number().over(w2).alias("domain_rank")
+    ).where(F.col("domain_rank") <= F.col(budget_col))
