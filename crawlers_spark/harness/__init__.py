@@ -72,6 +72,7 @@ _FRONT = [
     "docs_c4_line_filter",
     "docs_gopher_quality",
     "crawl_domain_budget_topk",
+    "crawl_feed_seeds",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -94,7 +95,6 @@ _FRONT = [
     "docs_quality",
     "docs_token_counts",
     "docs_repetition_ratios",
-    "docs_winnow_fingerprints",
     "docs_bigram_stats",
     "embed_cosine_topk",
     "embed_lsh_topk",
@@ -120,7 +120,7 @@ _FRONT = [
 ]
 _TAIL = [
     # r2-signed, untouched, deferred to round 5 to make room for this
-    # round's TWELVE new queries (never-countersigned beats
+    # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an
     # in-window countersignature, noted per entry).
     # multi_frame_sample: family in-window via multi_decode_media /
@@ -153,6 +153,10 @@ _TAIL = [
     # test_crawl_e2e's politeness_invariant; its broadcast-state sibling
     # crawl_politeness_from_robots stays in-window
     "crawl_politeness_budget",
+    # docs_winnow_fingerprints' fingerprint-dedup family stays in-window
+    # via docs_minhash_lsh_pairs and docs_simhash_near_pairs; the op is
+    # hand-pinned in test_textops
+    "docs_winnow_fingerprints",
     # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
     # round — re-enter the window next round
     "docs_hashing_tf",

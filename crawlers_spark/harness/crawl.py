@@ -1026,6 +1026,60 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# --------------------------- RSS/Atom feed discovery (XMLFeedSpider)
+def q_feed_seeds(spark, sf):
+    """Round-trip through REAL feed XML (`extraction/feeds.py`): even
+    hosts publish RSS 2.0, odd hosts Atom (link as href attribute,
+    rel="alternate") — both built from the url table, parsed back by
+    the engine's ElementTree parser; the oracle states the expected
+    entries directly (parse(build(x)) ≡ x across both dialects)."""
+    from crawlers_spark.extraction.feeds import parse_feeds
+
+    fr = _frontier(spark, sf)
+    pub = F.concat(
+        F.lit("2024-01-"), F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    )
+    title = F.concat(F.lit("Offer "), F.col("doc_id").cast("string"))
+    esc = F.regexp_replace("url_canon", "&", "&amp;")
+    rss_item = F.concat(
+        F.lit("<item><link>"), esc, F.lit("</link><pubDate>"), pub,
+        F.lit("</pubDate><title>"), title, F.lit("</title></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit('<entry><link href="'), esc, F.lit('" rel="alternate"/><published>'),
+        pub, F.lit("</published><title>"), title, F.lit("</title></entry>"),
+    )
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    entry = F.when(n % 2 == 0, rss_item).otherwise(atom_entry)
+    feeds = fr.groupBy("host").agg(
+        F.when(
+            F.min(n % 2) == 0,
+            F.concat(
+                F.lit("<rss version=\"2.0\"><channel>"),
+                F.array_join(F.array_sort(F.collect_list(entry)), ""),
+                F.lit("</channel></rss>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                F.array_join(F.array_sort(F.collect_list(entry)), ""),
+                F.lit("</feed>"),
+            )
+        )
+        .alias("xml")
+    )
+    return parse_feeds(feeds).select("host", "loc", "published", "title")
+
+
+SQL_FEED_SEEDS = f"""
+SELECT host, expected_canon AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS published,
+       'Offer ' || CAST(doc_id AS VARCHAR) AS title
+FROM ({_SQL_URLS}) u
+"""
+
+
 # ------------------------------------ freshness recrawl scheduling
 def q_recrawl_candidates(spark, sf):
     """URLs whose sitemap lastmod post-dates their fetch time re-enter
@@ -1532,6 +1586,7 @@ QUERIES = {
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     "crawl_domain_budget_topk": (q_domain_topk, SQL_DOMAIN_TOPK),
+    "crawl_feed_seeds": (q_feed_seeds, SQL_FEED_SEEDS),
     "crawl_pagerank_priorities": (q_pagerank_priorities, SQL_PAGERANK),
     "crawl_anchor_text_index": (q_anchor_index, SQL_ANCHOR_INDEX),
     "crawl_trap_host_signals": (q_trap_hosts, SQL_TRAP_HOSTS),
