@@ -193,14 +193,18 @@ _LINKS_SCHEMA = "url string, src_source string, depth int, out_url string, ancho
 # and extra attributes in the tag — two bounded within-tag regexes
 # cover name-then-content and content-then-name (r3 ADVICE: the old
 # single double-quoted fixed-order pattern silently missed variants).
+# the name value must END at "robots": a lookahead for quote/space/
+# slash/> keeps name="robots-custom" (a different, non-REP meta) from
+# matching as a prefix — the directive would otherwise be falsely
+# applied to pages that never issued it
 _META_NC_RE = re.compile(
-    r'<meta\b[^>]*\bname\s*=\s*["\']?robots["\']?[^>]*'
+    r'<meta\b[^>]*\bname\s*=\s*["\']?robots(?=["\'\s/>])["\']?[^>]*'
     r'\bcontent\s*=\s*(["\'])([^"\']*)\1',
     re.I,
 )
 _META_CN_RE = re.compile(
     r'<meta\b[^>]*\bcontent\s*=\s*(["\'])([^"\']*)\1[^>]*'
-    r'\bname\s*=\s*["\']?robots["\']?',
+    r'\bname\s*=\s*["\']?robots(?=["\'\s/>])',
     re.I,
 )
 _REL_NOFOLLOW_RE = re.compile(r'\brel\s*=\s*(["\'])[^"\']*\bnofollow\b[^"\']*\1', re.I)

@@ -34,8 +34,14 @@ def _local(tag: str) -> str:
 
 
 def _parse_item(item) -> tuple[str | None, str | None, str | None]:
-    """(loc, published, title) of one RSS <item> / Atom <entry>."""
-    loc, pub, title, alt_loc = None, None, None, None
+    """(loc, published, title) of one RSS <item> / Atom <entry>.
+
+    ``published``/``pubDate`` beats ``updated`` regardless of element
+    ORDER (they are tracked separately and resolved at the end — an
+    ``<updated>`` appearing first must not shadow a later
+    ``<published>``)."""
+    loc, title, alt_loc = None, None, None
+    published, updated = None, None
     for child in item:
         name = _local(child.tag)
         text = (child.text or "").strip()
@@ -48,13 +54,13 @@ def _parse_item(item) -> tuple[str | None, str | None, str | None]:
                     loc = href
             elif text and loc is None:  # RSS link text
                 loc = text
-        elif name in ("pubDate", "published") and pub is None:
-            pub = text
-        elif name == "updated" and pub is None:
-            pub = text
+        elif name in ("pubDate", "published") and published is None:
+            published = text
+        elif name == "updated" and updated is None:
+            updated = text
         elif name == "title" and title is None:
             title = text
-    return (alt_loc or loc), pub, title
+    return (alt_loc or loc), (published or updated), title
 
 
 def parse_feed_xml(xml: str) -> list[tuple[str, str | None, str | None]]:

@@ -123,14 +123,22 @@ def lm_perplexity_features(
     sp = docs.select(
         F.col(id_col), F.explode(_head_pairs(text_col)).alias("p")
     ).select(id_col, "p.w1", "p.pair")
-    lp = F.floor(
-        F.log(
-            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size")).cast("double")
-        )
-        * quant
-        + F.lit(0.5)
-    ).cast("long")
+    # v_size = 0 (empty/tokenless training slice) would make the
+    # smoothing denominator 0 for unseen heads — ln(inf) saturating
+    # floor() into garbage. Null the per-pair score instead: sums go
+    # null → the final coalesce reports 0, i.e. "no model, no evidence"
+    # (documented; pytest-pinned in test_lm).
+    lp = F.when(
+        F.col("v_size") > 0,
+        F.floor(
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size")).cast("double")
+            )
+            * quant
+            + F.lit(0.5)
+        ).cast("long"),
+    )
     per_doc = (
         sp.join(big, "pair", "left")
         .join(uni, "w1", "left")

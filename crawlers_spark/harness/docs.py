@@ -976,9 +976,13 @@ def q_countmin(spark, sf):
     return joined.orderBy(F.desc("est"), "tok").limit(50)
 
 
+# 16-bit hash (md5 nibbles 7-10) % width — mirrors operators/sketches.py
+# _bucket exactly (the 2-byte range keeps any width ≤ 65536 honest)
 _SQL_CMS_BUCKET = (
-    "((strpos('0123456789abcdef', substr(md5(i || '|' || tok), 7, 1)) - 1) * 16"
-    " + strpos('0123456789abcdef', substr(md5(i || '|' || tok), 8, 1)) - 1) % 256"
+    "((strpos('0123456789abcdef', substr(md5(i || '|' || tok), 7, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(i || '|' || tok), 8, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(i || '|' || tok), 9, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(i || '|' || tok), 10, 1)) - 1) % 256"
 )
 
 SQL_COUNTMIN = rf"""

@@ -196,7 +196,9 @@ def select_domain_topk(
     from crawlers_spark.functions.domains import registrable_domain
 
     d = F.col(domain_col) if domain_col else registrable_domain(F.col("host"))
-    cols = frontier.columns
+    # an existing 'domain' column would collide with the derived alias
+    # (AMBIGUOUS_REFERENCE in the window specs) — carry it only once
+    cols = [c for c in frontier.columns if c != "domain"]
     df = frontier.select(*cols, d.alias("domain"))
     w1 = Window.partitionBy("domain", "host").orderBy(*_order_cols(priority_col))
     w2 = Window.partitionBy("domain").orderBy(*_order_cols(priority_col))

@@ -141,6 +141,8 @@ def hits_fixed(
     total is a 1-row broadcast. ``localCheckpoint`` per round truncates
     lineage exactly like PageRank/connected-components.
     """
+    if iterations < 1:
+        raise ValueError("hits_fixed needs iterations >= 1 (auth is undefined before the first half-step)")
     edges = edges.select("src", "dst").persist()
     n1 = nodes.agg(F.count("*").alias("n"))
     hub = (

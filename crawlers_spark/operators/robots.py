@@ -101,6 +101,22 @@ def _allowed_mask(rules: str, paths: pd.Series) -> pd.Series:
     return allowed
 
 
+
+def _ddl_field_names(ddl: str) -> list[str]:
+    """Field names of a simple-DDL string, honoring nested-type commas
+    (``m map<string,string>, d decimal(10,2)`` → ``[m, d]``)."""
+    names, depth, start = [], 0, 0
+    for idx, ch in enumerate(ddl):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(ddl[start:idx])
+            start = idx + 1
+    names.append(ddl[start:])
+    return [seg.strip().split(" ", 1)[0].strip("`") for seg in names if seg.strip()]
+
 def robots_flag(
     candidates: DataFrame,
     robots: DataFrame,
@@ -124,10 +140,16 @@ def robots_flag(
     """
     evaluator = _allowed_mask if mode == "stdlib" else _allowed_mask_9309
     if candidate_schema is None:
+        fields = candidates.schema.fields
         candidate_schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+            f"{f.name} {f.dataType.simpleString()}" for f in fields
         )
-    out_cols = [c.rsplit(" ", 1)[0].strip() for c in candidate_schema.split(",")] + [flag]
+        out_cols = [f.name for f in fields] + [flag]
+    else:
+        # split on TOP-LEVEL commas only: nested types
+        # (map<string,string>, decimal(10,2), struct<…>) carry commas
+        # a naive split would shear through
+        out_cols = _ddl_field_names(candidate_schema) + [flag]
     schema = f"{candidate_schema}, {flag} boolean"
     joined = candidates.join(
         F.broadcast(robots.select("host", "rules")), "host", "left"

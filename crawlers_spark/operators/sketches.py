@@ -14,11 +14,13 @@ broadcast-sized by construction. Estimates are upper bounds:
 
 Determinism contract (so the DuckDB oracle can replay the sketch
 bit-for-bit, harness/docs.py ``docs_countmin_heavyhitters``): row
-``i``'s hash of token ``t`` is the integer value of hex nibbles 7-8 of
-``md5(i || '|' || t)`` — one uniform byte, taken ``% width``. With the
-default ``width=256`` the modulus is the identity on that byte, which
-is what keeps the SQL restatement free of hex→int gymnastics beyond
-two ``strpos`` nibble lookups.
+``i``'s hash of token ``t`` is the integer value of hex nibbles 7-10
+of ``md5(i || '|' || t)`` — two uniform bytes (0..65535) taken
+``% width``, so any width up to 65536 gets the full hash range
+(width beyond that raises: a silently-shorter hash would void the
+ε=e/width guarantee). With the default ``width=256`` the modulus
+keeps the low byte — exactly the nibble arithmetic the SQL
+restatement performs.
 
 Reference anchor: no sketch surface exists in the reference
 (pyjobs/crawlers, SURVEY §0 — mount empty); this extends the mandated
@@ -33,11 +35,13 @@ from pyspark.sql import functions as F
 
 
 def _bucket(token: Column, i: int, width: int) -> Column:
-    """Hash row ``i``: md5 nibbles 7-8 of ``"{i}|{token}"`` mod width."""
-    byte = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}|"), token)), 7, 2), 16, 10
+    """Hash row ``i``: md5 nibbles 7-10 of ``"{i}|{token}"`` mod width."""
+    if width > 65536:
+        raise ValueError(f"width {width} exceeds the 16-bit hash range (65536)")
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}|"), token)), 7, 4), 16, 10
     ).cast("int")
-    return (byte % width).alias("bucket")
+    return (h16 % width).alias("bucket")
 
 
 def _hash_rows(df: DataFrame, token_col: str, depth: int, width: int) -> DataFrame:
@@ -83,10 +87,14 @@ def countmin_estimate(
     Returns ``(token_col, est)`` with ``est ≥`` the token's true
     occurrence count. The sketch side is broadcast (≤ depth·width
     rows); the probe side never shuffles beyond its own distinct.
+
+    The join is LEFT so a probe cell the grid never touched counts as
+    0 — an inner join would drop empty cells from the min, inflating
+    (or losing entirely) estimates for tokens absent from the corpus.
     """
     hashed = _hash_rows(probe.select(token_col).distinct(), token_col, depth, width)
     return (
-        hashed.join(F.broadcast(sketch), ["i", "bucket"])
+        hashed.join(F.broadcast(sketch), ["i", "bucket"], "left")
         .groupBy(token_col)
-        .agg(F.min("n").alias("est"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )

@@ -96,3 +96,12 @@ def test_parallelism_invariance(spark, frontier):
     a = sorted(map(tuple, select_domain_topk(frontier.repartition(1)).collect()))
     b = sorted(map(tuple, select_domain_topk(frontier.repartition(9)).collect()))
     assert a == b
+
+
+def test_existing_domain_column_does_not_collide(spark, frontier):
+    """Review finding: a pre-existing 'domain' column made the window
+    partition reference ambiguous."""
+    pre = frontier.withColumn("domain", F.lit("stale"))
+    out = select_domain_topk(pre, domain_col=None)
+    assert out.columns.count("domain") == 1
+    assert {r.domain for r in out.collect()} == {"foo.com", "bar.co.uk"}

@@ -65,3 +65,15 @@ def test_distributed_parse(spark):
         ("b.example", "https://b.example/job/1", "Mon, 01 Jan 2024 00:00:00 GMT", "One"),
         ("b.example", "https://b.example/job/2", None, None),
     ]
+
+
+def test_updated_before_published_does_not_shadow():
+    """Review finding: element order must not decide the precedence."""
+    xml = """<feed xmlns="http://www.w3.org/2005/Atom"><entry>
+      <updated>2024-06-01T00:00:00Z</updated>
+      <published>2024-01-01T00:00:00Z</published>
+      <link href="https://a.example/job/9"/>
+    </entry></feed>"""
+    assert parse_feed_xml(xml) == [
+        ("https://a.example/job/9", "2024-01-01T00:00:00Z", None)
+    ]

@@ -70,3 +70,12 @@ def test_parallelism_invariance(spark):
     a = sorted(map(tuple, hits_scores(df.repartition(1)).collect()))
     b = sorted(map(tuple, hits_scores(df.repartition(8)).collect()))
     assert a == b  # parallel edges deduped; fixed-point ⇒ bit-equal
+
+
+def test_zero_iterations_rejected(spark):
+    from crawlers_spark.operators.linkrank import hits_fixed
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    nodes = spark.createDataFrame([("h1",)], "id string")
+    with pytest.raises(ValueError):
+        hits_fixed(df, nodes, iterations=0)

@@ -108,3 +108,15 @@ def test_min_count_prunes_to_unseen(spark, docs_df):
     assert pruned[1] == (2, lp_aabb + lp_unseen_bb)
     # doc 0: (zzz aa) OOV head + (aa bb) kept
     assert pruned[0] == (2, lp_unseen_zzz + lp_aabb)
+
+
+def test_empty_training_slice_scores_zero_not_garbage(spark, docs_df):
+    """Review finding: v_size=0 made the smoothing denominator 0 →
+    floor(ln(inf)) garbage. An empty model must report 0 evidence."""
+    from pyspark.sql import functions as F
+
+    empty_train = docs_df.where(F.lit(False))
+    out = {r.doc_id: (r.n_pairs, r.sum_lp)
+           for r in lm_perplexity_features(docs_df, empty_train).collect()}
+    assert out[1] == (2, 0)   # pairs counted, zero (not garbage) score
+    assert out[4] == (0, 0)

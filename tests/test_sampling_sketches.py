@@ -5,6 +5,8 @@ invariance (the determinism that makes these safe at cluster scale)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -144,3 +146,32 @@ def test_countmin_narrow_width_overcounts(spark):
     exact = {f"w{i}": i + 1 for i in range(20)}
     assert all(est[w] >= exact[w] for w in exact)
     assert any(est[w] > exact[w] for w in exact)
+
+
+def test_countmin_unseen_probe_token_is_zero(spark):
+    """Review finding: an inner estimate join dropped empty cells —
+    unseen tokens must report est 0 (or their collision floor), never
+    vanish or inflate past it."""
+    occ = spark.createDataFrame([("present",)] * 5, "tok string")
+    sk = countmin_sketch(occ, "tok", depth=4, width=256)
+    probe = spark.createDataFrame([("present",), ("absent",)], "tok string")
+    est = {
+        r.tok: r.est
+        for r in countmin_estimate(probe, sk, "tok", depth=4, width=256).collect()
+    }
+    assert set(est) == {"present", "absent"}  # nothing vanishes
+    assert est["present"] >= 5
+    # one token in a 256-wide grid: 'absent' shares all 4 cells with
+    # 'present' only if every hash collides — assert the honest 0
+    assert est["absent"] == 0
+
+
+def test_countmin_wide_grid_uses_full_width(spark):
+    """Review finding: a single-byte hash silently capped width at 256."""
+    occ = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(3000)], "tok string"
+    )
+    sk = countmin_sketch(occ, "tok", depth=2, width=4096).collect()
+    assert max(r.bucket for r in sk) >= 256  # buckets beyond the old cap
+    with pytest.raises(ValueError):
+        countmin_sketch(occ, "tok", depth=2, width=100000)
