@@ -73,6 +73,8 @@ _FRONT = [
     "docs_gopher_quality",
     "crawl_domain_budget_topk",
     "crawl_feed_seeds",
+    # NEW this session (round-4 extension window)
+    "crawl_url_blocklist",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -92,7 +94,6 @@ _FRONT = [
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_lang_id",
-    "docs_quality",
     "docs_token_counts",
     "docs_repetition_ratios",
     "docs_bigram_stats",
@@ -119,6 +120,12 @@ _FRONT = [
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
+    # displaced by this session's new queries (one-for-one; each
+    # family keeps an in-window countersignature, noted per entry):
+    # docs_quality's quality family stays in-window via
+    # docs_gopher_quality + docs_c4_line_filter (and quality_ok is a
+    # component of docs_curation_pipeline's pytest replica)
+    "docs_quality",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

@@ -1581,7 +1581,108 @@ WHERE rn = 1
 """
 
 
+# ------------------- URL admission: domain blocklist + word scores
+# (functions/urlfilter.py — RefinedWeb App. G / UT1 semantics)
+URLFILTER_BLOCKED = ("casino.example", "tracker.co.uk")
+URLFILTER_WEIGHTS = {"bonus": 300, "casino": 700, "free": 400, "poker": 700}
+URLFILTER_THRESHOLD = 1000
+
+
+def q_url_blocklist(spark, sf):
+    """URL-level admission (`functions/urlfilter.py url_admission`):
+    a host zoo with blocklisted registrable domains (incl. a PSL-lite
+    2-label suffix case and dot-boundary subdomains of both) crossed
+    with a path zoo planting scoreable words. The verdict columns —
+    site, blocklist hit, integer milli word score, admitted — are all
+    countersigned; the oracle replays the PSL split rules and the
+    presence-based CASE sum verbatim. Scan-side codegen, zero
+    exchanges (the filter RefinedWeb applies before any fetch).
+    """
+    from crawlers_spark.functions.urlfilter import url_admission
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, "casino.example")
+        .when(d % 6 == 1, "ads.casino.example")
+        .when(d % 6 == 2, "shop.example")
+        .when(d % 6 == 3, "tracker.co.uk")
+        .when(d % 6 == 4, "news.tracker.co.uk")
+        .otherwise("blog.example")
+    )
+    path = (
+        F.when(d % 5 == 0, "/free-casino-bonus/")
+        .when(d % 5 == 1, "/article/health/")
+        .when(d % 5 == 2, "/free-download/")
+        .when(d % 5 == 3, "/poker/online/")
+        .otherwise("/about/")
+    )
+    urls = load(spark, sf, "documents").select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path, d.cast("string")).alias("url"),
+    )
+    return url_admission(
+        urls,
+        blocked=URLFILTER_BLOCKED,
+        weights=URLFILTER_WEIGHTS,
+        threshold_milli=URLFILTER_THRESHOLD,
+    ).select("doc_id", "url", "site", "blocklisted", "score_milli", "admitted")
+
+
+def _url_blocklist_sql() -> str:
+    from crawlers_spark.functions.domains import PSL_LITE
+
+    suffixes = ", ".join(f"'{s}'" for s in PSL_LITE)
+    blocked = ", ".join(f"'{b}'" for b in sorted(URLFILTER_BLOCKED))
+    score = " + ".join(
+        f"(CASE WHEN contains(lower(url), '{w}') THEN {m} ELSE 0 END)"
+        for w, m in sorted(URLFILTER_WEIGHTS.items())
+    )
+    return rf"""
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'casino.example'
+           WHEN 1 THEN 'ads.casino.example'
+           WHEN 2 THEN 'shop.example'
+           WHEN 3 THEN 'tracker.co.uk'
+           WHEN 4 THEN 'news.tracker.co.uk'
+           ELSE 'blog.example' END AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN '/free-casino-bonus/'
+           WHEN 1 THEN '/article/health/'
+           WHEN 2 THEN '/free-download/'
+           WHEN 3 THEN '/poker/online/'
+           ELSE '/about/' END AS path
+  FROM documents),
+uu AS (
+  SELECT doc_id, host, 'https://' || host || path || CAST(doc_id AS VARCHAR) AS url,
+         string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+  FROM u),
+s AS (
+  SELECT doc_id, url,
+         CASE WHEN regexp_matches(host, '^\d{{1,3}}(\.\d{{1,3}}){{3}}$') OR n <= 1
+                THEN host
+              WHEN (parts[n - 1] || '.' || parts[n]) IN ({suffixes}) AND n >= 3
+                THEN parts[n - 2] || '.' || parts[n - 1] || '.' || parts[n]
+              WHEN (parts[n - 1] || '.' || parts[n]) IN ({suffixes})
+                THEN host
+              ELSE parts[n - 1] || '.' || parts[n] END AS site,
+         CAST({score} AS INT) AS score_milli
+  FROM uu)
+SELECT doc_id, url, site,
+       site IN ({blocked}) AS blocklisted,
+       score_milli,
+       (site NOT IN ({blocked})) AND score_milli < {URLFILTER_THRESHOLD} AS admitted
+FROM s
+"""
+
+
+SQL_URL_BLOCKLIST = _url_blocklist_sql()
+
+
 QUERIES = {
+    "crawl_url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),

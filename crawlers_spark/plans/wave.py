@@ -159,6 +159,14 @@ class CrawlConfig:
     # candidates at link expansion — seeds are exempt
     url_allow: str | None = None
     url_deny: str | None = None
+    # domain blocklist (functions/urlfilter.py — UT1/RefinedWeb
+    # semantics): a DISCOVERED link whose registrable domain (eTLD+1,
+    # PSL-lite) is listed never enters the frontier; listing a domain
+    # blocks all its subdomains at dot boundaries. Seeds are exempt
+    # (parity with url_allow/url_deny). Small lists are a scan-side
+    # literal IN; lists past BLOCKLIST_LITERAL_MAX become a broadcast
+    # anti-join on the site key — zero corpus shuffles either way.
+    domain_blocklist: tuple[str, ...] = ()
     # anti-starvation frontier aging (operators/frontier.py
     # `with_aged_priority`): +1 effective priority per N waves waited
     # since discovery, capped. Enabling it also stamps discovered
@@ -757,6 +765,34 @@ class CrawlEngine:
             discovered = apply_url_rules(
                 discovered, allow=cfg.url_allow, deny=cfg.url_deny
             )
+        if cfg.domain_blocklist:
+            from crawlers_spark.functions.urlfilter import (
+                BLOCKLIST_LITERAL_MAX,
+                blocklisted_domain,
+            )
+
+            if len(cfg.domain_blocklist) <= BLOCKLIST_LITERAL_MAX:
+                discovered = discovered.where(
+                    ~blocklisted_domain(F.col("host"), cfg.domain_blocklist)
+                )
+            else:
+                from crawlers_spark.functions.domains import registrable_domain
+
+                blk = self.spark.createDataFrame(
+                    [(b,) for b in sorted(set(cfg.domain_blocklist))],
+                    "_blk_site string",
+                )
+                discovered = (
+                    discovered.withColumn(
+                        "_blk_site", registrable_domain(F.lower(F.col("host")))
+                    )
+                    .join(
+                        F.broadcast(blk),
+                        F.col("_blk_site") == blk["_blk_site"],
+                        "left_anti",
+                    )
+                    .drop("_blk_site")
+                )
         discovered = discovered.persist()
 
         # Follow-up plans root at DISK copies (the staged rels when
