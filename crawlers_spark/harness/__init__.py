@@ -75,6 +75,7 @@ _FRONT = [
     "crawl_feed_seeds",
     # NEW this session (round-4 extension window)
     "crawl_url_blocklist",
+    "crawl_host_graph",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -94,7 +95,6 @@ _FRONT = [
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_lang_id",
-    "docs_token_counts",
     "docs_repetition_ratios",
     "docs_bigram_stats",
     "embed_cosine_topk",
@@ -126,6 +126,10 @@ _TAIL = [
     # docs_gopher_quality + docs_c4_line_filter (and quality_ok is a
     # component of docs_curation_pipeline's pytest replica)
     "docs_quality",
+    # docs_token_counts' tokenization family stays in-window via
+    # docs_bigram_stats (same tokenizer) and r3-signed
+    # docs_token_counts_bpe_trained
+    "docs_token_counts",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

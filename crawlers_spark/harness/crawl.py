@@ -1681,8 +1681,69 @@ FROM s
 SQL_URL_BLOCKLIST = _url_blocklist_sql()
 
 
+# --------------- host-level webgraph export (Common Crawl derivative)
+def q_host_graph(spark, sf):
+    """Host-graph node rollup (`operators/hostgraph.py`): a
+    deterministic link zoo (subdomain'd sources, skewed targets,
+    planted self-loops the export must drop) aggregated into the
+    Common-Crawl-style host graph — reversed-label node names, out/in
+    degree and link mass per host, full-outer so one-directional
+    hosts keep zeros. Two keyed aggs + one host-sized merge; the page
+    link table is touched exactly once.
+    """
+    from crawlers_spark.operators.hostgraph import host_edges, host_nodes
+
+    d = F.col("doc_id")
+    src = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("src"),
+        (d % 12).cast("string"),
+        F.lit(".example"),
+    )
+    dst = F.when(d % 11 == 0, src).otherwise(
+        F.concat(F.lit("src"), ((d * 7 + 3) % 15).cast("string"), F.lit(".example"))
+    )
+    links = load(spark, sf, "documents").select(
+        src.alias("src_host"), dst.alias("dst_host")
+    )
+    return host_nodes(host_edges(links))
+
+
+SQL_HOST_GRAPH = """
+WITH l AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+           || 'src' || CAST(doc_id % 12 AS VARCHAR) || '.example' AS src_host,
+         doc_id
+  FROM documents),
+l2 AS (
+  SELECT src_host,
+         CASE WHEN doc_id % 11 = 0 THEN src_host
+              ELSE 'src' || CAST((doc_id * 7 + 3) % 15 AS VARCHAR) || '.example'
+         END AS dst_host
+  FROM l),
+e AS (
+  SELECT array_to_string(list_reverse(string_split(src_host, '.')), '.') AS from_host,
+         array_to_string(list_reverse(string_split(dst_host, '.')), '.') AS to_host,
+         CAST(count(*) AS BIGINT) AS n_links
+  FROM l2 WHERE src_host <> dst_host GROUP BY 1, 2),
+o AS (SELECT from_host AS host, CAST(count(*) AS BIGINT) AS out_deg,
+             CAST(sum(n_links) AS BIGINT) AS out_links
+      FROM e GROUP BY 1),
+i AS (SELECT to_host AS host, CAST(count(*) AS BIGINT) AS in_deg,
+             CAST(sum(n_links) AS BIGINT) AS in_links
+      FROM e GROUP BY 1)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(out_deg, 0) AS out_deg,
+       coalesce(in_deg, 0) AS in_deg,
+       coalesce(out_links, 0) AS out_links,
+       coalesce(in_links, 0) AS in_links
+FROM o FULL OUTER JOIN i ON o.host = i.host
+"""
+
+
 QUERIES = {
     "crawl_url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
+    "crawl_host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),

@@ -1401,6 +1401,26 @@ class CrawlEngine:
         dst = with_canonical_url(links, "out_url", "dst_canon", host_out=None)
         return anchor_text_index(dst, dst_col="dst_canon")
 
+    def host_graph(self) -> tuple[DataFrame, DataFrame]:
+        """Common-Crawl-style host-level webgraph export over everything
+        crawled so far (operators/hostgraph.py): ``(edges, nodes)`` —
+        reversed-label host pairs with link weights, and the per-host
+        degree rollup. Like ``anchor_index`` this reads only the
+        persisted ``kind='link'`` rows' URL columns (html never
+        existed here; column pruning keeps the scan to two strings).
+        Derived output, not state: nothing commits."""
+        from crawlers_spark.operators.hostgraph import host_edges, host_nodes
+
+        links = self._read_wave_out("link").select("url", "out_url")
+        hosted = with_canonical_url(
+            with_canonical_url(links, "url", "_src_canon", host_out="src_host"),
+            "out_url",
+            "_dst_canon",
+            host_out="dst_host",
+        ).select("src_host", "dst_host")
+        edges = host_edges(hosted)
+        return edges, host_nodes(edges)
+
     def trap_signals(self) -> DataFrame:
         """Per-host crawler-trap signals over everything FETCHED so far
         (operators/traps.py): URL-per-content duplication measured on
