@@ -76,6 +76,7 @@ _FRONT = [
     # NEW this session (round-4 extension window)
     "crawl_url_blocklist",
     "crawl_host_graph",
+    "docs_dsir_weights",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -95,7 +96,6 @@ _FRONT = [
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_lang_id",
-    "docs_repetition_ratios",
     "docs_bigram_stats",
     "embed_cosine_topk",
     "embed_lsh_topk",
@@ -130,6 +130,9 @@ _TAIL = [
     # docs_bigram_stats (same tokenizer) and r3-signed
     # docs_token_counts_bpe_trained
     "docs_token_counts",
+    # docs_repetition_ratios' Gopher-repetition family stays in-window
+    # via docs_gopher_quality (the other half of Rae et al. App. A)
+    "docs_repetition_ratios",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

@@ -1298,7 +1298,78 @@ QUALIFY rank <= 10
 """
 
 
+# ----------------------- DSIR importance weights (data selection)
+def q_dsir_weights(spark, sf):
+    """DSIR data selection (`operators/dsir.py`, Xie et al. 2023):
+    hashed unigram+bigram models over a TARGET slice (the French docs)
+    and the RAW pool (every doc), per-bucket add-one log-ratios
+    quantized once to micro-nats, every document scored with the pure
+    integer Σ count·ratio. The oracle retrains both models and rescores
+    every doc from the same md5 bucket contract. The ratio table is
+    exactly B rows and broadcasts; the corpus never shuffles to be
+    scored.
+    """
+    from crawlers_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_weights,
+        hashed_ngram_counts,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    counts = hashed_ngram_counts(docs, "doc_id", "text", n_buckets=4096).persist()
+    target = counts.join(
+        docs.where(F.col("lang") == "fr").select("doc_id"), "doc_id", "left_semi"
+    )
+    ratios = dsir_log_ratios(target, counts, n_buckets=4096, spark=spark)
+    return dsir_weights(counts, ratios)
+
+
+_DSIR_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5('dsir|' || gram), 6, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5('dsir|' || gram), 7, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('dsir|' || gram), 8, 1)) - 1) % 4096"
+)
+
+SQL_DSIR = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(
+           ts,
+           list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+         )) AS gram
+  FROM toks),
+counts AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET} AS bucket, COUNT(*) AS n
+  FROM grams GROUP BY 1, 2, 3),
+t AS (SELECT bucket, SUM(n) AS ct FROM counts WHERE lang = 'fr' GROUP BY 1),
+r AS (SELECT bucket, SUM(n) AS cr FROM counts GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM t) AS nt,
+               (SELECT COALESCE(SUM(cr), 0) FROM r) AS nr),
+ratios AS (
+  SELECT d.range AS bucket,
+         CAST(floor((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                        / CAST(tot.nt + 4096 AS DOUBLE))
+                     - ln(CAST(COALESCE(r.cr, 0) + 1 AS DOUBLE)
+                          / CAST(tot.nr + 4096 AS DOUBLE))) * 1000000 + 0.5)
+              AS BIGINT) AS ratio_micro
+  FROM range(0, 4096) d
+  LEFT JOIN t ON t.bucket = d.range
+  LEFT JOIN r ON r.bucket = d.range
+  CROSS JOIN tot)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+       CAST(SUM(n * ratio_micro) AS BIGINT) AS weight_micro
+FROM counts JOIN ratios USING (bucket)
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "docs_dsir_weights": (q_dsir_weights, SQL_DSIR),
     "docs_c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "docs_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "docs_bm25_topk": (q_bm25, SQL_BM25),
