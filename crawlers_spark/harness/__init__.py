@@ -77,6 +77,7 @@ _FRONT = [
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
+    "crawl_soft404",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -98,7 +99,6 @@ _FRONT = [
     "docs_lang_id",
     "docs_bigram_stats",
     "embed_cosine_topk",
-    "embed_lsh_topk",
     "embed_ivf_topk",
     "crawl_outlink_udtf",
     "crawl_warc_read",
@@ -133,6 +133,10 @@ _TAIL = [
     # docs_repetition_ratios' Gopher-repetition family stays in-window
     # via docs_gopher_quality (the other half of Rae et al. App. A)
     "docs_repetition_ratios",
+    # embed_lsh_topk's RHP-LSH family stays in-window via
+    # embed_near_dup_pairs (same hyperplane buckets) + embed_cosine_topk
+    # and the expr≡udf parity suite in tests
+    "embed_lsh_topk",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

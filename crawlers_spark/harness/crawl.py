@@ -1741,9 +1741,66 @@ FROM o FULL OUTER JOIN i ON o.host = i.host
 """
 
 
+# ------------------------------- soft-404 detection (200-with-error-body)
+def q_soft404(spark, sf):
+    """Soft-404 content heuristic (`functions/soft404.py`): a page zoo
+    planting short error stubs, long pages with corroborating double
+    phrases, short-but-clean pages, and real text — hit counts,
+    shortness, and the verdict all countersigned. Scan-side codegen,
+    zero exchanges.
+    """
+    from crawlers_spark.functions.soft404 import soft404_flags
+
+    d = F.col("doc_id")
+    page_text = (
+        F.when(d % 4 == 0, F.lit("Error: page not found."))
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" This page is no longer available — 404 not found."),
+            ),
+        )
+        .when(d % 4 == 3, F.lit("oops"))
+        .otherwise(F.col("text"))
+    )
+    pages = load(spark, sf, "documents").select("doc_id", page_text.alias("text"))
+    return soft404_flags(pages).select("doc_id", "n_hits", "short", "soft404")
+
+
+def _soft404_sql() -> str:
+    from crawlers_spark.functions.soft404 import SOFT404_MIN_CHARS, SOFT404_PHRASES
+
+    hits = " + ".join(
+        f"(CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END)"
+        for p in SOFT404_PHRASES
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'Error: page not found.'
+           WHEN 2 THEN text || ' This page is no longer available — 404 not found.'
+           WHEN 3 THEN 'oops'
+           ELSE text END AS text
+  FROM documents),
+f AS (
+  SELECT doc_id, CAST({hits} AS INT) AS n_hits,
+         len(text) < {SOFT404_MIN_CHARS} AS short
+  FROM pages)
+SELECT doc_id, n_hits, short,
+       ((n_hits >= 1 AND short) OR n_hits >= 2) AS soft404
+FROM f
+"""
+
+
+SQL_SOFT404 = _soft404_sql()
+
+
 QUERIES = {
     "crawl_url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
     "crawl_host_graph": (q_host_graph, SQL_HOST_GRAPH),
+    "crawl_soft404": (q_soft404, SQL_SOFT404),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
