@@ -78,6 +78,7 @@ _FRONT = [
     "crawl_host_graph",
     "docs_dsir_weights",
     "crawl_soft404",
+    "docs_substring_dedup",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -107,7 +108,6 @@ _FRONT = [
     "multi_decode_media",
     "multi_resize_plan",
     "rel_pricing_summary",
-    "rel_shipping_priority",
     "rel_region_revenue",
     "rel_anti_join_customers_no_orders",
     "rel_distinct_users_per_type",
@@ -137,6 +137,9 @@ _TAIL = [
     # embed_near_dup_pairs (same hyperplane buckets) + embed_cosine_topk
     # and the expr≡udf parity suite in tests
     "embed_lsh_topk",
+    # rel_shipping_priority's filtered-join-agg family stays in-window
+    # via rel_pricing_summary and rel_region_revenue
+    "rel_shipping_priority",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

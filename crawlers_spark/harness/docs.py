@@ -1298,6 +1298,69 @@ QUALIFY rank <= 10
 """
 
 
+# ---------------- exact duplicated-span removal (ExactSubstr-style)
+SUBSTR_K = 8  # span length in tokens (50 in the paper; 8 fits the fixture)
+
+
+def q_substring_dedup(spark, sf):
+    """ExactSubstr span removal (`operators/textdedup.py
+    exact_substring_dedup`, Lee et al. 2021) over the dup-injected
+    corpus: exact copies are fully covered (clean_text empties on both
+    twins), near copies are covered up to the windows that cross into
+    the planted suffix, self-repeats within one doc count as
+    duplicates. The oracle replays windows → global ≥2 counts →
+    interval merge → token filtering verbatim, and `clean_text` is
+    hash-countersigned character-for-character.
+    """
+    from crawlers_spark.operators.textdedup import exact_substring_dedup
+
+    return exact_substring_dedup(_corpus(spark, sf), k=SUBSTR_K)
+
+
+SQL_SUBSTRING_DEDUP = rf"""
+WITH c AS ({_SQL_CORPUS}),
+t AS (
+  SELECT doc_id, {_SQL_WS_GUARD} AS ts FROM c),
+tt AS (SELECT doc_id, ts, len(ts) AS n FROM t),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ts[i:i + {SUBSTR_K} - 1], ' ')) AS h
+  FROM tt, unnest(range(1, greatest(n - {SUBSTR_K} + 1, 0) + 1)) AS u(i)),
+dups AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+d AS (
+  SELECT doc_id, pos, pos + {SUBSTR_K} - 1 AS e
+  FROM w WHERE h IN (SELECT h FROM dups)),
+m AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM d),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m),
+iv AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e
+       FROM isl GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs,
+         CAST(count(*) AS INT) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
+  FROM iv GROUP BY 1)
+SELECT tt.doc_id, CAST(n AS INT) AS n_tokens,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       COALESCE(CASE WHEN ivs IS NULL THEN array_to_string(ts, ' ')
+            ELSE array_to_string(
+              list_filter(ts, (x, i) ->
+                len(list_filter(ivs, v -> i - 1 >= v.s AND i - 1 <= v.e)) = 0),
+              ' ')
+       END, '') AS clean_text
+FROM tt LEFT JOIN agg USING (doc_id)
+"""
+
+
 # ----------------------- DSIR importance weights (data selection)
 def q_dsir_weights(spark, sf):
     """DSIR data selection (`operators/dsir.py`, Xie et al. 2023):
@@ -1369,6 +1432,7 @@ GROUP BY 1
 
 
 QUERIES = {
+    "docs_substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "docs_dsir_weights": (q_dsir_weights, SQL_DSIR),
     "docs_c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "docs_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

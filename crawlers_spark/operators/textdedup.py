@@ -583,3 +583,108 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ------------------- exact duplicated-span removal (ExactSubstr-style)
+def exact_substring_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. 2021, *Deduplicating
+    Training Data Makes Language Models Better*, the ExactSubstr
+    variant): any k-token span whose text occurs more than once in the
+    whole corpus — in another document OR repeated within the same one
+    — is cut out of every occurrence; the rest of each document
+    survives. Their implementation is a byte-level suffix array on one
+    machine; this is the shuffle-native reformulation with identical
+    detected spans at token granularity:
+
+    1. every k-token sliding window is hashed (scan-side
+       ``transform``/``slice``/``md5`` — no Python, no explode until
+       the count);
+    2. a window is DUPLICATED iff its hash occurs ≥ 2 times globally —
+       ONE hash-keyed shuffle with map-side combine (same shape as
+       :func:`passage_dedup_stats`), then a same-key semi-join back;
+    3. per document, overlapping/contiguous duplicated windows merge
+       into maximal covered intervals (gaps-and-islands over a per-doc
+       window frame — partitioned by doc id, never global);
+    4. covered tokens are dropped; ``clean_text`` rejoins the
+       survivors with single spaces (both engines normalize runs of
+       whitespace identically, so the hash contract holds).
+
+    Returns ``(id, n_tokens, n_dup_spans, n_dup_tokens, clean_text)``;
+    documents shorter than ``k`` tokens have no windows and pass
+    through untouched. Output is one row per input document.
+
+    Scale: two keyed shuffles (window hash; doc id for the island
+    merge + rollup) plus the verdict join back to the corpus on the
+    doc id — nothing all-pairs, no global sort, no driver state. The
+    k× window fan-out exists only as (id, pos, hash) triples, never as
+    materialized text.
+    """
+    from crawlers_spark.functions.textstats import tokens_ws
+
+    toks = tokens_ws(F.col(text_col))
+    n = F.size(toks)
+    nw = F.greatest(n - k + 1, F.lit(0))
+    win_hashes = F.when(
+        nw >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("n_tokens"),
+        win_hashes.alias("_wh"),
+    )
+    wins = base.select(id_col, F.posexplode("_wh").alias("pos", "h"))
+    dup_hashes = wins.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).where(
+        F.col("_c") >= 2
+    )
+    dup_wins = wins.join(dup_hashes.select("h"), "h", "left_semi").select(
+        id_col, "pos", (F.col("pos") + k - 1).alias("e")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup_wins.withColumn(
+        "_new", (pmax.isNull() | (F.col("pos") > pmax + 1)).cast("int")
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = iv.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_ivs"),
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("n_dup_tokens"),
+    )
+    covered = lambda i, ivs: F.exists(  # noqa: E731 — local plan helper
+        ivs, lambda v: (i >= v["s"]) & (i <= v["e"])
+    )
+    clean = F.when(
+        F.col("_ivs").isNull(), F.concat_ws(" ", F.col("_toks"))
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.filter(F.col("_toks"), lambda x, i: ~covered(i, F.col("_ivs"))),
+        )
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+            clean.alias("clean_text"),
+        )
+    )
