@@ -79,6 +79,7 @@ _FRONT = [
     "docs_dsir_weights",
     "crawl_soft404",
     "docs_substring_dedup",
+    "docs_token_budget_mix",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -113,7 +114,6 @@ _FRONT = [
     "rel_distinct_users_per_type",
     "rel_json_event_props",
     "rel_salted_part_revenue_top20",
-    "rel_asof_click_before_purchase",
     "crawl_canonicalize_urls",
     "crawl_seen_antijoin",
     "crawl_frontier_topk_per_host",
@@ -140,6 +140,9 @@ _TAIL = [
     # rel_shipping_priority's filtered-join-agg family stays in-window
     # via rel_pricing_summary and rel_region_revenue
     "rel_shipping_priority",
+    # rel_asof_click_before_purchase's range/as-of family stays
+    # in-window via r3-signed rel_range_join_30d + rel_sessionize_events
+    "rel_asof_click_before_purchase",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

@@ -950,6 +950,62 @@ WHERE substr(md5('mix|' || doc_id), 1, 8) < {_SQL_MIX_CASE}
 """
 
 
+# ----------------------- token-budget mixing (greedy prefix fill)
+TOKEN_BUDGETS = {"en": 6000, "fr": 2000, "zh": 1000}
+TOKEN_BUDGET_DEFAULT = 1500  # de / es
+
+
+def q_token_budget(spark, sf):
+    """Token-budget data mixing (`operators/sampling.py
+    token_budget_sample`): per language, keep the deterministic
+    hash-ordered prefix of documents whose preceding token mass is
+    still under the language's budget. The engine runs the two-phase
+    (bucketed) implementation; the oracle replays the NAIVE single
+    window per stratum — independent derivations of the same prefix.
+    Kept membership AND each kept doc's ``cum_prev`` are
+    countersigned.
+    """
+    from crawlers_spark.operators.sampling import token_budget_sample
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_sample(
+        docs,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        TOKEN_BUDGETS,
+        default_budget=TOKEN_BUDGET_DEFAULT,
+    ).select("doc_id", "lang", "n_tokens", "cum_prev")
+
+
+_SQL_BUDGET_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {b}" for lang, b in sorted(TOKEN_BUDGETS.items())
+    )
+    + f" ELSE {TOKEN_BUDGET_DEFAULT} END"
+)
+
+SQL_TOKEN_BUDGET = rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len({_SQL_WS_GUARD}) AS BIGINT) AS n_tokens,
+         substr(md5('budget|' || doc_id), 1, 8) AS h
+  FROM documents),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM d)
+SELECT doc_id, lang, n_tokens, cum_prev
+FROM cum WHERE cum_prev < {_SQL_BUDGET_CASE}
+"""
+
+
 # --------------------------------- count-min sketch heavy hitters
 def q_countmin(spark, sf):
     """Bounded-memory heavy hitters (`operators/sketches.py`): build a
@@ -1439,6 +1495,7 @@ QUERIES = {
     "docs_bm25_topk": (q_bm25, SQL_BM25),
     "docs_lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "docs_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "docs_token_budget_mix": (q_token_budget, SQL_TOKEN_BUDGET),
     "docs_countmin_heavyhitters": (q_countmin, SQL_COUNTMIN),
     "docs_main_content": (q_main_content, SQL_MAIN_CONTENT),
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

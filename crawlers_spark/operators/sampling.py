@@ -33,7 +33,7 @@ on public data-mixing practice (e.g. C4/Pile-style per-source weights).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX_SPACE = 16**8
@@ -76,3 +76,79 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(rate_threshold(rate))
         ).otherwise(thr)
     return df.where(sample_key(F.col(id_col), salt=salt) < thr)
+
+
+# ------------------------- token-budget mixing (greedy prefix fill)
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    *,
+    default_budget: int = 0,
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic per-stratum fill to a TOKEN budget — the other
+    data-mixing primitive: where :func:`stratified_sample` keeps a
+    *fraction* of rows, training recipes are usually written as "N
+    tokens of language X" (C4/Pile/LLaMA-style mixtures). Contract:
+
+    - documents in a stratum are ordered by the salted hash key of
+      their id (``sample_key`` — a reproducible shuffle; ties broken
+      by id), and a document is kept iff the TOTAL tokens of the
+      documents ordered before it is still below the stratum's budget
+      — so the document that crosses the boundary is included and the
+      sample is a deterministic prefix of the hash order.
+    - output keeps the input columns plus ``cum_prev`` (that prefix
+      total), which oracles countersign.
+
+    Scale shape: a naive single window per stratum would sort a whole
+    language in ONE task. Instead the hash key's first three nibbles
+    (a monotone prefix of the sort key) bucket each stratum into 4096
+    slices: per-slice token sums make a tiny (strata × 4096) table
+    whose cross-bucket running total is the only stratum-wide window;
+    document-level prefix sums then run *within* each slice —
+    thousands of parallel, bounded sorts — and the slice offset joins
+    back by broadcast. Ordering by (bucket, key) ≡ ordering by key, so
+    the two-phase result is bit-identical to the naive window
+    (asserted in tests/test_token_budget.py).
+    """
+    key = sample_key(F.col(id_col), salt=salt)
+    d = df.withColumn("_key", key).withColumn(
+        "_bucket", F.conv(F.substring(F.col("_key"), 1, 3), 16, 10).cast("int")
+    )
+    bsum = d.groupBy(stratum_col, "_bucket").agg(
+        F.sum(tokens_col).alias("_sum_b")
+    )
+    wb = Window.partitionBy(stratum_col).orderBy("_bucket")
+    bpre = bsum.withColumn(
+        "_cum_b",
+        F.coalesce(
+            F.sum("_sum_b").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(stratum_col, "_bucket", "_cum_b")
+    wd = Window.partitionBy(stratum_col, "_bucket").orderBy("_key", id_col)
+    budget = F.lit(int(default_budget))
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == stratum, F.lit(int(b))).otherwise(
+            budget
+        )
+    return (
+        d.join(F.broadcast(bpre), [stratum_col, "_bucket"])
+        .withColumn(
+            "_cum_in",
+            F.coalesce(
+                F.sum(tokens_col).over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "cum_prev", (F.col("_cum_b") + F.col("_cum_in")).cast("bigint")
+        )
+        .where(F.col("cum_prev") < budget)
+        .drop("_key", "_bucket", "_cum_b", "_cum_in")
+    )
