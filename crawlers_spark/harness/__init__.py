@@ -80,6 +80,7 @@ _FRONT = [
     "crawl_soft404",
     "docs_substring_dedup",
     "docs_token_budget_mix",
+    "crawl_neighborhood_function",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -107,7 +108,6 @@ _FRONT = [
     "stream_hourly_windows",
     "stream_stateful_user_totals",
     "multi_decode_media",
-    "multi_resize_plan",
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_anti_join_customers_no_orders",
@@ -143,6 +143,9 @@ _TAIL = [
     # rel_asof_click_before_purchase's range/as-of family stays
     # in-window via r3-signed rel_range_join_30d + rel_sessionize_events
     "rel_asof_click_before_purchase",
+    # multi_resize_plan's multimodal family stays in-window via
+    # multi_decode_media + r3-signed multi_embed_media/multi_decode_real
+    "multi_resize_plan",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

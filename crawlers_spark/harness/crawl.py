@@ -1797,10 +1797,65 @@ FROM f
 SQL_SOFT404 = _soft404_sql()
 
 
+# ---------------- neighborhood function (HyperANF's exact contract)
+def q_neighborhood(spark, sf):
+    """Ball sizes |B(v, r)| for r ∈ {0,1,2} (`operators/neighborhood.py
+    neighborhood_exact`) over a deterministic 30-node host graph (a
+    ring plus skip chords — balls overlap but don't saturate at radius
+    2). The oracle unrolls both expansion rounds as distinct-pair
+    UNIONs. The HLL scale path (`neighborhood_hll`, Boldi-Vigna
+    HyperANF via hll_sketch_agg/hll_union_agg) carries the same
+    contract and is pinned against this exact version in
+    tests/test_neighborhood.py.
+    """
+    from crawlers_spark.operators.neighborhood import neighborhood_exact
+
+    d = F.col("doc_id")
+    m = d % 30
+    ring = load(spark, sf, "documents").select(
+        F.concat(F.lit("h"), m.cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((m + 1) % 30).cast("string")).alias("dst"),
+    )
+    skip = (
+        load(spark, sf, "documents")
+        .where(d % 2 == 0)
+        .select(
+            F.concat(F.lit("h"), m.cast("string")).alias("src"),
+            F.concat(F.lit("h"), ((m * 3 + 1) % 30).cast("string")).alias("dst"),
+        )
+    )
+    return neighborhood_exact(ring.unionByName(skip), radius=2)
+
+
+SQL_NEIGHBORHOOD = """
+WITH e0 AS (
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
+         'h' || CAST((doc_id % 30 + 1) % 30 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR),
+         'h' || CAST(((doc_id % 30) * 3 + 1) % 30 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+                                 UNION SELECT dst FROM e)),
+b1 AS (SELECT node, node AS member FROM n
+       UNION SELECT src AS node, dst AS member FROM e),
+b2 AS (SELECT node, member FROM b1
+       UNION SELECT e.src AS node, b1.member FROM e JOIN b1 ON b1.node = e.dst)
+SELECT node, 0 AS r, CAST(1 AS BIGINT) AS ball FROM n
+UNION ALL
+SELECT node, 1 AS r, CAST(count(*) AS BIGINT) AS ball FROM b1 GROUP BY node
+UNION ALL
+SELECT node, 2 AS r, CAST(count(*) AS BIGINT) AS ball FROM b2 GROUP BY node
+"""
+
+
 QUERIES = {
     "crawl_url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
     "crawl_host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "crawl_soft404": (q_soft404, SQL_SOFT404),
+    "crawl_neighborhood_function": (q_neighborhood, SQL_NEIGHBORHOOD),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
