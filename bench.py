@@ -62,6 +62,9 @@ HEADLINE = [
     "docs_main_content",          # generic boilerplate stripping (r4)
     "crawl_revalidate_semantics", # conditional-revisit 304 split (r4)
     "docs_lm_perplexity",         # bigram-LM perplexity bucketing (r4)
+    "docs_substring_dedup",       # ExactSubstr span removal (r4 ext)
+    "docs_dsir_weights",          # DSIR importance scoring (r4 ext)
+    "crawl_neighborhood_function",  # graph ball sizes, exact path (r4 ext)
 ]
 
 
