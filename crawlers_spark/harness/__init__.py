@@ -81,6 +81,7 @@ _FRONT = [
     "docs_substring_dedup",
     "docs_token_budget_mix",
     "crawl_neighborhood_function",
+    "crawl_canonical_aliases",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -93,7 +94,6 @@ _FRONT = [
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "crawl_sitemap_seeds",
-    "crawl_offsite_filter",
     "crawl_politeness_from_robots",
     "docs_simhash_near_pairs",
     "docs_dedup_clusters",
@@ -146,6 +146,11 @@ _TAIL = [
     # multi_resize_plan's multimodal family stays in-window via
     # multi_decode_media + r3-signed multi_embed_media/multi_decode_real
     "multi_resize_plan",
+    # crawl_offsite_filter's host-admission family stays in-window via
+    # crawl_registrable_domain + crawl_url_blocklist (same broadcast
+    # admission shape) and is e2e-pinned every run by
+    # test_crawl_e2e full_coverage + test_offsite_subdomains
+    "crawl_offsite_filter",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

@@ -1797,6 +1797,63 @@ FROM f
 SQL_SOFT404 = _soft404_sql()
 
 
+# ------------------------- rel=canonical alias extraction + resolution
+def q_canonical_aliases(spark, sf):
+    """Canonical-link alias map (`extraction/canonical.py`): a page zoo
+    declaring canonical targets in every real-world shape — double
+    quotes, single quotes, unquoted, reversed attribute order,
+    uppercase tag, tracking-params-on-target (collapsed by
+    canonicalization), self-declarations (dropped), stylesheet decoys
+    and no-link pages (no row). JVM-side regexp_extract, RE2-safe
+    patterns; the oracle emits the expected alias rows from the
+    generative formula — extraction and expectation derived
+    independently.
+    """
+    from crawlers_spark.extraction.canonical import canonical_aliases
+
+    d = F.col("doc_id")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+    target = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"), (F.floor(d / 7) * 7).cast("string")
+    )
+    target_messy = F.concat(
+        F.lit("https://"),
+        F.upper(host),
+        F.lit("/doc/"),
+        (F.floor(d / 7) * 7).cast("string"),
+        F.lit("?utm_source=x"),
+    )
+    html = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('<html><head><link rel="canonical" href="'), target, F.lit('"/></head><body>x</body></html>')),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("<link href="), url, F.lit(" rel=canonical><p>self</p>")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("<link rel='canonical' href='"), target_messy, F.lit("'>")),
+        )
+        .when(d % 5 == 3, F.lit('<link rel="stylesheet" href="/css"><p>page</p>'))
+        .otherwise(F.lit("<body>no links</body>"))
+    )
+    pages = load(spark, sf, "documents").select(url.alias("url"), html.alias("html"))
+    return canonical_aliases(pages)
+
+
+SQL_CANONICAL_ALIASES = """
+SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR)
+         AS url_canon,
+       'https://' || source || '.example/doc/'
+         || CAST((doc_id // 7) * 7 AS VARCHAR) AS canonical_canon
+FROM documents
+WHERE doc_id % 5 IN (0, 2)
+"""
+
+
 # ---------------- neighborhood function (HyperANF's exact contract)
 def q_neighborhood(spark, sf):
     """Ball sizes |B(v, r)| for r ∈ {0,1,2} (`operators/neighborhood.py
@@ -1856,6 +1913,7 @@ QUERIES = {
     "crawl_host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "crawl_soft404": (q_soft404, SQL_SOFT404),
     "crawl_neighborhood_function": (q_neighborhood, SQL_NEIGHBORHOOD),
+    "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
