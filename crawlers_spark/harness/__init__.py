@@ -82,6 +82,7 @@ _FRONT = [
     "docs_token_budget_mix",
     "crawl_neighborhood_function",
     "crawl_canonical_aliases",
+    "docs_incremental_dedup",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -95,7 +96,6 @@ _FRONT = [
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "crawl_sitemap_seeds",
     "crawl_politeness_from_robots",
-    "docs_simhash_near_pairs",
     "docs_dedup_clusters",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
@@ -151,6 +151,10 @@ _TAIL = [
     # admission shape) and is e2e-pinned every run by
     # test_crawl_e2e full_coverage + test_offsite_subdomains
     "crawl_offsite_filter",
+    # docs_simhash_near_pairs' near-dup pair family stays in-window via
+    # docs_minhash_lsh_pairs + docs_incremental_dedup (same band keys)
+    # and the expr≡udf simhash parity suite in tests
+    "docs_simhash_near_pairs",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

@@ -1354,6 +1354,98 @@ QUALIFY rank <= 10
 """
 
 
+# ------------- incremental cross-snapshot dedup (index screening)
+def q_incremental_dedup(spark, sf):
+    """Continuous-crawl dedup (`operators/textdedup.py minhash_index` /
+    `novel_against_index`): the base `documents` table plays the PRIOR
+    snapshot (indexed once into distinct LSH band rows); the NEW
+    snapshot is exact copies, near copies, and genuinely fresh docs.
+    Per new doc the index-hit band count and the novelty verdict are
+    countersigned — the oracle rebuilds the index and screens the same
+    snapshot from the md5 contract. Band-key semi-join, never
+    all-pairs; the index broadcasts.
+    """
+    from crawlers_spark.operators.textdedup import (
+        minhash_index,
+        novel_against_index,
+    )
+
+    prior = load(spark, sf, "documents").select("doc_id", "text")
+    d = prior
+    exact = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    fresh = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(
+            F.lit("snapshot delta article "),
+            F.col("doc_id").cast("string"),
+            F.lit(" entirely fresh tokens"),
+        ).alias("text"),
+    )
+    new = exact.unionByName(near).unionByName(fresh)
+    idx = minhash_index(prior, "doc_id", "text", hash_mode="md5")
+    return novel_against_index(new, idx, "doc_id", "text", hash_mode="md5")
+
+
+def _inc_shingle_sql(corpus: str) -> str:
+    return rf"""
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                                      i -> array_to_string(ws[i:i+2], ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM ({corpus}))
+"""
+
+
+_SQL_NEW_SNAPSHOT = f"""
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000, text || '{NEAR_SUFFIX}' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 30000,
+         'snapshot delta article ' || CAST(doc_id AS VARCHAR)
+           || ' entirely fresh tokens'
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH prior_sh AS ({_inc_shingle_sql("SELECT doc_id, text FROM documents")}),
+prior_sig AS (
+  SELECT doc_id, i, min(md5(i || '|' || shingle)) AS s
+  FROM prior_sh CROSS JOIN range(0, 12) t(i) GROUP BY doc_id, i),
+prior_idx AS (
+  SELECT DISTINCT band_id, band_key FROM (
+    SELECT doc_id, i // 3 AS band_id,
+           md5(string_agg(s, '|' ORDER BY i)) AS band_key
+    FROM prior_sig GROUP BY doc_id, i // 3)),
+newc AS ({_SQL_NEW_SNAPSHOT}),
+new_sh AS ({_inc_shingle_sql("SELECT doc_id, text FROM newc")}),
+new_sig AS (
+  SELECT doc_id, i, min(md5(i || '|' || shingle)) AS s
+  FROM new_sh CROSS JOIN range(0, 12) t(i) GROUP BY doc_id, i),
+new_bands AS (
+  SELECT doc_id, i // 3 AS band_id,
+         md5(string_agg(s, '|' ORDER BY i)) AS band_key
+  FROM new_sig GROUP BY doc_id, i // 3),
+hits AS (
+  SELECT nb.doc_id, CAST(count(*) AS INT) AS n_hit_bands
+  FROM new_bands nb
+  WHERE EXISTS (SELECT 1 FROM prior_idx p
+                WHERE p.band_id = nb.band_id AND p.band_key = nb.band_key)
+  GROUP BY nb.doc_id)
+SELECT newc.doc_id,
+       CAST(COALESCE(h.n_hit_bands, 0) AS INT) AS n_hit_bands,
+       COALESCE(h.n_hit_bands, 0) = 0 AS novel
+FROM newc LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # ---------------- exact duplicated-span removal (ExactSubstr-style)
 SUBSTR_K = 8  # span length in tokens (50 in the paper; 8 fits the fixture)
 
@@ -1489,6 +1581,7 @@ GROUP BY 1
 
 QUERIES = {
     "docs_substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "docs_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "docs_dsir_weights": (q_dsir_weights, SQL_DSIR),
     "docs_c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "docs_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

@@ -688,3 +688,78 @@ def exact_substring_dedup(
             clean.alias("clean_text"),
         )
     )
+
+
+# ------------- incremental cross-snapshot dedup (index + screening)
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Persistable LSH band index of a corpus: the DISTINCT
+    ``(band_id, band_key)`` rows of every document's MinHash bands.
+    This is the continuous-crawl dedup state: each new snapshot is
+    screened against the union of all prior snapshots' indexes (band
+    rows union idempotently — the index of A∪B is indexA ∪ indexB, so
+    incremental maintenance is an append + distinct, never a rebuild).
+    Size is ≤ n_bands rows per indexed doc, two short strings each —
+    orders of magnitude smaller than the text it stands for."""
+    rows = n_hashes // n_bands
+    sig = minhash_signature(
+        df, id_col, text_col, k=k, n_hashes=n_hashes, hash_mode=hash_mode
+    )
+    return lsh_bands(sig, id_col, n_bands=n_bands, rows_per_band=rows).select(
+        "band_id", "band_key"
+    ).distinct()
+
+
+def novel_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Screen a NEW snapshot against a prior corpus's
+    :func:`minhash_index`: ``(id, n_hit_bands, novel)`` where
+    ``n_hit_bands`` counts the doc's bands present in the index and
+    ``novel ⇔ zero hits`` (the LSH screen; callers wanting an exact
+    guarantee run :func:`jaccard_on_pairs` on the non-novel docs
+    against the indexed snapshot, same as the in-corpus path).
+
+    MinHash parameters MUST match the ones the index was built with —
+    band keys are only comparable under identical (k, n_hashes,
+    n_bands, hash_mode).
+
+    Scale: new-snapshot bands join the index on (band_id, band_key) —
+    a semi-join keyed by the band key, never all-pairs; per-doc rollup
+    is one keyed agg. The index side is the small one by construction
+    and broadcasts when it fits."""
+    rows = n_hashes // n_bands
+    sig = minhash_signature(
+        new_df, id_col, text_col, k=k, n_hashes=n_hashes, hash_mode=hash_mode
+    )
+    bands = lsh_bands(sig, id_col, n_bands=n_bands, rows_per_band=rows)
+    hits = (
+        bands.join(index, ["band_id", "band_key"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit_bands"))
+    )
+    return (
+        new_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_bands", F.lit(0)).cast("int").alias("n_hit_bands"),
+            (F.coalesce("n_hit_bands", F.lit(0)) == 0).alias("novel"),
+        )
+    )
