@@ -83,6 +83,7 @@ _FRONT = [
     "crawl_neighborhood_function",
     "crawl_canonical_aliases",
     "docs_incremental_dedup",
+    "crawl_harmonic_centrality",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -103,7 +104,6 @@ _FRONT = [
     "docs_bigram_stats",
     "embed_cosine_topk",
     "embed_ivf_topk",
-    "crawl_outlink_udtf",
     "crawl_warc_read",
     "stream_hourly_windows",
     "stream_stateful_user_totals",
@@ -155,6 +155,10 @@ _TAIL = [
     # docs_minhash_lsh_pairs + docs_incremental_dedup (same band keys)
     # and the expr≡udf simhash parity suite in tests
     "docs_simhash_near_pairs",
+    # crawl_outlink_udtf's explode family keeps an r3 driver signature
+    # via crawl_outlink_explode (identical extraction, non-UDTF
+    # surface) and is golden-pinned in test_extraction_golden
+    "crawl_outlink_udtf",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

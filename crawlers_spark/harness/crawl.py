@@ -1797,6 +1797,63 @@ FROM f
 SQL_SOFT404 = _soft404_sql()
 
 
+# -------------------- truncated harmonic centrality (HyperBall form)
+def q_harmonic(spark, sf):
+    """Harmonic centrality to radius 2 (`operators/neighborhood.py
+    harmonic_centrality`, exact path, classic reversed-edge variant)
+    over the same ring+chord graph as the neighborhood oracle. Scores
+    are integer micro-units — (Δ_r · 10⁶) div r summed — so the hash
+    compare is exact; the oracle recomputes ball sizes on the
+    transposed graph and replays the formula. The HLL path
+    (method='hll') shares the contract and is pinned against this in
+    tests/test_neighborhood.py.
+    """
+    from crawlers_spark.operators.neighborhood import harmonic_centrality
+
+    d = F.col("doc_id")
+    m = d % 30
+    ring = load(spark, sf, "documents").select(
+        F.concat(F.lit("h"), m.cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((m + 1) % 30).cast("string")).alias("dst"),
+    )
+    skip = (
+        load(spark, sf, "documents")
+        .where(d % 2 == 0)
+        .select(
+            F.concat(F.lit("h"), m.cast("string")).alias("src"),
+            F.concat(F.lit("h"), ((m * 3 + 1) % 30).cast("string")).alias("dst"),
+        )
+    )
+    return harmonic_centrality(
+        ring.unionByName(skip), radius=2, reverse=True, method="exact"
+    )
+
+
+SQL_HARMONIC = """
+WITH e0 AS (
+  SELECT 'h' || CAST((doc_id % 30 + 1) % 30 AS VARCHAR) AS src,
+         'h' || CAST(doc_id % 30 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT 'h' || CAST(((doc_id % 30) * 3 + 1) % 30 AS VARCHAR),
+         'h' || CAST(doc_id % 30 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+                                 UNION SELECT dst FROM e)),
+b1 AS (SELECT node, node AS member FROM n
+       UNION SELECT src AS node, dst AS member FROM e),
+b2 AS (SELECT node, member FROM b1
+       UNION SELECT e.src AS node, b1.member FROM e JOIN b1 ON b1.node = e.dst),
+c1 AS (SELECT node, count(*) AS b1n FROM b1 GROUP BY node),
+c2 AS (SELECT node, count(*) AS b2n FROM b2 GROUP BY node)
+SELECT n.node,
+       CAST((c1.b1n - 1) * 1000000
+            + ((c2.b2n - c1.b1n) * 1000000) // 2 AS BIGINT) AS harmonic_micro
+FROM n JOIN c1 USING (node) JOIN c2 USING (node)
+"""
+
+
 # ------------------------- rel=canonical alias extraction + resolution
 def q_canonical_aliases(spark, sf):
     """Canonical-link alias map (`extraction/canonical.py`): a page zoo
@@ -1914,6 +1971,7 @@ QUERIES = {
     "crawl_soft404": (q_soft404, SQL_SOFT404),
     "crawl_neighborhood_function": (q_neighborhood, SQL_NEIGHBORHOOD),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
+    "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),

@@ -105,3 +105,48 @@ def test_hll_plan_has_no_pair_materialization(spark):
     )
     assert "hll_union_agg" in plan or "hll_union" in plan
     assert "member" not in plan
+
+
+def test_harmonic_hand_replay(spark):
+    from crawlers_spark.operators.neighborhood import harmonic_centrality
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r.node: r.harmonic_micro
+        for r in harmonic_centrality(edges, radius=3, reverse=True).collect()
+    }
+    # replay: balls on the TRANSPOSED graph, Σ (Δ_r · 1e6) // r
+    rev = [(d, s) for s, d in EDGES]
+    balls = _bfs_balls(rev, 3)
+    exp = {}
+    for (v, r), b in balls.items():
+        if r == 0:
+            continue
+        prev = balls[(v, r - 1)]
+        exp[v] = exp.get(v, 0) + ((b - prev) * 1_000_000) // r
+    assert got == exp
+    # the replay agrees on which node is most reachable
+    assert max(got, key=got.get) == max(exp, key=exp.get)
+
+
+def test_harmonic_hll_matches_exact(spark):
+    from crawlers_spark.operators.neighborhood import harmonic_centrality
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    exact = {
+        r.node: r.harmonic_micro
+        for r in harmonic_centrality(edges, radius=2, method="exact").collect()
+    }
+    est = {
+        r.node: r.harmonic_micro
+        for r in harmonic_centrality(edges, radius=2, method="hll").collect()
+    }
+    assert est == exact  # HLL exact at these cardinalities
+
+
+def test_harmonic_rejects_unknown_method(spark):
+    from crawlers_spark.operators.neighborhood import harmonic_centrality
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        harmonic_centrality(edges, method="approximate")
