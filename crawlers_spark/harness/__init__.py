@@ -84,6 +84,7 @@ _FRONT = [
     "crawl_canonical_aliases",
     "docs_incremental_dedup",
     "crawl_harmonic_centrality",
+    "docs_host_quality",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -106,7 +107,6 @@ _FRONT = [
     "embed_ivf_topk",
     "crawl_warc_read",
     "stream_hourly_windows",
-    "stream_stateful_user_totals",
     "multi_decode_media",
     "rel_pricing_summary",
     "rel_region_revenue",
@@ -159,6 +159,10 @@ _TAIL = [
     # via crawl_outlink_explode (identical extraction, non-UDTF
     # surface) and is golden-pinned in test_extraction_golden
     "crawl_outlink_udtf",
+    # stream_stateful_user_totals' streaming family stays in-window via
+    # stream_hourly_windows; its applyInPandasWithState lane is
+    # additionally pinned by test_streaming_continuous every run
+    "stream_stateful_user_totals",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

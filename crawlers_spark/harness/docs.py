@@ -1354,6 +1354,80 @@ QUALIFY rank <= 10
 """
 
 
+# ------------------ host-level curation signals (FineWeb-style)
+def q_host_quality(spark, sf):
+    """Per-host curation rollup (`operators/hostquality.py`): real docs
+    keep their source host; a planted spam host serves stopword-free
+    junk (fails quality_ok) and a planted dead host serves short
+    error stubs (trips soft-404) — both must flag while real hosts
+    stay clean. One host-keyed agg; verdicts replayed verbatim in
+    DuckDB (quality_ok's double expressions + the soft-404 CASE sum +
+    the cross-multiplied flag).
+    """
+    from crawlers_spark.operators.hostquality import host_quality_signals
+
+    docs = load(spark, sf, "documents")
+    real = docs.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"), "text"
+    )
+    spam = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.lit("spam.example").alias("host"),
+        F.lit("zx9 qq kk vv bb nn mm pp rr ss tt uu ww yy").alias("text"),
+    )
+    dead = docs.where(F.col("doc_id") % 15 == 0).select(
+        F.lit("dead.example").alias("host"),
+        F.lit("Error: page not found.").alias("text"),
+    )
+    corpus = real.unionByName(spam).unionByName(dead)
+    return host_quality_signals(corpus, min_docs=5, max_bad_pct=50)
+
+
+def _host_quality_sql() -> str:
+    from crawlers_spark.functions.soft404 import SOFT404_MIN_CHARS, SOFT404_PHRASES
+
+    hits = " + ".join(
+        f"(CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END)"
+        for p in SOFT404_PHRASES
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT source || '.example' AS host, text FROM documents
+  UNION ALL
+  SELECT 'spam.example', 'zx9 qq kk vv bb nn mm pp rr ss tt uu ww yy'
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'dead.example', 'Error: page not found.'
+  FROM documents WHERE doc_id % 15 = 0),
+feat AS (
+  SELECT host,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(ws, w -> length(w))) AS sum_len,
+         CAST(len(list_filter(ws, w -> list_contains([{_EN_LIST}], lower(w)))) AS BIGINT) AS n_stop,
+         CAST({hits} AS INT) AS n_hits,
+         len(text) < {SOFT404_MIN_CHARS} AS short
+  FROM (SELECT host, text, {_SQL_WS_GUARD} AS ws FROM corpus)),
+verdicts AS (
+  SELECT host,
+         (NOT (n_tokens >= 10
+               AND (CASE WHEN n_tokens > 0
+                         THEN CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         ELSE 0.0 END) <= 12.0
+               AND (CASE WHEN n_tokens > 0
+                         THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         ELSE 0.0 END) > 0.0))
+         OR ((n_hits >= 1 AND short) OR n_hits >= 2) AS bad
+  FROM feat)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       (count(*) >= 5 AND sum(CASE WHEN bad THEN 1 ELSE 0 END) * 100
+          >= 50 * count(*)) AS flagged
+FROM verdicts GROUP BY host
+"""
+
+
+SQL_HOST_QUALITY = _host_quality_sql()
+
+
 # ------------- incremental cross-snapshot dedup (index screening)
 def q_incremental_dedup(spark, sf):
     """Continuous-crawl dedup (`operators/textdedup.py minhash_index` /
@@ -1582,6 +1656,7 @@ GROUP BY 1
 QUERIES = {
     "docs_substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "docs_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "docs_host_quality": (q_host_quality, SQL_HOST_QUALITY),
     "docs_dsir_weights": (q_dsir_weights, SQL_DSIR),
     "docs_c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "docs_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
