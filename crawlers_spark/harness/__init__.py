@@ -85,6 +85,7 @@ _FRONT = [
     "docs_incremental_dedup",
     "crawl_harmonic_centrality",
     "docs_host_quality",
+    "docs_shard_assignment",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -115,7 +116,6 @@ _FRONT = [
     "rel_json_event_props",
     "rel_salted_part_revenue_top20",
     "crawl_canonicalize_urls",
-    "crawl_seen_antijoin",
     "crawl_frontier_topk_per_host",
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
@@ -163,6 +163,10 @@ _TAIL = [
     # stream_hourly_windows; its applyInPandasWithState lane is
     # additionally pinned by test_streaming_continuous every run
     "stream_stateful_user_totals",
+    # crawl_seen_antijoin's anti-join dedup family stays in-window via
+    # rel_anti_join_customers_no_orders (identical plan shape) and is
+    # e2e-pinned every run by test_crawl_e2e no_duplicate_fetches
+    "crawl_seen_antijoin",
     # r2-signed, untouched, deferred to round 5 to make room for this
     # round's THIRTEEN new queries (never-countersigned beats
     # one-more-round-stale; each deferral's operator family keeps an

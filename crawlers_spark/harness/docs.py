@@ -1006,6 +1006,48 @@ FROM cum WHERE cum_prev < {_SQL_BUDGET_CASE}
 """
 
 
+# ---------------------- training-shard assignment (token-balanced)
+SHARD_TOKENS = 2500
+
+
+def q_shard_assignment(spark, sf):
+    """Token-balanced training shards (`operators/sampling.py
+    assign_token_shards`): every doc takes the deterministic
+    hash-shuffled order, shard = prefix-token-mass div SHARD_TOKENS —
+    the distributed "concatenate shuffled corpus, cut every N tokens"
+    writer. Engine runs the two-phase cumsum; the oracle replays the
+    naive global window. doc→shard assignment AND each doc's prefix
+    mass are countersigned.
+    """
+    from crawlers_spark.operators.sampling import assign_token_shards
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return assign_token_shards(
+        docs, "doc_id", "n_tokens", shard_tokens=SHARD_TOKENS
+    ).select("doc_id", "n_tokens", "cum_prev", "shard")
+
+
+SQL_SHARD_ASSIGNMENT = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({_SQL_WS_GUARD}) AS BIGINT) AS n_tokens,
+         substr(md5('shard|' || doc_id), 1, 8) AS h
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM d)
+SELECT doc_id, n_tokens, cum_prev,
+       CAST(cum_prev // {SHARD_TOKENS} AS INT) AS shard
+FROM cum
+"""
+
+
 # --------------------------------- count-min sketch heavy hitters
 def q_countmin(spark, sf):
     """Bounded-memory heavy hitters (`operators/sketches.py`): build a
@@ -1664,6 +1706,7 @@ QUERIES = {
     "docs_lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "docs_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "docs_token_budget_mix": (q_token_budget, SQL_TOKEN_BUDGET),
+    "docs_shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
     "docs_countmin_heavyhitters": (q_countmin, SQL_COUNTMIN),
     "docs_main_content": (q_main_content, SQL_MAIN_CONTENT),
     "docs_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

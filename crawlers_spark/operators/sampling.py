@@ -114,29 +114,55 @@ def token_budget_sample(
     the two-phase result is bit-identical to the naive window
     (asserted in tests/test_token_budget.py).
     """
-    key = sample_key(F.col(id_col), salt=salt)
-    d = df.withColumn("_key", key).withColumn(
-        "_bucket", F.conv(F.substring(F.col("_key"), 1, 3), 16, 10).cast("int")
-    )
-    bsum = d.groupBy(stratum_col, "_bucket").agg(
-        F.sum(tokens_col).alias("_sum_b")
-    )
-    wb = Window.partitionBy(stratum_col).orderBy("_bucket")
-    bpre = bsum.withColumn(
-        "_cum_b",
-        F.coalesce(
-            F.sum("_sum_b").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select(stratum_col, "_bucket", "_cum_b")
-    wd = Window.partitionBy(stratum_col, "_bucket").orderBy("_key", id_col)
     budget = F.lit(int(default_budget))
     for stratum, b in sorted(budgets.items()):
         budget = F.when(F.col(stratum_col) == stratum, F.lit(int(b))).otherwise(
             budget
         )
     return (
-        d.join(F.broadcast(bpre), [stratum_col, "_bucket"])
+        with_hash_order_cumsum(
+            df, id_col, tokens_col, stratum_col=stratum_col, salt=salt
+        )
+        .where(F.col("cum_prev") < budget)
+    )
+
+
+def with_hash_order_cumsum(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    stratum_col: str | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Add ``cum_prev`` — the token mass of rows BEFORE this one in the
+    salted-hash order (per stratum, or globally when ``stratum_col`` is
+    None) — using the two-phase shape described in
+    :func:`token_budget_sample`: the hash key's first three nibbles (a
+    monotone prefix of the sort key) slice each stratum into 4096
+    buckets, per-bucket sums feed the only stratum-wide running total
+    (≤ strata × 4096 rows), and document-level prefix sums run within
+    buckets in parallel. Ordering by (bucket, key, id) ≡ ordering by
+    (key, id), so the result is bit-identical to a naive single
+    window."""
+    strat = stratum_col or "_one"
+    d = df.withColumn("_key", sample_key(F.col(id_col), salt=salt)).withColumn(
+        "_bucket", F.conv(F.substring(F.col("_key"), 1, 3), 16, 10).cast("int")
+    )
+    if stratum_col is None:
+        d = d.withColumn(strat, F.lit(0))
+    bsum = d.groupBy(strat, "_bucket").agg(F.sum(tokens_col).alias("_sum_b"))
+    wb = Window.partitionBy(strat).orderBy("_bucket")
+    bpre = bsum.withColumn(
+        "_cum_b",
+        F.coalesce(
+            F.sum("_sum_b").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(strat, "_bucket", "_cum_b")
+    wd = Window.partitionBy(strat, "_bucket").orderBy("_key", id_col)
+    out = (
+        d.join(F.broadcast(bpre), [strat, "_bucket"])
         .withColumn(
             "_cum_in",
             F.coalesce(
@@ -149,6 +175,34 @@ def token_budget_sample(
         .withColumn(
             "cum_prev", (F.col("_cum_b") + F.col("_cum_in")).cast("bigint")
         )
-        .where(F.col("cum_prev") < budget)
         .drop("_key", "_bucket", "_cum_b", "_cum_in")
+    )
+    return out.drop("_one") if stratum_col is None else out
+
+
+# ---------------------- training-shard assignment (token-balanced)
+def assign_token_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    shard_tokens: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Assign every document to a training shard of ~``shard_tokens``
+    tokens: documents take the deterministic salted-hash order
+    (a reproducible global shuffle — neighbors in a shard are unrelated
+    documents, which is what training wants) and
+    ``shard = cum_prev div shard_tokens``. Every shard except the last
+    holds at least ``shard_tokens`` minus one document of slack, no
+    shard splits a document, and the assignment is reproducible on any
+    cluster size — the distributed equivalent of the serial
+    "concatenate shuffled corpus, cut every N tokens" shard writer.
+    Output keeps the input columns plus ``cum_prev`` and ``shard``."""
+    if shard_tokens <= 0:
+        raise ValueError("shard_tokens must be positive")
+    return with_hash_order_cumsum(
+        df, id_col, tokens_col, stratum_col=None, salt=salt
+    ).withColumn(
+        "shard", F.floor(F.col("cum_prev") / F.lit(int(shard_tokens))).cast("int")
     )

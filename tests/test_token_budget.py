@@ -108,3 +108,53 @@ def test_partitioning_invariance(spark):
     a = _key(token_budget_sample(_docs(spark, n_parts=1), "doc_id", "lang", "n_tokens", BUDGETS))
     b = _key(token_budget_sample(_docs(spark, n_parts=11), "doc_id", "lang", "n_tokens", BUDGETS))
     assert a == b
+
+
+# ------------------------- training-shard assignment
+def test_shard_assignment_contract(spark):
+    from crawlers_spark.operators.sampling import assign_token_shards
+
+    df = _docs(spark, n=80)
+    out = assign_token_shards(df, "doc_id", "n_tokens", shard_tokens=120).collect()
+    assert len(out) == 80  # every doc assigned
+    # shard == cum_prev // shard_tokens for every row
+    assert all(r.shard == r.cum_prev // 120 for r in out)
+    # shards are contiguous 0..max with no gaps
+    shards = sorted({r.shard for r in out})
+    assert shards == list(range(len(shards)))
+    # every full shard's token mass reaches the target (last may not)
+    mass = {}
+    for r in out:
+        mass[r.shard] = mass.get(r.shard, 0) + r.n_tokens
+    for s in shards[:-1]:
+        assert mass[s] + max(r.n_tokens for r in out) > 120
+        # a shard never starts past the cut: its first doc began < (s+1)*target
+        firsts = min(r.cum_prev for r in out if r.shard == s)
+        assert firsts < (s + 1) * 120
+
+
+def test_shard_assignment_partitioning_invariance(spark):
+    from crawlers_spark.operators.sampling import assign_token_shards
+
+    a = {
+        (r.doc_id, r.shard, r.cum_prev)
+        for r in assign_token_shards(
+            _docs(spark, n=80, n_parts=1), "doc_id", "n_tokens", shard_tokens=120
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.shard, r.cum_prev)
+        for r in assign_token_shards(
+            _docs(spark, n=80, n_parts=13), "doc_id", "n_tokens", shard_tokens=120
+        ).collect()
+    }
+    assert a == b
+
+
+def test_shard_rejects_nonpositive(spark):
+    import pytest
+
+    from crawlers_spark.operators.sampling import assign_token_shards
+
+    with pytest.raises(ValueError):
+        assign_token_shards(_docs(spark, n=3), "doc_id", "n_tokens", shard_tokens=0)
