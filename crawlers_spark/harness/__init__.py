@@ -74,6 +74,8 @@ _FRONT = [
     "crawl_domain_budget_topk",
     "crawl_feed_seeds",
     # NEW this session (round-4 extension window)
+    "crawl_trustrank",
+    "crawl_antitrust_rank",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -112,9 +114,7 @@ _FRONT = [
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_anti_join_customers_no_orders",
-    "rel_distinct_users_per_type",
     "rel_json_event_props",
-    "rel_salted_part_revenue_top20",
     "crawl_canonicalize_urls",
     "crawl_frontier_topk_per_host",
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
@@ -122,6 +122,15 @@ _FRONT = [
 _TAIL = [
     # displaced by this session's new queries (one-for-one; each
     # family keeps an in-window countersignature, noted per entry):
+    # rel_distinct_users_per_type's distinct family stays in-window via
+    # docs_exact_dedup (hash-groupBy distinct) — displaced by the
+    # TrustRank pair
+    "rel_distinct_users_per_type",
+    # rel_salted_part_revenue_top20's salted-skew family stays
+    # in-window via crawl_frontier_topk_per_host (salted two-phase
+    # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
+    # pair
+    "rel_salted_part_revenue_top20",
     # docs_quality's quality family stays in-window via
     # docs_gopher_quality + docs_c4_line_filter (and quality_ok is a
     # component of docs_curation_pipeline's pytest replica)

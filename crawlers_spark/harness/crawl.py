@@ -1317,6 +1317,114 @@ FROM h{k} h JOIN a{k} a ON h.id = a.id
 SQL_HITS = _hits_sql()
 
 
+# ------------------------------ TrustRank / Anti-TrustRank (O2+ spam)
+def _trust_graph(spark, sf):
+    """The deterministic doc-id link graph shared with the PageRank and
+    HITS queries (century hubs + next-chains)."""
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def u(k):
+        return F.concat(
+            F.lit("https://h"), (k % 10).cast("string"),
+            F.lit(".example/p/"), k.cast("string"),
+        )
+
+    linked = docs.where(d % 4 != 0)
+    hub = linked.select(u(d).alias("src_canon"), u(d - d % 100).alias("dst_canon"))
+    nxt = linked.select(u(d).alias("src_canon"), u(d + 1).alias("dst_canon"))
+    return docs, u, linked, hub.unionByName(nxt)
+
+
+def q_trustrank(spark, sf):
+    """TrustRank (Gyöngyi et al., VLDB 2004) over the deterministic
+    doc-id graph with the century-hub pages as the trusted seed set —
+    trust teleports only to hubs and decays outward along links, so
+    chain pages far from any hub rank near 0. Fixed-point bigint
+    (operators/linkrank.py), so the oracle restates the 3-round biased
+    recurrence VERBATIM and the match is exact."""
+    from crawlers_spark.operators.linkrank import trustrank_scores
+
+    docs, u, linked, out = _trust_graph(spark, sf)
+    d = F.col("doc_id")
+    seeds = linked.select(u(d - d % 100).alias("url_canon")).distinct()
+    return trustrank_scores(out, seeds, iterations=3)
+
+
+def q_antitrust(spark, sf):
+    """Anti-TrustRank (Krishnan & Raj, AIRWeb 2006): the same biased
+    recurrence on the TRANSPOSED graph with a known-spam seed set
+    (doc_id % 17 == 3 pages), so distrust flows backwards onto pages
+    that link — transitively — into spam; high ``trust_scaled`` here
+    means DEMOTE in the frontier."""
+    from crawlers_spark.operators.linkrank import trustrank_scores
+
+    docs, u, linked, out = _trust_graph(spark, sf)
+    d = F.col("doc_id")
+    seeds = docs.where(d % 17 == 3).select(u(d).alias("url_canon")).distinct()
+    return trustrank_scores(out, seeds, iterations=3, reverse=True)
+
+
+def _trustrank_sql(
+    seeds_sql: str, *, reverse: bool = False, scale: int = 10**12,
+    d_pct: int = 85, iterations: int = 3,
+) -> str:
+    """Unroll the seed-biased fixed-point recurrence (linkrank.py
+    ``trustrank_fixed`` docstring) as DuckDB CTEs; ``seeds_sql`` must
+    yield a distinct 1-column ``id`` set. `//` ≡ Spark `div` on
+    non-negative bigints, seed-indicator joins are plain LEFT JOINs,
+    so the replay is exact."""
+    url = lambda k: _URL_EXPR.format(k=k)  # noqa: E731
+    raw = f"""
+  SELECT {url('doc_id')} AS s, {url('doc_id - doc_id % 100')} AS t
+  FROM documents WHERE doc_id % 4 <> 0
+  UNION ALL
+  SELECT {url('doc_id')}, {url('doc_id + 1')}
+  FROM documents WHERE doc_id % 4 <> 0"""
+    src, dst = ("t", "s") if reverse else ("s", "t")
+    steps = [f"""
+WITH raw_edges AS ({raw}),
+edges AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM raw_edges),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+seeds AS ({seeds_sql}),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ns AS (SELECT COUNT(*) AS s FROM seeds),
+r0 AS (SELECT n.id,
+              CASE WHEN sd.id IS NOT NULL THEN {scale} // ns.s ELSE 0 END AS rank
+       FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id, ns)"""]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+m{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS m
+         FROM {prev} r LEFT JOIN deg d ON r.id = d.src WHERE d.src IS NULL),
+s{i} AS (SELECT e.dst, SUM(r.rank // d.deg) AS in_sum
+         FROM edges e JOIN {prev} r ON e.src = r.id JOIN deg d ON e.src = d.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n.id,
+                CASE WHEN sd.id IS NOT NULL
+                     THEN ({scale} - ({d_pct} * {scale}) // 100) // ns.s
+                     ELSE 0 END
+                + ({d_pct} * (COALESCE(s.in_sum, 0)
+                   + CASE WHEN sd.id IS NOT NULL THEN m{i}.m // ns.s
+                     ELSE 0 END)) // 100 AS rank
+         FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id
+              LEFT JOIN s{i} s ON n.id = s.dst, m{i}, ns)""")
+        prev = f"r{i}"
+    return ",".join(steps) + f"""
+SELECT r.id AS url_canon, CAST(r.rank AS BIGINT) AS trust_scaled FROM {prev} r
+"""
+
+
+SQL_TRUSTRANK = _trustrank_sql(f"""
+SELECT DISTINCT {_URL_EXPR.format(k='doc_id - doc_id % 100')} AS id
+FROM documents WHERE doc_id % 4 <> 0""")
+
+SQL_ANTITRUST = _trustrank_sql(f"""
+SELECT DISTINCT {_URL_EXPR.format(k='doc_id')} AS id
+FROM documents WHERE doc_id % 17 = 3""", reverse=True)
+
+
 # --------------------------------- apply_linkrank fold (engine merge)
 def q_linkrank_boost(spark, sf):
     """The exact ``CrawlEngine.apply_linkrank`` fold: frontier priority
@@ -1974,6 +2082,8 @@ QUERIES = {
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
+    "crawl_trustrank": (q_trustrank, SQL_TRUSTRANK),
+    "crawl_antitrust_rank": (q_antitrust, SQL_ANTITRUST),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     "crawl_domain_budget_topk": (q_domain_topk, SQL_DOMAIN_TOPK),
     "crawl_feed_seeds": (q_feed_seeds, SQL_FEED_SEEDS),

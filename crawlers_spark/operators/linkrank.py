@@ -273,3 +273,128 @@ def pagerank_priorities(
             ),
         ).alias("priority"),
     )
+
+
+def trustrank_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(id, rank_scaled) — TrustRank (Gyöngyi, Garcia-Molina, Pedersen,
+    "Combating Web Spam with TrustRank", VLDB 2004 — public) after
+    ``iterations`` biased power rounds, in SCALE-fixed-point bigints.
+
+    TrustRank is PageRank with the teleport vector restricted to a
+    hand-vetted trusted seed set S: trust flows OUT of seeds along
+    links and decays with distance, so pages reachable only through
+    long/spammy paths end up with ~0 trust.  The crawl use is frontier
+    demotion — a candidate whose trust is far below its PageRank is
+    link-spam-shaped (the paper's "spam mass" idea) and can be
+    deprioritized before fetch.  Run on REVERSED edges with a known-
+    spam seed set this same recurrence is Anti-TrustRank (Krishnan &
+    Raj, AIRWeb 2006): distrust flows backwards onto pages that LINK
+    TO spam.
+
+        rank'(v) = (1-d)·[v∈S]/|S| + d·( Σ_{(u,v)∈E} rank(u)/deg(u)
+                                          + [v∈S]·m/|S| )
+
+    with dangling mass m redistributed over the SEEDS (not uniformly):
+    mass the walk loses at a sink re-enters at the teleport set, which
+    keeps total mass ~constant and the recurrence seed-biased — the
+    static-score-vector variant of the paper's §4.3 (they renormalize;
+    a seed-targeted dangling return is the standard mass-conserving
+    equivalent for power iteration).
+
+    Same portability discipline as :func:`pagerank_fixed` — all
+    arithmetic is bigint floor-division, sums are order-independent,
+    so the result is bit-identical at any parallelism and the DuckDB
+    oracle restates the recurrence verbatim (harness/crawl.py).  Same
+    per-round shuffle budget too: one src-keyed edge join, one
+    dst-keyed partial agg, one vertex-keyed left join; |S| and m are
+    1-row broadcasts; the seed-indicator join broadcasts ``seeds``
+    (seed sets are hand-vetted — hundreds, not millions).
+
+    In fixed point (``div`` = floor division, non-negative operands):
+
+        base_s  = (SCALE - (d_pct * SCALE) div 100) div |S|
+        rank'_s = is_seed * base_s
+                  + (d_pct * (in_sum + is_seed * (m div |S|))) div 100
+    """
+    edges = edges.select("src", "dst").persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("seed_id")).distinct().persist()
+    ns1 = seeds.agg(F.count("*").alias("s"))  # 1 row, broadcast
+
+    def seeded(df):
+        return df.join(
+            F.broadcast(seeds), df["id"] == F.col("seed_id"), "left"
+        ).withColumn("is_seed", F.col("seed_id").isNotNull().cast("bigint"))
+
+    ranks = (
+        seeded(nodes)
+        .crossJoin(F.broadcast(ns1))
+        .select("id", F.expr(f"is_seed * ({SCALE} div s)").alias("rank_scaled"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        withdeg = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
+            ranks["id"].alias("id"), "rank_scaled", "deg"
+        )
+        m1 = withdeg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("m")
+        )
+        live = withdeg.where(F.col("deg").isNotNull())
+        in_sum = (
+            edges.join(live, edges["src"] == live["id"])
+            .select(edges["dst"].alias("dst"), F.expr("rank_scaled div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        ranks = (
+            seeded(nodes)
+            .join(in_sum, nodes["id"] == in_sum["dst"], "left")
+            .crossJoin(F.broadcast(m1))
+            .crossJoin(F.broadcast(ns1))
+            .select(
+                "id",
+                F.expr(
+                    f"is_seed * (({SCALE} - ({damping_pct} * {SCALE}) div 100) div s)"
+                    f" + ({damping_pct} * (coalesce(in_sum, 0) + is_seed * (m div s))) div 100"
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    deg.unpersist()
+    seeds.unpersist()
+    return ranks
+
+
+def trustrank_scores(
+    outlinks: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 3,
+    reverse: bool = False,
+) -> DataFrame:
+    """(url_canon, trust_scaled) from a crawled outlink table
+    ``(src_canon, dst_canon)`` and a 1-column trusted-URL seed table.
+    ``reverse=True`` runs the recurrence on the transposed graph —
+    with a SPAM seed set that is Anti-TrustRank: ``trust_scaled`` is
+    then a distrust mass flowing onto pages that link (transitively)
+    into spam, and high scores mean DEMOTE.  Parallel edges are
+    dropped; vertex set = src ∪ dst; seeds outside the vertex set
+    still teleport (they count in |S|) but never receive link mass."""
+    s, d = ("dst_canon", "src_canon") if reverse else ("src_canon", "dst_canon")
+    nodes = (
+        outlinks.select(F.col("src_canon").alias("id"))
+        .unionByName(outlinks.select(F.col("dst_canon").alias("id")))
+        .distinct()
+    )
+    edges = outlinks.select(F.col(s).alias("src"), F.col(d).alias("dst")).distinct()
+    return trustrank_fixed(edges, nodes, seeds, iterations=iterations).withColumnRenamed(
+        "id", "url_canon"
+    ).withColumnRenamed("rank_scaled", "trust_scaled")

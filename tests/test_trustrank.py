@@ -1,0 +1,94 @@
+"""TrustRank / Anti-TrustRank (operators/linkrank.py trustrank_fixed /
+trustrank_scores) vs a hand-replayed fixed-point iteration, plus the
+structural properties the VLDB-2004 algorithm must show on a known
+graph: trust teleports only to seeds, decays with link distance, and
+is exactly 0 on pages unreachable from any seed; the reversed variant
+puts distrust on pages that link into spam, not on the spam's victims.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawlers_spark.operators.linkrank import SCALE, trustrank_scores
+
+# seed s links into a short chain s -> a -> b; spam ring x <-> y links
+# AT the good cluster (x -> a) but is unreachable FROM the seed, so it
+# must hold zero trust; b is 2 hops from s (less trust than a).
+EDGES = [
+    ("s", "a"), ("a", "b"),
+    ("x", "y"), ("y", "x"), ("x", "a"),
+]
+SEEDS = ["s"]
+
+
+def _replay(edges, seeds, iterations=3, d_pct=85):
+    nodes = sorted({u for e in edges for u in e})
+    deg = {}
+    for (u, _) in set(edges):
+        deg[u] = deg.get(u, 0) + 1
+    ns = len(set(seeds))
+    rank = {v: (SCALE // ns if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        m = sum(rank[v] for v in nodes if v not in deg)
+        in_sum = {v: 0 for v in nodes}
+        for (u, v) in set(edges):
+            in_sum[v] += rank[u] // deg[u]
+        rank = {
+            v: (
+                ((SCALE - (d_pct * SCALE) // 100) // ns if v in seeds else 0)
+                + (d_pct * (in_sum[v] + ((m // ns) if v in seeds else 0))) // 100
+            )
+            for v in nodes
+        }
+    return rank
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    out = spark.createDataFrame(EDGES, "src_canon string, dst_canon string")
+    seeds = spark.createDataFrame([(s,) for s in SEEDS], "url_canon string")
+    fwd = {
+        r["url_canon"]: r["trust_scaled"]
+        for r in trustrank_scores(out, seeds, iterations=3).collect()
+    }
+    spam_seeds = spark.createDataFrame([("x",)], "url_canon string")
+    rev = {
+        r["url_canon"]: r["trust_scaled"]
+        for r in trustrank_scores(out, spam_seeds, iterations=3, reverse=True).collect()
+    }
+    return fwd, rev
+
+
+def test_matches_fixed_point_replay(scored):
+    fwd, _ = scored
+    assert fwd == _replay(EDGES, SEEDS)
+
+
+def test_trust_decays_and_spam_holds_zero(scored):
+    fwd, _ = scored
+    # teleport keeps the seed on top; trust decays along s -> a -> b
+    assert fwd["s"] > fwd["a"] > fwd["b"] > 0
+    # the ring is unreachable from the seed: exactly zero trust, even
+    # though it LINKS AT the trusted cluster (x -> a buys x nothing)
+    assert fwd["x"] == 0 and fwd["y"] == 0
+
+
+def test_antitrust_flows_onto_linkers_of_spam(scored):
+    _, rev = scored
+    # reversed edges + spam seed x: distrust reaches y (links to x)
+    # and stays off the good chain's interior (nothing links into x
+    # from s/a/b... a is linked FROM x, i.e. a victim, and on the
+    # transposed graph a -> x does not exist, so a gets no distrust
+    # mass beyond what reversal provides: a's only reversed out-edge
+    # is a -> s|x? — assert the ordering, not absolute masses)
+    assert rev["x"] > 0  # the seed itself
+    assert rev["y"] > 0  # y -> x in the original graph
+    # b never links toward spam in the original graph: zero distrust
+    assert rev["b"] == 0
+
+
+def test_seed_replay_antitrust(scored):
+    _, rev = scored
+    reversed_edges = [(v, u) for (u, v) in EDGES]
+    assert rev == _replay(reversed_edges, ["x"])
