@@ -76,6 +76,7 @@ _FRONT = [
     # NEW this session (round-4 extension window)
     "crawl_trustrank",
     "crawl_antitrust_rank",
+    "crawl_host_communities",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -108,7 +109,6 @@ _FRONT = [
     "docs_bigram_stats",
     "embed_cosine_topk",
     "embed_ivf_topk",
-    "crawl_warc_read",
     "stream_hourly_windows",
     "multi_decode_media",
     "rel_pricing_summary",
@@ -131,6 +131,10 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # crawl_warc_read's WARC family stays countersigned via r3-signed
+    # crawl_cdx_surt plus the byte-exact WARC/WET/WAT round-trip pytest
+    # lanes (tests/test_sources.py) — displaced by crawl_host_communities
+    "crawl_warc_read",
     # docs_quality's quality family stays in-window via
     # docs_gopher_quality + docs_c4_line_filter (and quality_ok is a
     # component of docs_curation_pipeline's pytest replica)

@@ -1425,6 +1425,86 @@ SELECT DISTINCT {_URL_EXPR.format(k='doc_id')} AS id
 FROM documents WHERE doc_id % 17 = 3""", reverse=True)
 
 
+# ------------------------- LPA host communities (operators/communities)
+def q_host_communities(spark, sf):
+    """Synchronous min-tie label propagation (Raghavan et al. 2007;
+    operators/communities.py) over a deterministic 30-host graph
+    derived from doc ids: two 15-host rings with chords ('a*' and
+    'b*') joined by a single a0—b0 bridge. Every round is a pure
+    function of the last labelling (self-vote, min tie-break), so the
+    oracle unrolls all 4 rounds VERBATIM and the match is exact."""
+    from crawlers_spark.operators.communities import host_communities
+
+    docs = load(spark, sf, "documents")
+    k = F.col("doc_id") % 15
+
+    def h(p, expr):
+        return F.concat(F.lit(p), expr.cast("string"))
+
+    edges = None
+    for p in ("a", "b"):
+        ring = docs.select(h(p, k).alias("from_host"), h(p, (k + 1) % 15).alias("to_host"))
+        chord = docs.where(F.col("doc_id") % 3 == 0).select(
+            h(p, k).alias("from_host"), h(p, (k + 4) % 15).alias("to_host")
+        )
+        part = ring.unionByName(chord)
+        edges = part if edges is None else edges.unionByName(part)
+    bridge = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.lit("a0").alias("from_host"), F.lit("b0").alias("to_host")
+    )
+    return host_communities(edges.unionByName(bridge), iterations=4)
+
+
+def _lpa_sql(iterations: int = 4) -> str:
+    """Unroll the synchronous LPA recurrence (communities.py docstring)
+    as DuckDB CTEs: symmetrized distinct edges, one (vote_id, label)
+    count per round including the self-vote, top-1 via ROW_NUMBER
+    ordered (count DESC, label ASC) — the exact Spark window."""
+    raws = []
+    for p in ("a", "b"):
+        raws.append(f"""
+  SELECT '{p}' || CAST(doc_id % 15 AS VARCHAR) AS s,
+         '{p}' || CAST((doc_id % 15 + 1) % 15 AS VARCHAR) AS t
+  FROM documents
+  UNION ALL
+  SELECT '{p}' || CAST(doc_id % 15 AS VARCHAR),
+         '{p}' || CAST((doc_id % 15 + 4) % 15 AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 0""")
+    raws.append("""
+  SELECT 'a0', 'b0' FROM documents WHERE doc_id % 100 = 0""")
+    raw = " UNION ALL ".join(raws)
+    steps = [f"""
+WITH raw AS ({raw}),
+e AS (SELECT DISTINCT src, dst FROM
+      (SELECT s AS src, t AS dst FROM raw
+       UNION ALL SELECT t, s FROM raw)
+      WHERE src <> dst),
+n AS (SELECT DISTINCT id FROM
+      (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+l0 AS (SELECT id, id AS label FROM n)"""]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+v{i} AS (SELECT vote_id, label, COUNT(*) AS c FROM
+         (SELECT e.dst AS vote_id, l.label FROM e JOIN {prev} l ON e.src = l.id
+          UNION ALL SELECT id, label FROM {prev})
+         GROUP BY vote_id, label),
+p{i} AS (SELECT vote_id, label FROM
+         (SELECT vote_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY vote_id
+                                    ORDER BY c DESC, label ASC) AS rn
+          FROM v{i}) WHERE rn = 1),
+l{i} AS (SELECT l.id, COALESCE(p.label, l.label) AS label
+         FROM {prev} l LEFT JOIN p{i} p ON l.id = p.vote_id)""")
+        prev = f"l{i}"
+    return ",".join(steps) + f"""
+SELECT id AS host, label AS community FROM {prev}
+"""
+
+
+SQL_HOST_COMMUNITIES = _lpa_sql()
+
+
 # --------------------------------- apply_linkrank fold (engine merge)
 def q_linkrank_boost(spark, sf):
     """The exact ``CrawlEngine.apply_linkrank`` fold: frontier priority
@@ -2083,6 +2163,7 @@ QUERIES = {
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_trustrank": (q_trustrank, SQL_TRUSTRANK),
+    "crawl_host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "crawl_antitrust_rank": (q_antitrust, SQL_ANTITRUST),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     "crawl_domain_budget_topk": (q_domain_topk, SQL_DOMAIN_TOPK),
