@@ -77,6 +77,7 @@ _FRONT = [
     "crawl_trustrank",
     "crawl_antitrust_rank",
     "crawl_host_communities",
+    "embed_pq_topk",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -110,7 +111,6 @@ _FRONT = [
     "embed_cosine_topk",
     "embed_ivf_topk",
     "stream_hourly_windows",
-    "multi_decode_media",
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_anti_join_customers_no_orders",
@@ -131,6 +131,10 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # multi_decode_media's multimodal family stays countersigned via
+    # r3-signed multi_decode_real + multi_embed_media — displaced by
+    # embed_pq_topk
+    "multi_decode_media",
     # crawl_warc_read's WARC family stays countersigned via r3-signed
     # crawl_cdx_surt plus the byte-exact WARC/WET/WAT round-trip pytest
     # lanes (tests/test_sources.py) — displaced by crawl_host_communities

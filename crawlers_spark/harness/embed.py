@@ -368,7 +368,62 @@ FROM corpus c LEFT JOIN comp ON comp.id = c.vec_id
 """
 
 
+# ------------------------------------ product-quantization ADC top-k
+def q_pq_topk(spark, sf):
+    """PQ/ADC top-k (similarity.py pq_topk; Jégou et al. TPAMI 2011):
+    8 subspaces × 16 codes trained (training-free first-16-by-id, like
+    the IVF coarse quantizer), corpus encoded to 8 small ints per
+    vector, asymmetric distance = 8 table lookups + an integer sum.
+    All quantized-integer exact — the oracle restates encode, distance
+    tables, and the ADC scan verbatim, so the match is exact."""
+    from crawlers_spark.operators.similarity import pq_topk
+
+    e = load(spark, sf, "embeddings")
+    return pq_topk(e.where(F.col("vec_id") < 10), e, n_dims=N_DIMS, m=8, ks=16, k=5)
+
+
+def _pq_sql(m: int = 8, ks: int = 16, k: int = 5) -> str:
+    d0 = N_DIMS // m
+    return f"""
+WITH qv AS (SELECT vec_id, {_Q} AS v FROM embeddings),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+          FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT {ks})),
+cent AS (SELECT j.j, s.code, t.t, s.v[CAST(j.j*{d0} + t.t AS INT)] AS cv
+         FROM seeds s, range(0,{m}) j(j), range(1,{d0 + 1}) t(t)),
+sub AS (SELECT e.vec_id, j.j, t.t, e.v[CAST(j.j*{d0} + t.t AS INT)] AS xv
+        FROM qv e, range(0,{m}) j(j), range(1,{d0 + 1}) t(t)),
+enc0 AS (SELECT s.vec_id, s.j, c.code,
+                SUM(c.cv*c.cv - 2*s.xv*c.cv) AS dpart
+         FROM sub s JOIN cent c ON s.j = c.j AND s.t = c.t
+         GROUP BY s.vec_id, s.j, c.code),
+codes AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY dpart ASC, code ASC) AS rn
+          FROM enc0) WHERE rn = 1),
+dt AS (SELECT q.vec_id AS query_id, c.j, c.code,
+              SUM((q.xv - c.cv)*(q.xv - c.cv)) AS d2
+       FROM (SELECT * FROM sub WHERE vec_id < 10) q
+       JOIN cent c ON q.j = c.j AND q.t = c.t
+       GROUP BY q.vec_id, c.j, c.code),
+tot AS (SELECT d.query_id, x.vec_id AS neighbor_id, SUM(d.d2) AS d2_pq
+        FROM codes x JOIN dt d ON x.j = d.j AND x.code = d.code
+        WHERE x.vec_id <> d.query_id
+        GROUP BY d.query_id, x.vec_id),
+ranked AS (SELECT query_id, neighbor_id, d2_pq,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2_pq ASC, neighbor_id ASC) AS INT) AS rank
+           FROM tot)
+SELECT query_id, rank, neighbor_id, CAST(d2_pq AS BIGINT) AS d2_pq
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_PQ_TOPK = _pq_sql()
+
+
 QUERIES = {
+    "embed_pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embed_dedup_clusters": (q_embed_clusters, SQL_EMBED_CLUSTERS),
     "embed_semdedup_prune": (q_semdedup, SQL_SEMDEDUP),

@@ -508,3 +508,153 @@ def semdedup_prune(
             F.col("_dom").isNull().alias("kept"),
         )
     )
+
+
+# ----------------------------------------- product quantization (ADC)
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE-row DataFrame ``books: array[m][ks] of array<bigint>`` —
+    per-subspace codebooks for product quantization (Jégou, Douze &
+    Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011 — public).
+
+    The vector space is split into ``m`` contiguous subspaces of
+    ``n_dims/m`` dims; each gets its own ``ks``-entry codebook. Like
+    :func:`ivf_centroids` the codebooks here are training-free (the
+    first ``ks`` vectors by id, sliced per subspace — swap in k-means
+    sub-codebooks at warehouse scale; the encode/ADC shapes don't
+    change) and the pick is ``orderBy().limit()`` =
+    TakeOrderedAndProject, never a global window. The one-row output
+    broadcasts to every task.
+    """
+    if n_dims % m:
+        raise ValueError(f"n_dims={n_dims} not divisible by m={m} subspaces")
+    d0 = n_dims // m
+    seeds = (
+        corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_v"))
+        .orderBy(F.asc("_id"))
+        .limit(ks)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("_id"), F.col("_v")))).alias("s"))
+    )
+    return seeds.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(F.col("s"), lambda x: F.slice(x["_v"], j * d0 + 1, d0)),
+        ).alias("books")
+    )
+
+
+def _pq_sub(vq: Column, j: Column, d0: int) -> Column:
+    return F.slice(vq, j * d0 + 1, d0)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    *,
+    n_dims: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, codes array<int>[m]) — each vector compressed to
+    one code per subspace: argmin_c ||v_sub - c||², ranked by the
+    constant-shifted form |c|² - 2·v_sub·c (|v_sub|² is constant per
+    (vector, subspace)), ties to the smallest code. A pure scan-side
+    expression over corpus × broadcast(books): ZERO corpus shuffle,
+    and the 10^9-vector win is storage — m small ints (m·ks ≤ 2^16 ⇒
+    m bytes packed) per vector instead of n_dims floats, so the ADC
+    scan (:func:`pq_topk`) reads ~m/(4·n_dims) of the raw bytes."""
+    d0 = n_dims // m
+    vq = quantize(F.col(vec_col))
+
+    def best(j):
+        scored = F.transform(
+            F.element_at(F.col("books"), j + 1),
+            lambda c, i: F.struct(
+                (_norm2(c) - 2 * _dot(_pq_sub(vq, j, d0), c)).alias("d2"),
+                i.cast("int").alias("code"),
+            ),
+        )
+        return F.element_at(F.array_sort(scored), 1)["code"]
+
+    return corpus.crossJoin(F.broadcast(books)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best).alias("codes"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, d2_pq) — asymmetric-distance
+    (ADC) top-k: the query stays exact, the corpus is PQ codes, and
+    the approximate distance is the sum of per-subspace lookups
+
+        d2_pq(q, x) = Σ_j ||q_sub(j) - book[j][code_j(x)]||²
+
+    Plan: the per-query distance table (m·ks exact-integer entries)
+    is computed once per query against broadcast codebooks; the
+    encoded corpus then crossJoins broadcast(query tables) and the
+    distance is m array lookups + an integer sum per pair — no
+    vector arithmetic in the scan, no corpus shuffle until the
+    per-query window emits k rows. Everything is quantized-integer
+    exact (d2_pq is a plain bigint), so the DuckDB oracle restates
+    encode + table + scan verbatim (harness/embed.py)."""
+    d0 = n_dims // m
+    books = pq_codebooks(corpus, n_dims=n_dims, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    qv = quantize(F.col(vec_col))
+    qd = (
+        queries.crossJoin(F.broadcast(books))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.transform(
+                    F.element_at(F.col("books"), j + 1),
+                    lambda c: _norm2(c)
+                    - 2 * _dot(_pq_sub(qv, j, d0), c)
+                    + _norm2(_pq_sub(qv, j, d0)),
+                ),
+            ).alias("dt"),
+        )
+    )
+    codes = pq_encode(corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col)
+    scored = (
+        codes.crossJoin(F.broadcast(qd))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("dt"), j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
+            ).alias("d2_pq"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("d2_pq"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "d2_pq")
+    )
