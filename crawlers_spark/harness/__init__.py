@@ -78,6 +78,7 @@ _FRONT = [
     "crawl_antitrust_rank",
     "crawl_host_communities",
     "embed_pq_topk",
+    "crawl_retry_after_holds",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -110,7 +111,6 @@ _FRONT = [
     "docs_bigram_stats",
     "embed_cosine_topk",
     "embed_ivf_topk",
-    "stream_hourly_windows",
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_anti_join_customers_no_orders",
@@ -131,6 +131,10 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # stream_hourly_windows' streaming family stays countersigned via
+    # r3-signed stream_session_windows + stream_stream_join — displaced
+    # by crawl_retry_after_holds
+    "stream_hourly_windows",
     # multi_decode_media's multimodal family stays countersigned via
     # r3-signed multi_decode_real + multi_embed_media — displaced by
     # embed_pq_topk

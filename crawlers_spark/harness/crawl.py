@@ -839,6 +839,50 @@ def q_adaptive_politeness(spark, sf):
     )
 
 
+# ------------------------- RFC 9110 Retry-After holds (O6+ politeness)
+def q_retry_after(spark, sf):
+    """RFC 9110 Retry-After → per-host wave holds
+    (operators/politeness.py retry_after_holds): only 429/503/3xx rows
+    with a normalized retry_after_s create holds, the longest hold per
+    host wins, and already-expired holds are pruned. Integer-only
+    arithmetic ((N + I - 1) div I), so the oracle restates it exactly.
+    The fetch log derives deterministically from documents (status by
+    doc_id % 9 — 429/503/301/200 all occur; retry_after_s present on
+    even doc_ids only, so the null filter is exercised)."""
+    from crawlers_spark.operators.politeness import retry_after_holds
+
+    fr = _frontier(spark, sf)
+    d = F.col("doc_id")
+    log = fr.select(
+        "host",
+        F.when(d % 9 == 0, 429)
+        .when(d % 9 == 1, 503)
+        .when(d % 9 == 2, 301)
+        .otherwise(200)
+        .cast("int")
+        .alias("status"),
+        F.when(d % 2 == 0, (d % 300).cast("int")).alias("retry_after_s"),
+    )
+    return retry_after_holds(log, wave=5, wave_interval_s=60)
+
+
+SQL_RETRY_AFTER = f"""
+WITH logs AS (
+  SELECT host,
+         CASE doc_id % 9 WHEN 0 THEN 429 WHEN 1 THEN 503
+                         WHEN 2 THEN 301 ELSE 200 END AS status,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 300 AS INT) END AS retry_after_s
+  FROM ({_SQL_URLS}) u),
+held AS (
+  SELECT host, 5 + GREATEST(1, (retry_after_s + 59) // 60) AS resume_wave
+  FROM logs
+  WHERE retry_after_s IS NOT NULL
+    AND (status IN (429, 503) OR (status >= 300 AND status < 400)))
+SELECT host, CAST(MAX(resume_wave) AS INT) AS resume_wave
+FROM held GROUP BY host HAVING MAX(resume_wave) > 6
+"""
+
+
 SQL_ADAPTIVE_POLITENESS = f"""
 WITH u AS (SELECT host, src_n, doc_id FROM ({_SQL_URLS}) x),
 p AS (SELECT DISTINCT host, 0.5 + (src_n % 3) * 0.75 AS delay0,
@@ -2188,6 +2232,7 @@ QUERIES = {
     "crawl_politeness_budget": (q_politeness, SQL_POLITENESS),
     "crawl_politeness_from_robots": (q_politeness_from_robots, SQL_POLITENESS_FROM_ROBOTS),
     "crawl_adaptive_politeness": (q_adaptive_politeness, SQL_ADAPTIVE_POLITENESS),
+    "crawl_retry_after_holds": (q_retry_after, SQL_RETRY_AFTER),
     "crawl_robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "crawl_offsite_filter": (q_offsite_filter, SQL_OFFSITE),
     "crawl_retry_policy": (q_retry_policy, SQL_RETRY),

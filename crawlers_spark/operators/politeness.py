@@ -160,3 +160,85 @@ def adaptive_politeness(
         .otherwise(F.greatest(F.lit(min_delay_s), F.col("delay_s") - dec_s))
     )
     return joined.withColumn("delay_s", new_delay).drop("_n", "_n_err", "_sum_lat")
+
+
+def retry_after_holds(
+    fetch_log: DataFrame,
+    wave: int,
+    *,
+    wave_interval_s: int = 60,
+    prev_holds: DataFrame | None = None,
+) -> DataFrame:
+    """(host, resume_wave) — per-host fetch holds from RFC 9110
+    ``Retry-After`` responses (§10.2.3: served with 429/503 — also 3xx
+    — as either delay-seconds or an HTTP-date; the transport layer
+    normalizes both to ``retry_after_s`` int seconds before this
+    operator, since date parsing is an ingest concern).
+
+    Scrapy's public analog is the RetryMiddleware + the
+    AutoThrottle/delay machinery; wave-scheduled, the semantics become:
+    a host that answered ``Retry-After: N`` during ``wave`` must not
+    appear in any fetch batch before
+
+        resume_wave = wave + max(1, ceil(N / wave_interval_s))
+
+    computed in pure integer arithmetic ((N + I - 1) div I), so the
+    hold replays identically in any engine. The LONGEST hold per host
+    wins (max over this wave's responses and, when ``prev_holds`` is
+    passed, the carried table); holds that have already expired
+    (resume_wave ≤ wave + 1 — the next wave may fetch) are pruned so
+    the carried state stays host-cardinality-bounded.
+
+    ``fetch_log`` columns: ``host``, ``status``, ``retry_after_s``
+    (nullable int). Only 429/503/3xx rows with a non-null
+    ``retry_after_s`` create holds — a bare 429 is the AIMD lane's
+    business (:func:`adaptive_politeness`), not a dated hold.
+
+    Scale: one host-keyed partial agg over the wave's fetch log (map-
+    side combine collapses per-URL rows before the shuffle) + an
+    optional host-cardinality union; the output joins each wave as
+    broadcast state (:func:`apply_retry_after`), exactly like the
+    politeness budget table. Engine hook: compute between waves next
+    to ``CrawlEngine.update_politeness`` and carry like the AIMD
+    table.
+    """
+    i = int(wave_interval_s)
+    held = (
+        fetch_log.where(
+            F.col("retry_after_s").isNotNull()
+            & (
+                F.col("status").isin(429, 503)
+                | ((F.col("status") >= 300) & (F.col("status") < 400))
+            )
+        )
+        .select(
+            "host",
+            (
+                F.lit(wave)
+                + F.greatest(
+                    F.lit(1),
+                    F.expr(f"(retry_after_s + {i - 1}) div {i}").cast("int"),
+                )
+            ).alias("resume_wave"),
+        )
+    )
+    if prev_holds is not None:
+        held = held.unionByName(prev_holds.select("host", "resume_wave"))
+    return (
+        held.groupBy("host")
+        .agg(F.max("resume_wave").alias("resume_wave"))
+        .where(F.col("resume_wave") > wave + 1)
+    )
+
+
+def apply_retry_after(frontier: DataFrame, holds: DataFrame, wave: int) -> DataFrame:
+    """Drop frontier rows whose host is still held at ``wave``: one
+    broadcast left join + one filter (held rows stay in the frontier
+    table for a later wave, same non-destructive semantics as the
+    cadence gate in :func:`apply_politeness`)."""
+    h = holds.select("host", "resume_wave")
+    return (
+        frontier.join(F.broadcast(h), "host", "left")
+        .where(F.col("resume_wave").isNull() | (F.col("resume_wave") <= wave))
+        .select(*frontier.columns)
+    )
