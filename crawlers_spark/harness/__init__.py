@@ -164,8 +164,9 @@ _TAIL = [
     # rel_asof_click_before_purchase's range/as-of family stays
     # in-window via r3-signed rel_range_join_30d + rel_sessionize_events
     "rel_asof_click_before_purchase",
-    # multi_resize_plan's multimodal family stays in-window via
-    # multi_decode_media + r3-signed multi_embed_media/multi_decode_real
+    # multi_resize_plan's multimodal family stays countersigned via
+    # r3-signed multi_embed_media/multi_decode_real (multi_decode_media
+    # itself now also rides the tail, displaced by embed_pq_topk)
     "multi_resize_plan",
     # crawl_offsite_filter's host-admission family stays in-window via
     # crawl_registrable_domain + crawl_url_blocklist (same broadcast

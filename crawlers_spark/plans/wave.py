@@ -1387,6 +1387,83 @@ class CrawlEngine:
         self.io.commit_wave(wave, staged, {"linkrank_frontier": n})
         return {"wave": wave, "boosted": n}
 
+    def apply_trustrank(
+        self,
+        trusted_urls: "list[str] | DataFrame",
+        *,
+        iterations: int = 3,
+        demote_to: int = 10,
+    ) -> dict:
+        """Fold TrustRank spam demotion into frontier priorities
+        (operators/linkrank.py ``trustrank_scores``; Gyöngyi et al.,
+        VLDB 2004). The dual of ``apply_linkrank``: PageRank promotes
+        well-linked pages, TrustRank demotes pages that hold ZERO trust
+        — pages in the crawled link graph that are unreachable from
+        every hand-vetted trusted seed, the paper's link-spam shape.
+        Between waves:
+
+        1. edges = the same canonicalized staged ``kind='link'`` rows
+           ``apply_linkrank`` reads;
+        2. seed-biased fixed-point TrustRank (bit-identical at any
+           parallelism);
+        3. frontier priority := least(priority, ``demote_to``) for
+           frontier URLs that appear in the graph with trust_scaled = 0
+           — they stay crawlable (starvation-proof: priority aging and
+           the per-host top-k still reach them eventually) but drop
+           behind everything link-trusted or fresh. URLs outside the
+           graph (fresh seeds, never-linked discoveries) are untouched:
+           no trust evidence either way.
+
+        Commits as one atomic maintenance wave (latest-version-wins
+        frontier state, same as ``apply_linkrank``/``schedule_recrawls``),
+        so a kill between demotion and the next fetch wave resumes with
+        either the old or the new priorities — never a mix. The result
+        is a pure function of (committed link rows, seed list), so
+        resume replays it identically.
+        """
+        from crawlers_spark.operators.linkrank import trustrank_scores
+
+        wave = self.io.last_committed_wave() + 1
+        if not self._kind_paths("link"):
+            return {"wave": None, "demoted": 0}
+        links = self._read_wave_out("link").select("url", "out_url")
+        edges = with_canonical_url(
+            with_canonical_url(links, "url", "src_canon", host_out=None),
+            "out_url", "dst_canon", host_out=None,
+        ).select("src_canon", "dst_canon")
+        if isinstance(trusted_urls, DataFrame):
+            seeds = trusted_urls
+        else:
+            seeds = with_canonical_url(
+                self.spark.createDataFrame(
+                    [(u,) for u in trusted_urls], "url string"
+                ),
+                "url", "url_canon", host_out=None,
+            ).select("url_canon")
+        tr = trustrank_scores(edges, seeds, iterations=iterations)
+        zero_trust = tr.where(F.col("trust_scaled") == 0).select(
+            "url_canon", F.lit(1).alias("_zt")
+        )
+        demoted = (
+            self._read_frontier()
+            .join(zero_trust, "url_canon", "left")
+            .withColumn(
+                "priority",
+                F.when(
+                    F.col("_zt").isNotNull(),
+                    F.least(F.col("priority"), F.lit(demote_to)),
+                )
+                .otherwise(F.col("priority"))
+                .cast("int"),
+            )
+            .drop("_zt")
+            .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
+        )
+        staged = {"frontier": [self._stage(demoted, "frontier", wave, "none")]}
+        n = self._rowcount(staged["frontier"])
+        self.io.commit_wave(wave, staged, {"trustrank_frontier": n})
+        return {"wave": wave, "demoted": n}
+
     def anchor_index(self) -> DataFrame:
         """Anchor-text index of everything crawled so far (one row per
         link target: dominant inbound anchor text + in-link counts;

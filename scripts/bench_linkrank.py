@@ -13,6 +13,8 @@ dangling nodes (mass-redistribution term stays non-trivial).
 
 Usage: python scripts/bench_linkrank.py [n_nodes] [iters] [cores ...]
        (default: 2_000_000 nodes, 3 iterations, at 2 and 8 cores)
+       SPARK_GRAFT_GRAPH_OP=trustrank probes the seed-biased variant
+       (trusted seeds = the century hubs) on the same graph.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from crawlers_spark.operators.linkrank import pagerank_fixed  # noqa: E402
+from crawlers_spark.operators.linkrank import pagerank_fixed, trustrank_fixed  # noqa: E402
 from crawlers_spark.session import get_spark  # noqa: E402
 
 REPS = int(__import__("os").environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -51,8 +53,14 @@ def run(n_nodes: int, iters: int, cores: int) -> dict:
         edges, nodes = build_graph(spark, n_nodes)
         n_edges = edges.count()  # warm + fixed input size
 
+        op = __import__("os").environ.get("SPARK_GRAFT_GRAPH_OP", "pagerank")
+        seeds = nodes.where(F.col("id") % 100 == 0)  # the century hubs
+
         def one_pass() -> None:
-            out = pagerank_fixed(edges, nodes, iterations=iters)
+            if op == "trustrank":
+                out = trustrank_fixed(edges, nodes, seeds, iterations=iters)
+            else:
+                out = pagerank_fixed(edges, nodes, iterations=iters)
             out.write.mode("overwrite").format("noop").save()
 
         one_pass()  # warm: codegen, checkpoint dirs

@@ -92,3 +92,75 @@ def test_seed_replay_antitrust(scored):
     _, rev = scored
     reversed_edges = [(v, u) for (u, v) in EDGES]
     assert rev == _replay(reversed_edges, ["x"])
+
+
+# ------------------------------------------- CrawlEngine spam demotion
+def test_engine_hook_demotes_zero_trust(spark):
+    """apply_trustrank: frontier URLs present in the crawled link graph
+    but unreachable from every trusted seed drop to least(priority,
+    demote_to); trusted-reachable and never-linked URLs keep their
+    priority; the maintenance wave commits atomically and the crawl
+    still quiesces to the same page set afterwards."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from fixtures.gen_pages import ensure_fixture
+
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+    from tests.test_crawl_e2e import make_engine
+
+    fx = ensure_fixture(300)
+    eng = make_engine(spark, fx, "trustrank_hook")
+    eng.run(max_waves=2)
+    before = {r.url_canon: r.priority for r in eng._read_frontier().collect()}
+    assert before
+
+    # trust every page on src0.example — everything reachable only via
+    # other hosts' internal graphs holds zero trust
+    seeds = [u for u in before if "src0.example" in u][:3] or list(before)[:3]
+    st = eng.apply_trustrank(seeds, demote_to=10)
+    assert st["wave"] == 3 and st["demoted"] == len(before)
+
+    links = eng._read_wave_out("link").select("url", "out_url")
+    edges = with_canonical_url(
+        with_canonical_url(links, "url", "src_canon", host_out=None),
+        "out_url", "dst_canon", host_out=None,
+    ).select("src_canon", "dst_canon")
+    seed_df = spark.createDataFrame([(u,) for u in seeds], "url_canon string")
+    trust = {
+        r.url_canon: r.trust_scaled
+        for r in trustrank_scores(edges, seed_df, iterations=3).collect()
+    }
+    after = {r.url_canon: r.priority for r in eng._read_frontier().collect()}
+    assert set(after) == set(before)
+    demoted = 0
+    for k in before:
+        if k in trust and trust[k] == 0:
+            assert after[k] == min(before[k], 10), k
+            demoted += after[k] < before[k]
+        else:
+            assert after[k] == before[k], k
+    assert demoted > 0, "fixture graph should contain zero-trust frontier urls"
+
+    # the demotion only reorders: the crawl still reaches the same set
+    plain = make_engine(spark, fx, "trustrank_plain")
+    plain.run(max_waves=40)
+    eng.run(max_waves=40)
+    got = sorted(r.url_canon for r in eng.seen().select("url_canon").distinct().collect())
+    exp = sorted(r.url_canon for r in plain.seen().select("url_canon").distinct().collect())
+    assert got == exp
+
+
+def test_engine_hook_noop_without_links(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from fixtures.gen_pages import ensure_fixture
+    from tests.test_crawl_e2e import make_engine
+
+    fx = ensure_fixture(300)
+    eng = make_engine(spark, fx, "trustrank_empty")
+    st = eng.apply_trustrank(["https://src0.example/doc/1"])
+    assert st == {"wave": None, "demoted": 0}
