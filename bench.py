@@ -65,6 +65,8 @@ HEADLINE = [
     "docs_substring_dedup",       # ExactSubstr span removal (r4 ext)
     "docs_dsir_weights",          # DSIR importance scoring (r4 ext)
     "crawl_neighborhood_function",  # graph ball sizes, exact path (r4 ext)
+    "crawl_trustrank",            # seed-biased link-spam demotion (r4 ext2)
+    "embed_pq_topk",              # PQ/ADC compressed ANN scan (r4 ext2)
 ]
 
 

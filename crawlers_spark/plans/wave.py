@@ -1498,6 +1498,19 @@ class CrawlEngine:
         edges = host_edges(hosted)
         return edges, host_nodes(edges)
 
+    def host_communities(self, *, iterations: int = 5) -> DataFrame:
+        """(host, community) — LPA community membership over the
+        crawled host graph (operators/communities.py; see the module
+        docstring for the crawl uses: link-farm grouping around an
+        Anti-TrustRank hit, per-community budgets, shard-locality
+        hints). Runs on :meth:`host_graph`'s edge export — host
+        cardinality, executor-trivial next to the page corpus. Derived
+        output, not state: nothing commits."""
+        from crawlers_spark.operators.communities import host_communities
+
+        edges, _ = self.host_graph()
+        return host_communities(edges.select("from_host", "to_host"), iterations=iterations)
+
     def trap_signals(self) -> DataFrame:
         """Per-host crawler-trap signals over everything FETCHED so far
         (operators/traps.py): URL-per-content duplication measured on

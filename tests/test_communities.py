@@ -81,3 +81,48 @@ def test_isolated_pair_keeps_min_and_directed_edges_symmetrize(spark):
         for r in label_propagation(edges, iterations=2).collect()
     }
     assert got == {"u": "u", "v": "u"}
+
+
+def test_engine_surface(spark):
+    """CrawlEngine.host_communities runs LPA over the committed host
+    graph: every crawled host gets exactly one community label drawn
+    from the host set, and the labelling equals label_propagation run
+    directly on the same exported edges."""
+    import shutil
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from fixtures.gen_pages import ensure_fixture
+
+    from crawlers_spark.plans.wave import CrawlConfig, CrawlEngine
+    from tests.test_crawl_e2e import STATE
+
+    fx = ensure_fixture(300)
+    root = STATE / "communities_engine"
+    shutil.rmtree(root, ignore_errors=True)
+    seeds = [
+        {"source": "src0", "url": "https://src0.example/jobs", "allowed_host": "example"}
+    ]
+    eng = CrawlEngine(
+        spark,
+        str(fx / "pages.parquet"),
+        seeds,
+        spark.read.parquet(str(fx / "robots.parquet")),
+        spark.read.parquet(str(fx / "politeness.parquet")),
+        root,
+        CrawlConfig(offsite_subdomains=True),
+    )
+    eng.run(max_waves=4)
+    got = {r["host"]: r["community"] for r in eng.host_communities(iterations=3).collect()}
+    assert got, "4 fixture waves must produce host-graph edges"
+    edges, _ = eng.host_graph()
+    direct = {
+        r["host"]: r["community"]
+        for r in host_communities(
+            edges.select("from_host", "to_host"), iterations=3
+        ).collect()
+    }
+    assert got == direct
+    hosts = set(got)
+    assert set(got.values()) <= hosts  # labels are host names
