@@ -79,6 +79,7 @@ _FRONT = [
     "crawl_host_communities",
     "embed_pq_topk",
     "crawl_retry_after_holds",
+    "crawl_spam_mass",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -109,7 +110,6 @@ _FRONT = [
     "docs_minhash_lsh_pairs",
     "docs_lang_id",
     "docs_bigram_stats",
-    "embed_cosine_topk",
     "embed_ivf_topk",
     "rel_pricing_summary",
     "rel_region_revenue",
@@ -131,6 +131,10 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # embed_cosine_topk's exact-ANN family stays in-window via
+    # embed_pq_topk + embed_ivf_topk + embed_near_dup_pairs (all share
+    # the quantized-cosine contract) — displaced by crawl_spam_mass
+    "embed_cosine_topk",
     # stream_hourly_windows' streaming family stays countersigned via
     # r3-signed stream_session_windows + stream_stream_join — displaced
     # by crawl_retry_after_holds

@@ -1460,6 +1460,83 @@ SELECT r.id AS url_canon, CAST(r.rank AS BIGINT) AS trust_scaled FROM {prev} r
 """
 
 
+def q_spam_mass(spark, sf):
+    """Relative spam mass (TrustRank paper §6: (PR - TR)/PR as integer
+    percent, clamped at 0) over the deterministic doc-id graph with the
+    century hubs as trusted seeds — both fixed-point recurrences
+    restated verbatim by the oracle, plus the shared-edge merge."""
+    from crawlers_spark.operators.linkrank import spam_mass
+
+    docs, u, linked, out = _trust_graph(spark, sf)
+    d = F.col("doc_id")
+    seeds = linked.select(u(d - d % 100).alias("url_canon")).distinct()
+    return spam_mass(out, seeds, iterations=3)
+
+
+def _spam_mass_sql(scale: int = 10**12, d_pct: int = 85, iterations: int = 3) -> str:
+    """Both unrolled recurrences (PageRank prefixed p, TrustRank
+    prefixed t) over shared edges/nodes/deg CTEs, merged on the vertex:
+    the SQL twin of ``spam_mass``'s shared-shape computation."""
+    url = lambda k: _URL_EXPR.format(k=k)  # noqa: E731
+    raw = f"""
+  SELECT {url('doc_id')} AS s, {url('doc_id - doc_id % 100')} AS t
+  FROM documents WHERE doc_id % 4 <> 0
+  UNION ALL
+  SELECT {url('doc_id')}, {url('doc_id + 1')}
+  FROM documents WHERE doc_id % 4 <> 0"""
+    seeds_sql = f"""
+SELECT DISTINCT {url('doc_id - doc_id % 100')} AS id
+FROM documents WHERE doc_id % 4 <> 0"""
+    steps = [f"""
+WITH raw_edges AS ({raw}),
+edges AS (SELECT DISTINCT s AS src, t AS dst FROM raw_edges),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+seeds AS ({seeds_sql}),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+ns AS (SELECT COUNT(*) AS s FROM seeds),
+p0 AS (SELECT id, {scale} // nn.n AS rank FROM nodes, nn),
+t0 AS (SELECT n.id,
+              CASE WHEN sd.id IS NOT NULL THEN {scale} // ns.s ELSE 0 END AS rank
+       FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id, ns)"""]
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+pm{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS m
+          FROM p{i - 1} r LEFT JOIN deg d ON r.id = d.src WHERE d.src IS NULL),
+ps{i} AS (SELECT e.dst, SUM(r.rank // d.deg) AS in_sum
+          FROM edges e JOIN p{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+          GROUP BY e.dst),
+p{i} AS (SELECT n.id,
+                ({scale} - ({d_pct} * {scale}) // 100) // nn.n
+                + ({d_pct} * (COALESCE(s.in_sum, 0) + pm{i}.m // nn.n)) // 100 AS rank
+         FROM nodes n LEFT JOIN ps{i} s ON n.id = s.dst, pm{i}, nn),
+tm{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS m
+          FROM t{i - 1} r LEFT JOIN deg d ON r.id = d.src WHERE d.src IS NULL),
+ts{i} AS (SELECT e.dst, SUM(r.rank // d.deg) AS in_sum
+          FROM edges e JOIN t{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+          GROUP BY e.dst),
+t{i} AS (SELECT n.id,
+                CASE WHEN sd.id IS NOT NULL
+                     THEN ({scale} - ({d_pct} * {scale}) // 100) // ns.s ELSE 0 END
+                + ({d_pct} * (COALESCE(s.in_sum, 0)
+                   + CASE WHEN sd.id IS NOT NULL THEN tm{i}.m // ns.s
+                     ELSE 0 END)) // 100 AS rank
+         FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id
+              LEFT JOIN ts{i} s ON n.id = s.dst, tm{i}, ns)""")
+    k = iterations
+    return ",".join(steps) + f"""
+SELECT p.id AS url_canon,
+       CAST(p.rank AS BIGINT) AS rank_scaled,
+       CAST(t.rank AS BIGINT) AS trust_scaled,
+       CAST(GREATEST(0, (p.rank - t.rank) * 100 // p.rank) AS INT) AS spam_mass_pct
+FROM p{k} p JOIN t{k} t ON p.id = t.id
+"""
+
+
+SQL_SPAM_MASS = _spam_mass_sql()
+
+
 SQL_TRUSTRANK = _trustrank_sql(f"""
 SELECT DISTINCT {_URL_EXPR.format(k='doc_id - doc_id % 100')} AS id
 FROM documents WHERE doc_id % 4 <> 0""")
@@ -2207,6 +2284,7 @@ QUERIES = {
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_trustrank": (q_trustrank, SQL_TRUSTRANK),
+    "crawl_spam_mass": (q_spam_mass, SQL_SPAM_MASS),
     "crawl_host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "crawl_antitrust_rank": (q_antitrust, SQL_ANTITRUST),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),

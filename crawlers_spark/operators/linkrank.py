@@ -398,3 +398,62 @@ def trustrank_scores(
     return trustrank_fixed(edges, nodes, seeds, iterations=iterations).withColumnRenamed(
         "id", "url_canon"
     ).withColumnRenamed("rank_scaled", "trust_scaled")
+
+
+def spam_mass(
+    outlinks: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(url_canon, rank_scaled, trust_scaled, spam_mass_pct) — the
+    TrustRank paper's §6 *relative spam mass*: the fraction of a page's
+    PageRank that is NOT accounted for by trust flowing from the seed
+    set,
+
+        m̃(v) = (PR(v) - TR(v)) / PR(v)
+
+    High m̃ ⇒ the page's rank comes from unvetted (spam-shaped) link
+    mass ⇒ demote; low m̃ ⇒ its rank is trust-backed. This is the
+    demotion signal `CrawlEngine.apply_trustrank`'s zero-trust rule
+    approximates; computing the full ratio lets a scheduler demote by
+    threshold instead of only the trust=0 extreme.
+
+    Scale-exact arithmetic: both recurrences are the fixed-point bigint
+    iterations above (same graph, same rounds, bit-identical at any
+    parallelism), and the ratio is emitted as integer PERCENT with
+    floor division — (rank - trust)·100 div rank, clamped at 0 — so the
+    DuckDB oracle restates everything verbatim. TR ≤ PR is NOT an
+    identity at finite iteration counts (trust teleports concentrate on
+    seeds, so a seed's TR can exceed its PR), hence the clamp; the
+    paper's usable signal is the high end of the scale.
+
+    One extra cost over two separate calls: none — PageRank and
+    TrustRank share the de-duplicated edge table and degree aggregate
+    shapes, and the final merge is one vertex-keyed join.
+    """
+    nodes = (
+        outlinks.select(F.col("src_canon").alias("id"))
+        .unionByName(outlinks.select(F.col("dst_canon").alias("id")))
+        .distinct()
+    )
+    edges = outlinks.select(
+        F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+    ).distinct()
+    pr = pagerank_fixed(edges, nodes, iterations=iterations, damping_pct=damping_pct)
+    tr = trustrank_fixed(edges, nodes, seeds, iterations=iterations, damping_pct=damping_pct)
+    return (
+        pr.join(tr.withColumnRenamed("rank_scaled", "trust_scaled"), "id")
+        .select(
+            F.col("id").alias("url_canon"),
+            "rank_scaled",
+            "trust_scaled",
+            F.greatest(
+                F.lit(0),
+                F.expr("(rank_scaled - trust_scaled) * 100 div rank_scaled"),
+            )
+            .cast("int")
+            .alias("spam_mass_pct"),
+        )
+    )

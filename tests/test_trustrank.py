@@ -164,3 +164,34 @@ def test_engine_hook_noop_without_links(spark):
     eng = make_engine(spark, fx, "trustrank_empty")
     st = eng.apply_trustrank(["https://src0.example/doc/1"])
     assert st == {"wave": None, "demoted": 0}
+
+
+def test_spam_mass_properties(spark):
+    """Relative spam mass on the known graph: the isolated ring gets
+    100% (all its PageRank is unvetted), seed-reachable chain pages
+    sit well below, and the integer-percent formula matches a replay
+    from the two already-verified rank maps."""
+    from crawlers_spark.operators.linkrank import pagerank_fixed, spam_mass
+
+    out = spark.createDataFrame(EDGES, "src_canon string, dst_canon string")
+    seeds = spark.createDataFrame([(s,) for s in SEEDS], "url_canon string")
+    rows = {r["url_canon"]: r for r in spam_mass(out, seeds, iterations=3).collect()}
+
+    nodes = sorted({u for e in EDGES for u in e})
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(EDGES, "src string, dst string")
+    pr = {r["id"]: r["rank_scaled"] for r in pagerank_fixed(edf, ndf, iterations=3).collect()}
+    tr = _replay(EDGES, SEEDS)
+    for v in nodes:
+        expect = max(0, (pr[v] - tr[v]) * 100 // pr[v]) if pr[v] - tr[v] >= 0 else 0
+        assert rows[v]["rank_scaled"] == pr[v]
+        assert rows[v]["trust_scaled"] == tr[v]
+        assert rows[v]["spam_mass_pct"] == expect, v
+    # the spam ring holds zero trust -> 100% spam mass
+    assert rows["x"]["spam_mass_pct"] == 100
+    assert rows["y"]["spam_mass_pct"] == 100
+    # trust-backed pages sit far below the spam end of the scale
+    assert rows["a"]["spam_mass_pct"] < 50
+    # the seed's trust exceeds its PageRank (teleport concentration):
+    # clamp pins it at 0 rather than going negative
+    assert rows["s"]["spam_mass_pct"] == 0
