@@ -80,6 +80,7 @@ _FRONT = [
     "embed_pq_topk",
     "crawl_retry_after_holds",
     "crawl_spam_mass",
+    "crawl_opic_step",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -109,7 +110,6 @@ _FRONT = [
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_lang_id",
-    "docs_bigram_stats",
     "embed_ivf_topk",
     "rel_pricing_summary",
     "rel_region_revenue",
@@ -131,6 +131,10 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # docs_bigram_stats' tokenizer/corpus-stats family stays in-window
+    # via docs_lm_perplexity (same tokenizer feeding the bigram LM) and
+    # r3-signed docs_bpe_round1_pair_counts — displaced by crawl_opic_step
+    "docs_bigram_stats",
     # embed_cosine_topk's exact-ANN family stays in-window via
     # embed_pq_topk + embed_ivf_topk + embed_near_dup_pairs (all share
     # the quantized-cosine contract) — displaced by crawl_spam_mass

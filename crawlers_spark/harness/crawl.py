@@ -1460,6 +1460,72 @@ SELECT r.id AS url_canon, CAST(r.rank AS BIGINT) AS trust_scaled FROM {prev} r
 """
 
 
+def q_opic_step(spark, sf):
+    """One OPIC update (operators/opic.py; Abiteboul et al. WWW 2003)
+    from the uniform init over the deterministic doc-id graph: fetched
+    = doc_id % 3 ≠ 2 pages, outlinks = the shared century-hub/chain
+    edges. Exercises every lane — linked spend with residues, dangling
+    spend, root redistribution, AND on-line page creation (u(max+1)
+    exists only as a link target). All bigint floor division, Σcash
+    exactly preserved, so the oracle restates the step verbatim."""
+    from crawlers_spark.operators.opic import opic_init, opic_step
+
+    docs, u, linked, out = _trust_graph(spark, sf)
+    d = F.col("doc_id")
+    pages = docs.select(u(d).alias("url_canon")).distinct()
+    fetched = docs.where(d % 3 != 2).select(u(d).alias("url_canon")).distinct()
+    return opic_step(opic_init(pages), fetched, out)
+
+
+def _opic_sql(total: int = 10**12) -> str:
+    url = lambda k: _URL_EXPR.format(k=k)  # noqa: E731
+    return f"""
+WITH pages AS (SELECT DISTINCT {url('doc_id')} AS url FROM documents),
+n0 AS (SELECT COUNT(*) AS n FROM pages),
+init AS (SELECT url, {total} // n0.n AS cash, 0 AS history FROM pages, n0),
+root0 AS (SELECT {total} - n0.n * ({total} // n0.n) AS rc FROM n0),
+fetched AS (SELECT DISTINCT {url('doc_id')} AS url
+            FROM documents WHERE doc_id % 3 <> 2),
+rawl AS (
+  SELECT {url('doc_id')} AS s, {url('doc_id - doc_id % 100')} AS t
+  FROM documents WHERE doc_id % 4 <> 0
+  UNION ALL
+  SELECT {url('doc_id')}, {url('doc_id + 1')}
+  FROM documents WHERE doc_id % 4 <> 0),
+l AS (SELECT DISTINCT r.s, r.t FROM rawl r JOIN fetched f ON r.s = f.url),
+deg AS (SELECT s, COUNT(*) AS deg FROM l GROUP BY s),
+spend AS (SELECT f.url AS src, i.cash, d.deg
+          FROM fetched f JOIN init i ON f.url = i.url
+          LEFT JOIN deg d ON f.url = d.s),
+shares AS (SELECT l.t AS dst, SUM(sp.cash // sp.deg) AS in_cash
+           FROM l JOIN spend sp ON l.s = sp.src GROUP BY l.t),
+ri AS (SELECT COALESCE(SUM(CASE WHEN deg IS NULL THEN cash
+                           ELSE cash - deg * (cash // deg) END), 0) AS root_in
+       FROM spend),
+univ AS (SELECT COALESCE(i.url, s.dst) AS url,
+                COALESCE(i.cash, 0) AS cash,
+                COALESCE(i.history, 0) AS history,
+                CASE WHEN f.url IS NOT NULL THEN 1 ELSE 0 END AS is_f,
+                COALESCE(s.in_cash, 0) AS in_cash
+         FROM init i FULL JOIN shares s ON i.url = s.dst
+         LEFT JOIN fetched f ON COALESCE(i.url, s.dst) = f.url),
+n1 AS (SELECT COUNT(*) AS n FROM univ)
+SELECT url AS url_canon,
+       CAST(CASE WHEN is_f = 1 THEN 0 ELSE cash END
+            + in_cash + root0.rc // n1.n AS BIGINT) AS cash,
+       CAST(history + CASE WHEN is_f = 1 THEN cash ELSE 0 END AS BIGINT) AS history
+FROM univ, root0, n1
+UNION ALL
+SELECT '<root>' AS url_canon,
+       CAST(root0.rc - n1.n * (root0.rc // n1.n) + ri.root_in AS BIGINT) AS cash,
+       CAST(root0.rc AS BIGINT) AS history
+FROM root0, n1, ri
+"""
+
+
+SQL_OPIC_STEP = _opic_sql()
+
+
 def q_spam_mass(spark, sf):
     """Relative spam mass (TrustRank paper §6: (PR - TR)/PR as integer
     percent, clamped at 0) over the deterministic doc-id graph with the
@@ -2285,6 +2351,7 @@ QUERIES = {
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_trustrank": (q_trustrank, SQL_TRUSTRANK),
     "crawl_spam_mass": (q_spam_mass, SQL_SPAM_MASS),
+    "crawl_opic_step": (q_opic_step, SQL_OPIC_STEP),
     "crawl_host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "crawl_antitrust_rank": (q_antitrust, SQL_ANTITRUST),
     "crawl_registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
