@@ -78,6 +78,7 @@ WAVE_OUT_SCHEMA = COMBINED_SCHEMA + ", wave long"
 WAVE_OUT_DATA_SCHEMA = (
     COMBINED_SCHEMA.replace("kind string, ", "") + ", wave long"
 )
+OPIC_STATE_SCHEMA = "url_canon string, cash long, history long, upto long"
 LINEAGE_SCHEMA = (
     "wave long, partition_id int, fetched long, extracted long, bloom_version long"
 )
@@ -1464,6 +1465,104 @@ class CrawlEngine:
         self.io.commit_wave(wave, staged, {"trustrank_frontier": n})
         return {"wave": wave, "demoted": n}
 
+    def _read_opic(self) -> DataFrame | None:
+        """Latest committed OPIC state (replace semantics, like the
+        frontier), or None before the first ``apply_opic`` commit. The
+        folded-up-to wave rides IN the table (constant ``upto`` column)
+        rather than in manifest meta — checkpoints fold manifests and
+        drop their meta, but data files survive verbatim."""
+        for m in reversed(self.io._manifests()):
+            if "opic" in m["tables"]:
+                return self.spark.read.schema(OPIC_STATE_SCHEMA).parquet(
+                    *[str(self.io.root / rel) for rel in m["tables"]["opic"]]
+                )
+        return None
+
+    def apply_opic(self, *, max_steps: int | None = None) -> dict:
+        """Advance the persisted OPIC importance state through every
+        committed fetch wave not yet folded in (operators/opic.py;
+        Abiteboul et al. WWW 2003) — one ``opic_step`` per wave, in
+        wave order, then ONE atomic state commit.
+
+        This is the *incremental* importance lane: ``apply_linkrank``
+        replays batch PageRank over the full historical link table
+        every time, while OPIC consumes exactly the NEW waves'
+        ``kind='page'`` (fetched set) and ``kind='link'`` (outlinks)
+        rows — at a 10^10-URL frontier the per-fold cost stays
+        proportional to what was crawled since the last fold, never to
+        the whole graph. Importance = history + cash
+        (``opic_importance``) converges toward PageRank as waves
+        accumulate (paper §3).
+
+        Determinism/resume: the state after folding wave k is a pure
+        function of committed waves ≤ k (init = wave-minimum's fetched
+        set with uniform cash), so calling this every wave, once at the
+        end, or again after a kill-and-resume yields bit-identical
+        state. ``max_steps`` bounds one call's work (the remainder
+        folds next call).
+
+        Caveat shared with every maintenance wave (``apply_linkrank``,
+        ``apply_trustrank``, ``schedule_recrawls``): the commit itself
+        consumes a wave number, so interleaving maintenance shifts
+        LATER fetch waves' numbers — for hosts whose politeness cadence
+        exceeds 1 that can change which wave a host fetches on. The
+        folded state is invariant to WHEN you call this given the same
+        committed fetch waves (asserted in tests/test_opic.py).
+        """
+        from crawlers_spark.operators.opic import opic_init, opic_step
+
+        pages = self._read_wave_out("page").select("url_canon", "wave")
+        waves = sorted(
+            r["wave"] for r in pages.select("wave").distinct().collect()
+        )  # driver-sized: one int per committed wave
+        if not waves:
+            return {"wave": None, "upto": None, "steps": 0}
+        links = self._read_wave_out("link").select("url", "out_url", "wave")
+        links = with_canonical_url(
+            with_canonical_url(links, "url", "src_canon", host_out=None),
+            "out_url", "dst_canon", host_out=None,
+        ).select("src_canon", "dst_canon", "wave")
+
+        st = self._read_opic()
+        if st is None:
+            w0 = waves[0]
+            state = opic_init(
+                pages.where(F.col("wave") == w0).select("url_canon").distinct()
+            )
+            upto = w0
+        else:
+            upto = st.limit(1).collect()[0]["upto"]  # 1-row driver read
+            state = st.select("url_canon", "cash", "history")
+        todo = [w for w in waves if w > upto]
+        if max_steps is not None:
+            todo = todo[:max_steps]
+        if st is not None and not todo:
+            return {"wave": None, "upto": upto, "steps": 0}
+        for w in todo:
+            state = opic_step(
+                state,
+                pages.where(F.col("wave") == w).select("url_canon"),
+                links.where(F.col("wave") == w).select("src_canon", "dst_canon"),
+            ).localCheckpoint()
+        new_upto = todo[-1] if todo else upto
+        wave = self.io.last_committed_wave() + 1
+        out = state.withColumn("upto", F.lit(new_upto).cast("long"))
+        staged = {"opic": [self._stage(out, "opic", wave, "coalesce")]}
+        n = self._rowcount(staged["opic"])
+        self.io.commit_wave(wave, staged, {"opic_upto": new_upto, "opic_rows": n})
+        return {"wave": wave, "upto": new_upto, "steps": len(todo)}
+
+    def opic_scores(self) -> DataFrame | None:
+        """(url_canon, importance) from the latest committed OPIC state
+        (``apply_opic``), root row excluded; None before the first
+        fold. Derived output, nothing commits."""
+        from crawlers_spark.operators.opic import opic_importance
+
+        st = self._read_opic()
+        return None if st is None else opic_importance(
+            st.select("url_canon", "cash", "history")
+        )
+
     def anchor_index(self) -> DataFrame:
         """Anchor-text index of everything crawled so far (one row per
         link target: dominant inbound anchor text + in-link counts;
@@ -1605,7 +1704,9 @@ class CrawlEngine:
         # together (trap_hosts is monotone today, but folding would both
         # scan every historical snapshot dir on read and resurrect
         # removed hosts if gate semantics ever allow removal — r3 ADVICE)
-        self.io.checkpoint(snapshot_tables=("frontier", "bloom", "cuckoo", "trap_hosts"))
+        self.io.checkpoint(
+            snapshot_tables=("frontier", "bloom", "cuckoo", "trap_hosts", "opic")
+        )
         return rel
 
     def expire(self, keep_waves: int = 100) -> dict:

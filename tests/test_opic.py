@@ -118,3 +118,65 @@ def test_importance_orders_by_link_structure(spark, final):
     assert ROOT not in imp
     assert imp["h"] > imp["c"]
     assert all(v > 0 for v in imp.values())
+
+
+# --------------------------------------------- CrawlEngine OPIC lane
+def test_engine_fold_timing_invariance(spark):
+    """apply_opic folded once at the end equals apply_opic called after
+    every wave (state after wave k is a pure function of committed
+    waves <= k), the upto marker advances, re-folding is a no-op, and
+    opic_scores ranks fetched pages positively."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from fixtures.gen_pages import ensure_fixture
+    from tests.test_crawl_e2e import make_engine
+
+    fx = ensure_fixture(300)
+
+    # engine A: fold after every wave
+    a = make_engine(spark, fx, "opic_everywave")
+    for _ in range(3):
+        a.run(max_waves=1)
+        a.apply_opic()
+    sa = {
+        (r["url_canon"], r["cash"], r["history"])
+        for r in a._read_opic().drop("upto").collect()
+    }
+
+    # engine B: same three waves, one fold at the end
+    b = make_engine(spark, fx, "opic_once")
+    b.run(max_waves=3)
+    st = b.apply_opic()
+    # init consumes the first fetch wave; the remaining two fold as steps
+    assert st["steps"] == 2 and st["upto"] == 3
+    sb = {
+        (r["url_canon"], r["cash"], r["history"])
+        for r in b._read_opic().drop("upto").collect()
+    }
+    assert sa == sb
+
+    # idempotence: nothing new committed -> no-op, state unchanged
+    again = b.apply_opic()
+    assert again == {"wave": None, "upto": st["upto"], "steps": 0}
+
+    imp = {r["url_canon"]: r["importance"] for r in b.opic_scores().collect()}
+    assert imp and all(v >= 0 for v in imp.values())
+    from crawlers_spark.operators.opic import ROOT
+
+    assert ROOT not in imp
+
+
+def test_engine_fold_before_any_wave(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from fixtures.gen_pages import ensure_fixture
+    from tests.test_crawl_e2e import make_engine
+
+    fx = ensure_fixture(300)
+    eng = make_engine(spark, fx, "opic_empty")
+    assert eng.apply_opic() == {"wave": None, "upto": None, "steps": 0}
+    assert eng.opic_scores() is None
