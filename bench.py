@@ -77,8 +77,12 @@ def _bench_queries(spark) -> dict[str, float]:
         fn = qs.get(name)
         if fn is None:
             continue
-        df = fn(spark, SF_DIR)
+        # time construction + execution: iterative operators
+        # (trustrank/pagerank-family) materialize eagerly at plan-build
+        # time via localCheckpoint, so timing only the final write
+        # would undercount them to ~0
         t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
