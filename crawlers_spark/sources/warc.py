@@ -128,8 +128,63 @@ def warc_record_bytes(url: str, iso_ts: str, payload: bytes) -> bytes:
     return head + payload + b"\r\n\r\n"
 
 
+def warc_revisit_bytes(
+    url: str, iso_ts: str, digest: str, refers_url: str, refers_ts: str
+) -> bytes:
+    """One ISO 28500 ``revisit`` record (ISO 28500 §6.7.2 /
+    netpreserve identical-payload-digest profile) — what Common Crawl
+    and Heritrix write instead of re-storing a payload the crawl has
+    already captured: an empty-block record carrying the payload
+    digest and a pointer to the record that holds the bytes. Digest is
+    the repo's md5 content digest (Common Crawl uses sha1/base32; the
+    header is self-describing via the ``md5:`` prefix). Record id is
+    content-derived like :func:`warc_record_bytes` — idempotent."""
+    import hashlib
+
+    rid = hashlib.md5(f"revisit|{url}|{iso_ts}".encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: revisit\r\n"
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso_ts}\r\n"
+        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+        f"WARC-Payload-Digest: md5:{digest}\r\n"
+        f"WARC-Refers-To-Target-URI: {refers_url}\r\n"
+        f"WARC-Refers-To-Date: {refers_ts}\r\n"
+        "Content-Length: 0\r\n"
+        "\r\n"
+    ).encode()
+    return head + b"\r\n\r\n"
+
+
+def with_revisit_markers(df: DataFrame) -> DataFrame:
+    """pages-shape rows + (_digest, _is_revisit, _refers_url,
+    _refers_ts): per md5(html) payload digest, the earliest capture by
+    (warc_ts, url) is the original; every other capture becomes a
+    revisit pointing at it. One digest-keyed window (the html bytes
+    ride the shuffle ONCE — at Common Crawl shard sizes prefer
+    pre-partitioning the writer's input by digest so this exchange is
+    the only one); deterministic total order ⇒ idempotent output."""
+    from pyspark.sql import Window, functions as F
+
+    d = df.withColumn("_digest", F.md5(F.col("html")))
+    w = (
+        Window.partitionBy("_digest")
+        .orderBy("warc_ts", "url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_refers_url", F.first("url").over(w))
+        .withColumn("_refers_ts", F.first("warc_ts").over(w))
+        .withColumn("_is_revisit", F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
 def write_warc_pages(
-    df: DataFrame, out_dir: str, *, compress: bool = True
+    df: DataFrame, out_dir: str, *, compress: bool = True, dedup_revisits: bool = False
 ) -> DataFrame:
     """pages-shape DataFrame → directory of ``part-NNNNN.warc[.gz]``
     shards (Common Crawl layout: one gzip member per record, so any
@@ -149,12 +204,28 @@ def write_warc_pages(
     Scale shape: the html bytes never shuffle — each shard streams out
     of its input partition; the returned lineage is shard-count-sized.
     Repartition upstream to size shards (Common Crawl targets ~1 GB).
+
+    ``dedup_revisits=True`` switches on Common Crawl / Heritrix payload
+    dedup: per md5(html) digest the earliest capture by (warc_ts, url)
+    is stored as a full ``response`` record and every later identical
+    capture becomes an empty-block ``revisit`` record pointing at it
+    (:func:`warc_revisit_bytes`) — the archive stays complete (every
+    fetch has a record) while duplicate payload bytes are stored once.
+    This adds the ONE digest-keyed window shuffle of
+    :func:`with_revisit_markers`; the read path is unchanged
+    (``read_warc_pages`` emits ``response`` records only, so a
+    deduped archive reads back as exactly the distinct payloads).
     """
     from typing import Iterator as _Iter
 
     from pyspark import TaskContext
 
     schema = "warc_file string, n_records bigint, n_bytes bigint"
+    if dedup_revisits:
+        df = with_revisit_markers(df)
+        cols = ["url", "warc_ts", "html", "_digest", "_is_revisit", "_refers_url", "_refers_ts"]
+    else:
+        cols = ["url", "warc_ts", "html"]
 
     def emit(it: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         import gzip as _gzip
@@ -165,12 +236,27 @@ def write_warc_pages(
         n = 0
         for pdf in it:
             iso = pdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
-            for url, ts, html in zip(pdf["url"], iso, pdf["html"]):
-                rec = warc_record_bytes(url, ts, bytes(html))
-                # mtime=0: gzip headers embed a timestamp by default,
-                # which would break the byte-identical idempotence
-                chunks.append(_gzip.compress(rec, 6, mtime=0) if compress else rec)
-                n += 1
+            if dedup_revisits:
+                riso = pdf["_refers_ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+                rows = zip(
+                    pdf["url"], iso, pdf["html"],
+                    pdf["_is_revisit"], pdf["_digest"], pdf["_refers_url"], riso,
+                )
+                for url, ts, html, isrev, dig, rurl, rts in rows:
+                    rec = (
+                        warc_revisit_bytes(url, ts, dig, rurl, rts)
+                        if isrev
+                        else warc_record_bytes(url, ts, bytes(html))
+                    )
+                    chunks.append(_gzip.compress(rec, 6, mtime=0) if compress else rec)
+                    n += 1
+            else:
+                for url, ts, html in zip(pdf["url"], iso, pdf["html"]):
+                    rec = warc_record_bytes(url, ts, bytes(html))
+                    # mtime=0: gzip headers embed a timestamp by default,
+                    # which would break the byte-identical idempotence
+                    chunks.append(_gzip.compress(rec, 6, mtime=0) if compress else rec)
+                    n += 1
         if not n:
             yield pd.DataFrame(
                 {
@@ -190,7 +276,7 @@ def write_warc_pages(
             {"warc_file": [path], "n_records": [n], "n_bytes": [len(blob)]}
         )
 
-    return df.select("url", "warc_ts", "html").mapInPandas(emit, schema)
+    return df.select(*cols).mapInPandas(emit, schema)
 
 
 # ----------------------------------------------------- WET (conversion)

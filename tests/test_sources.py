@@ -207,3 +207,70 @@ def test_cdx_surt_and_sorted_shards(spark, tmp_path):
         prev_max = rows[-1][0]
         total += len(rows)
     assert total == 200
+
+
+def test_warc_revisit_dedup(spark, tmp_path):
+    """dedup_revisits=True (Common Crawl payload dedup): the earliest
+    capture per payload digest stays a full response record, later
+    identical captures become empty-block revisit records with the
+    netpreserve profile + digest + refers-to headers; the reader
+    (response-only) returns exactly the originals; total record count
+    still covers every fetch; re-run is byte-identical."""
+    import gzip
+    import hashlib
+
+    from crawlers_spark.sources.warc import (
+        iter_warc_records,
+        write_warc_pages,
+    )
+
+    dup = b"<html>same payload</html>"
+    src = spark.createDataFrame(
+        [
+            ("https://a.example/1", "2024-01-01 00:00:00", dup),
+            ("https://b.example/2", "2024-01-02 00:00:00", dup),   # revisit of a/1
+            ("https://c.example/3", "2024-01-02 00:00:00", b"<html>other</html>"),
+            ("https://a.example/0", "2024-01-01 00:00:00", dup),   # ts tie: url breaks it -> /0 wins
+        ],
+        "url string, ts string, html binary",
+    ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"), "html")
+
+    out = tmp_path / "warc_rv"
+    lineage = write_warc_pages(
+        src.repartition(2), str(out), dedup_revisits=True
+    ).collect()
+    assert sum(r.n_records for r in lineage) == 4  # every fetch has a record
+
+    # raw parse: 2 responses (the two distinct payloads' originals),
+    # 2 revisits pointing at the dup-payload original a/0
+    recs = []
+    for p in sorted(out.glob("*.warc.gz")):
+        data = gzip.decompress(p.read_bytes())  # concatenated members decompress whole
+        recs += list(iter_warc_records(data))
+    by_type = {}
+    for h, block in recs:
+        by_type.setdefault(h["warc-type"], []).append((h, block))
+    assert len(by_type["response"]) == 2
+    assert len(by_type["revisit"]) == 2
+    resp_urls = {h["warc-target-uri"] for h, _ in by_type["response"]}
+    assert resp_urls == {"https://a.example/0", "https://c.example/3"}
+    md5dup = hashlib.md5(dup).hexdigest()
+    for h, block in by_type["revisit"]:
+        assert block == b""
+        assert h["warc-profile"].endswith("identical-payload-digest")
+        assert h["warc-payload-digest"] == f"md5:{md5dup}"
+        assert h["warc-refers-to-target-uri"] == "https://a.example/0"
+        assert h["warc-refers-to-date"] == "2024-01-01T00:00:00Z"
+    assert {h["warc-target-uri"] for h, _ in by_type["revisit"]} == {
+        "https://a.example/1", "https://b.example/2",
+    }
+
+    # the reader contract: only the stored payloads come back
+    back = read_warc_pages(spark, str(out / "*.warc.gz"))
+    assert {r.url for r in back.collect()} == resp_urls
+
+    # idempotence survives the dedup window (deterministic total order)
+    first = {p.name: p.read_bytes() for p in out.glob("*.warc.gz")}
+    write_warc_pages(src.repartition(2), str(out), dedup_revisits=True).collect()
+    second = {p.name: p.read_bytes() for p in out.glob("*.warc.gz")}
+    assert first == second
