@@ -81,6 +81,7 @@ _FRONT = [
     "crawl_retry_after_holds",
     "crawl_spam_mass",
     "crawl_opic_step",
+    "crawl_cdx_lookup",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -106,7 +107,6 @@ _FRONT = [
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "crawl_sitemap_seeds",
     "crawl_politeness_from_robots",
-    "docs_dedup_clusters",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_lang_id",
@@ -131,6 +131,10 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # docs_dedup_clusters' connected-components family stays in-window
+    # via embed_dedup_clusters (same pointer-doubling CC over near-dup
+    # pairs) — displaced by crawl_cdx_lookup
+    "docs_dedup_clusters",
     # docs_bigram_stats' tokenizer/corpus-stats family stays in-window
     # via docs_lm_perplexity (same tokenizer feeding the bigram LM) and
     # r3-signed docs_bpe_round1_pair_counts — displaced by crawl_opic_step

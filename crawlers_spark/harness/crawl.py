@@ -234,6 +234,44 @@ FROM (
 """
 
 
+def q_cdx_lookup(spark, sf):
+    """CDX exact-URL lookup (sources/cdx.py ``cdx_lookup``, the CDX
+    server's matchType=exact): broadcast SURT equi-join of a query
+    batch (doc_id % 11 = 0) against the capture index built over the
+    same canonical URL table — the index side never shuffles. Oracle
+    restates the SURT transform on both sides and joins on it."""
+    from crawlers_spark.sources.cdx import cdx_lookup, surt_key
+
+    fr = _frontier(spark, sf)
+    index = fr.select(
+        surt_key().alias("surt"),
+        F.col("url_canon").alias("url"),
+        F.col("discovered_ts").alias("warc_ts"),
+    )
+    qs = fr.where(F.col("doc_id") % 11 == 0).select("url_canon")
+    return cdx_lookup(index, qs)
+
+
+_SQL_SURTED = f"""
+  SELECT doc_id, expected_canon AS url_canon,
+         array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')'
+           || CASE WHEN tail = '' THEN '/' ELSE tail END AS surt,
+         {_EPOCH} + to_seconds(doc_id % 999) AS warc_ts
+  FROM (
+    SELECT doc_id, expected_canon, host,
+           regexp_replace(expected_canon, '^https?://[^/]*', '') AS tail
+    FROM ({_SQL_URLS}) u) t
+"""
+
+SQL_CDX_LOOKUP = f"""
+WITH s AS ({_SQL_SURTED}),
+q AS (SELECT DISTINCT url_canon AS query_url, surt FROM s WHERE doc_id % 11 = 0)
+SELECT q.query_url, i.url_canon AS url, i.warc_ts
+FROM s i JOIN q ON i.surt = q.surt
+"""
+
+
 # ------------------------------------------------ O4 exact seen anti-join
 def q_seen_antijoin(spark, sf):
     from crawlers_spark.operators.dedup import anti_join_seen
@@ -2385,6 +2423,7 @@ QUERIES = {
     "crawl_recrawl_candidates": (q_recrawl_candidates, SQL_RECRAWL),
     "crawl_warc_read": (q_warc_read, SQL_WARC_READ),
     "crawl_cdx_surt": (q_cdx_surt, SQL_CDX_SURT),
+    "crawl_cdx_lookup": (q_cdx_lookup, SQL_CDX_LOOKUP),
     "crawl_url_rules": (q_url_rules, SQL_URL_RULES),
     "crawl_robots_ttl": (q_robots_ttl, SQL_ROBOTS_TTL),
     "crawl_outlink_explode": (q_outlink_explode, SQL_OUTLINKS),

@@ -58,3 +58,45 @@ def write_cdx(records: DataFrame, path: str, *, shards: int = 8) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def cdx_lookup(index: DataFrame, queries: DataFrame, url_col: str = "url_canon") -> DataFrame:
+    """Exact-URL capture lookup (the CDX server's ``matchType=exact``):
+    (query_url, url, warc_ts[, digest]) for every capture of each query
+    URL. The query set is the small side (a lookup batch) — broadcast
+    SURT equi-join against the index; the index never shuffles, and on
+    the :func:`write_cdx` layout the surt equality predicate reaches
+    parquet row-group stats (sorted shards ⇒ tight min/max)."""
+    q = queries.select(
+        surt_key(url_col).alias("surt"), F.col(url_col).alias("query_url")
+    ).distinct()
+    return index.join(F.broadcast(q), "surt").select(
+        "query_url", *[c for c in index.columns if c != "surt"]
+    )
+
+
+def surt_domain_prefix(domain: str, *, include_subdomains: bool = True) -> list[str]:
+    """SURT prefixes covering a domain's captures — ``example.com`` →
+    ``['com,example)', 'com,example,']`` (the exact host, and with the
+    trailing comma every subdomain's reversed key). Prefix filters
+    compile to StringStartsWith, which Spark pushes into parquet
+    min/max pruning — on sorted CDX shards a domain query reads ONLY
+    the shards whose surt range intersects (the Common Crawl index
+    access pattern)."""
+    key = ",".join(reversed(domain.lower().split(".")))
+    out = [key + ")"]
+    if include_subdomains:
+        out.append(key + ",")
+    return out
+
+
+def domain_captures(index: DataFrame, domain: str, *, include_subdomains: bool = True) -> DataFrame:
+    """All captures under a domain (CDX ``matchType=domain``): a SURT
+    prefix range scan over the sorted index — no join, no shuffle, and
+    file/row-group pruning does the work at 100 TB."""
+    prefixes = surt_domain_prefix(domain, include_subdomains=include_subdomains)
+    cond = None
+    for p in prefixes:
+        c = F.col("surt").startswith(p)
+        cond = c if cond is None else (cond | c)
+    return index.where(cond)

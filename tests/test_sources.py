@@ -274,3 +274,51 @@ def test_warc_revisit_dedup(spark, tmp_path):
     write_warc_pages(src.repartition(2), str(out), dedup_revisits=True).collect()
     second = {p.name: p.read_bytes() for p in out.glob("*.warc.gz")}
     assert first == second
+
+
+def test_cdx_lookup_and_domain_pruning(spark, tmp_path):
+    """cdx_lookup finds exactly the captures of the query batch
+    (broadcast surt join, BroadcastHashJoin in the plan); a
+    domain_captures prefix scan over the write_cdx layout pushes
+    StartsWith into the parquet scan (PushedFilters) so sorted shards
+    file-prune, and returns the domain subtree including subdomains."""
+    from crawlers_spark.sources.cdx import (
+        cdx_lookup,
+        cdx_records,
+        domain_captures,
+        surt_domain_prefix,
+        write_cdx,
+    )
+
+    rows = [
+        ("https://a.example/x", "2024-01-01 00:00:00"),
+        ("https://a.example/x", "2024-02-01 00:00:00"),   # second capture
+        ("https://sub.a.example/y", "2024-01-02 00:00:00"),
+        ("https://b.other/z", "2024-01-03 00:00:00"),
+    ]
+    pages = spark.createDataFrame(rows, "url_canon string, ts string").select(
+        "url_canon", F.col("ts").cast("timestamp").alias("warc_ts")
+    )
+    idx_path = str(tmp_path / "cdx")
+    write_cdx(cdx_records(pages), idx_path, shards=2)
+    index = spark.read.parquet(idx_path)
+
+    q = spark.createDataFrame([("https://a.example/x",)], "url_canon string")
+    got = cdx_lookup(index, q)
+    assert "BroadcastHashJoin" in got._jdf.queryExecution().executedPlan().toString()
+    caps = sorted(str(r.warc_ts) for r in got.collect())
+    assert caps == ["2024-01-01 00:00:00", "2024-02-01 00:00:00"]
+    assert {r.query_url for r in got.collect()} == {"https://a.example/x"}
+
+    assert surt_domain_prefix("a.example") == ["example,a)", "example,a,"]
+    dom = domain_captures(index, "a.example")
+    plan = dom._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "StartsWith" in plan
+    assert sorted(r.url for r in dom.collect()) == [
+        "https://a.example/x", "https://a.example/x", "https://sub.a.example/y",
+    ]
+    # exact-host only: the subdomain capture drops out
+    only = domain_captures(index, "a.example", include_subdomains=False)
+    assert sorted(r.url for r in only.collect()) == [
+        "https://a.example/x", "https://a.example/x",
+    ]
