@@ -103,7 +103,14 @@ def opic_step(state: DataFrame, fetched: DataFrame, outlinks: DataFrame) -> Data
     (:func:`opic_importance`).
     """
     f = fetched.select(F.col(fetched.columns[0]).alias("url_canon")).distinct()
-    st = state.join(f.withColumn("_f", F.lit(1)), "url_canon", "left")
+    # localCheckpoint the three tables every downstream branch re-reads
+    # (flagged state, per-spender cash×degree, merged page universe):
+    # the step's scalar aggregates (|root|, n, residues) would otherwise
+    # each replay the whole join tree — measured 42 distinct hash
+    # exchanges in one un-materialized step vs ~7 with the cuts. All
+    # three are url-cardinality or smaller; the engine lane checkpoints
+    # between steps anyway, so this only adds the within-step cuts.
+    st = state.join(f.withColumn("_f", F.lit(1)), "url_canon", "left").localCheckpoint()
 
     links = (
         outlinks.select(
@@ -117,7 +124,7 @@ def opic_step(state: DataFrame, fetched: DataFrame, outlinks: DataFrame) -> Data
     spender = st.where(
         (F.col("_f").isNotNull()) & (F.col("url_canon") != ROOT)
     ).select(F.col("url_canon").alias("src"), "cash")
-    spend = spender.join(deg, "src", "left")
+    spend = spender.join(deg, "src", "left").localCheckpoint()
     # linked spend: share per target + residue; dangling spend: all → root
     shares = (
         links.join(spend.where(F.col("deg").isNotNull()), "src")
@@ -149,6 +156,7 @@ def opic_step(state: DataFrame, fetched: DataFrame, outlinks: DataFrame) -> Data
             "_f",
             F.coalesce("in_cash", F.lit(0)).alias("in_cash"),
         )
+        .localCheckpoint()
     )
     n1 = pages.agg(F.count(F.lit(1)).alias("n"))
     root_cash1 = state.where(F.col("url_canon") == ROOT).agg(
