@@ -82,6 +82,7 @@ _FRONT = [
     "crawl_spam_mass",
     "crawl_opic_step",
     "crawl_cdx_lookup",
+    "embed_pq_kmeans_topk",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -105,7 +106,6 @@ _FRONT = [
     "embed_dedup_clusters",
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
-    "crawl_sitemap_seeds",
     "crawl_politeness_from_robots",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
@@ -131,6 +131,10 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # crawl_sitemap_seeds' sitemap family stays countersigned via
+    # crawl_robots_sitemaps (r3) + crawl_feed_seeds (r4-window) and the
+    # recrawl e2e lanes — displaced by embed_pq_kmeans_topk
+    "crawl_sitemap_seeds",
     # docs_dedup_clusters' connected-components family stays in-window
     # via embed_dedup_clusters (same pointer-doubling CC over near-dup
     # pairs) — displaced by crawl_cdx_lookup

@@ -422,8 +422,80 @@ FROM ranked WHERE rank <= {k}
 SQL_PQ_TOPK = _pq_sql()
 
 
+def q_pq_kmeans_topk(spark, sf):
+    """PQ/ADC with Lloyd-trained sub-codebooks (one k-means round per
+    subspace over the seed books, floor(sum/count + 0.5) integer-grid
+    means — similarity.py pq_kmeans_codebooks): the oracle replays
+    seed-encode → per-(subspace, code) mean → re-encode → distance
+    tables → ADC scan verbatim, so training itself is countersigned
+    bit-identically, like embed_ivf_kmeans_topk for IVF."""
+    from crawlers_spark.operators.similarity import pq_kmeans_topk
+
+    e = load(spark, sf, "embeddings")
+    return pq_kmeans_topk(
+        e.where(F.col("vec_id") < 10), e, n_dims=N_DIMS, m=8, ks=16, k=5, n_iter=1
+    )
+
+
+def _pq_kmeans_sql(m: int = 8, ks: int = 16, k: int = 5) -> str:
+    d0 = N_DIMS // m
+    return f"""
+WITH qv AS (SELECT vec_id, {_Q} AS v FROM embeddings),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+          FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT {ks})),
+cent AS (SELECT j.j, s.code, t.t, s.v[CAST(j.j*{d0} + t.t AS INT)] AS cv
+         FROM seeds s, range(0,{m}) j(j), range(1,{d0 + 1}) t(t)),
+sub AS (SELECT e.vec_id, j.j, t.t, e.v[CAST(j.j*{d0} + t.t AS INT)] AS xv
+        FROM qv e, range(0,{m}) j(j), range(1,{d0 + 1}) t(t)),
+enc0 AS (SELECT s.vec_id, s.j, c.code,
+                SUM(c.cv*c.cv - 2*s.xv*c.cv) AS dpart
+         FROM sub s JOIN cent c ON s.j = c.j AND s.t = c.t
+         GROUP BY s.vec_id, s.j, c.code),
+codes0 AS (SELECT vec_id, j, code FROM (
+           SELECT vec_id, j, code,
+                  row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY dpart ASC, code ASC) AS rn
+           FROM enc0) WHERE rn = 1),
+cent1 AS (SELECT k0.j, k0.code, s.t,
+                 CAST(FLOOR(CAST(SUM(s.xv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv
+          FROM codes0 k0 JOIN sub s ON k0.vec_id = s.vec_id AND k0.j = s.j
+          GROUP BY k0.j, k0.code, s.t),
+centT AS (SELECT c.j, c.code, c.t, COALESCE(c1.cv, c.cv) AS cv
+          FROM cent c LEFT JOIN cent1 c1
+               ON c.j = c1.j AND c.code = c1.code AND c.t = c1.t),
+enc2 AS (SELECT s.vec_id, s.j, c.code,
+                SUM(c.cv*c.cv - 2*s.xv*c.cv) AS dpart
+         FROM sub s JOIN centT c ON s.j = c.j AND s.t = c.t
+         GROUP BY s.vec_id, s.j, c.code),
+codes AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY dpart ASC, code ASC) AS rn
+          FROM enc2) WHERE rn = 1),
+dt AS (SELECT q.vec_id AS query_id, c.j, c.code,
+              SUM((q.xv - c.cv)*(q.xv - c.cv)) AS d2
+       FROM (SELECT * FROM sub WHERE vec_id < 10) q
+       JOIN centT c ON q.j = c.j AND q.t = c.t
+       GROUP BY q.vec_id, c.j, c.code),
+tot AS (SELECT d.query_id, x.vec_id AS neighbor_id, SUM(d.d2) AS d2_pq
+        FROM codes x JOIN dt d ON x.j = d.j AND x.code = d.code
+        WHERE x.vec_id <> d.query_id
+        GROUP BY d.query_id, x.vec_id),
+ranked AS (SELECT query_id, neighbor_id, d2_pq,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2_pq ASC, neighbor_id ASC) AS INT) AS rank
+           FROM tot)
+SELECT query_id, rank, neighbor_id, CAST(d2_pq AS BIGINT) AS d2_pq
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_PQ_KMEANS_TOPK = _pq_kmeans_sql()
+
+
 QUERIES = {
     "embed_pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "embed_pq_kmeans_topk": (q_pq_kmeans_topk, SQL_PQ_KMEANS_TOPK),
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embed_dedup_clusters": (q_embed_clusters, SQL_EMBED_CLUSTERS),
     "embed_semdedup_prune": (q_semdedup, SQL_SEMDEDUP),

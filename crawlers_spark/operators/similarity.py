@@ -658,3 +658,146 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "d2_pq")
     )
+
+
+def pq_kmeans_codebooks(
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined PQ codebooks in the :func:`pq_codebooks` one-row
+    format — the trained upgrade over first-ks-by-id sub-codebooks,
+    exactly parallel to :func:`kmeans_centroids` for IVF (Jégou et al.
+    §III train each subspace's codebook with k-means).
+
+    Per iteration: (1) assignment is :func:`pq_encode`'s scan-side
+    per-subspace argmin — zero corpus shuffle; (2) the update is ONE
+    partial-agg shuffle keyed by (subspace, code) over N·m exploded
+    sub-vector rows (map-side combine collapses them; what moves is
+    m·ks·(n_dims/m) component sums + counts — constant-size at any
+    corpus). Means quantize back to the integer grid with
+    ``floor(sum/count + 0.5)`` (same IEEE ops in any engine — the
+    DuckDB oracle replays training bit-identically). Codes that lose
+    all members keep their previous centroid.
+    """
+    d0 = n_dims // m
+    books = pq_codebooks(corpus, n_dims=n_dims, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    for _ in range(n_iter):
+        coded = pq_encode(corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col)
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("_v")
+        )
+        assigned = (
+            coded.join(vecs, "neighbor_id")
+            .select(
+                F.posexplode("codes").alias("j", "code"),
+                F.col("_v"),
+            )
+            .select(
+                "j", "code",
+                *[
+                    F.element_at(_pq_sub(F.col("_v"), F.col("j"), d0), t + 1).alias(f"_x{t}")
+                    for t in range(d0)
+                ],
+            )
+        )
+        sums = assigned.groupBy("j", "code").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(f"_x{t}").alias(f"_s{t}") for t in range(d0)],
+        )
+        new_c = sums.select(
+            "j", "code",
+            F.array(
+                *[
+                    F.floor(F.col(f"_s{t}").cast("double") / F.col("_n") + F.lit(0.5)).cast("long")
+                    for t in range(d0)
+                ]
+            ).alias("new_vec"),
+        )
+        prev = books.select(
+            F.posexplode("books").alias("j", "book_j")
+        ).select("j", F.posexplode("book_j").alias("code", "prev_vec"))
+        books = (
+            prev.join(new_c, ["j", "code"], "left")
+            .select("j", "code", F.coalesce("new_vec", "prev_vec").alias("c_vec"))
+            .groupBy("j")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("code"), F.col("c_vec")))),
+                    lambda x: x["c_vec"],
+                ).alias("book_j")
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("book_j")))),
+                    lambda x: x["book_j"],
+                ).alias("books")
+            )
+        )
+    return books
+
+
+def pq_kmeans_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_topk` with Lloyd-trained sub-codebooks — same ADC scan
+    shape, better cell balance/recall. Kept as a separate entry point
+    so both quantizers stay independently oracle-checked."""
+    d0 = n_dims // m
+    books = pq_kmeans_codebooks(
+        corpus, n_dims=n_dims, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    qv = quantize(F.col(vec_col))
+    qd = (
+        queries.crossJoin(F.broadcast(books))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.transform(
+                    F.element_at(F.col("books"), j + 1),
+                    lambda c: _norm2(c)
+                    - 2 * _dot(_pq_sub(qv, j, d0), c)
+                    + _norm2(_pq_sub(qv, j, d0)),
+                ),
+            ).alias("dt"),
+        )
+    )
+    codes = pq_encode(corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col)
+    scored = (
+        codes.crossJoin(F.broadcast(qd))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("dt"), j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
+            ).alias("d2_pq"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("d2_pq"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "d2_pq")
+    )

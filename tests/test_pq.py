@@ -116,3 +116,73 @@ def test_pq_plan_has_no_corpus_shuffle(frames):
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning(neighbor_id" not in plan
     assert plan.count("Window [") == 1
+
+
+def _replay_kmeans_books(n_iter=1):
+    vecs = {i: _quant(row) for i, row in _vecs()}
+    books = [
+        [vecs[c][j * D0:(j + 1) * D0].copy() for c in range(KS)] for j in range(M)
+    ]
+    for _ in range(n_iter):
+        # assign with current books
+        members = {(j, c): [] for j in range(M) for c in range(KS)}
+        for i, v in vecs.items():
+            for j in range(M):
+                sub = v[j * D0:(j + 1) * D0]
+                best = min(
+                    range(KS),
+                    key=lambda c: (int(np.sum((sub - books[j][c]) ** 2)), c),
+                )
+                members[(j, best)].append(sub)
+        for j in range(M):
+            for c in range(KS):
+                xs = members[(j, c)]
+                if xs:
+                    s = np.sum(xs, axis=0)
+                    books[j][c] = np.array(
+                        [int(np.floor(float(sv) / len(xs) + 0.5)) for sv in s],
+                        dtype=np.int64,
+                    )
+    return books
+
+
+def test_kmeans_codebooks_match_replay(spark, frames):
+    from crawlers_spark.operators.similarity import pq_kmeans_codebooks
+
+    got = pq_kmeans_codebooks(frames, n_dims=DIMS, m=M, ks=KS, n_iter=1).collect()[0]["books"]
+    want = _replay_kmeans_books(1)
+    assert [[list(c) for c in bj] for bj in got] == [
+        [list(map(int, c)) for c in bj] for bj in want
+    ]
+
+
+def test_kmeans_adc_matches_replay(spark, frames):
+    from crawlers_spark.operators.similarity import pq_kmeans_topk
+
+    books = _replay_kmeans_books(1)
+    vecs = {i: _quant(row) for i, row in _vecs()}
+    codes = {
+        i: [
+            min(range(KS), key=lambda c: (int(np.sum((v[j * D0:(j + 1) * D0] - books[j][c]) ** 2)), c))
+            for j in range(M)
+        ]
+        for i, v in vecs.items()
+    }
+    want = {}
+    for q in range(3):
+        qv = vecs[q]
+        dt = [
+            [int(np.sum((qv[j * D0:(j + 1) * D0] - books[j][c]) ** 2)) for c in range(KS)]
+            for j in range(M)
+        ]
+        scored = sorted(
+            (sum(dt[j][codes[x][j]] for j in range(M)), x) for x in vecs if x != q
+        )
+        want[q] = sorted((r + 1, x, d2) for r, (d2, x) in enumerate(scored[:K]))
+    got = pq_kmeans_topk(
+        frames.where("vec_id < 3"), frames, n_dims=DIMS, m=M, ks=KS, k=K, n_iter=1
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["d2_pq"]))
+    assert {q: sorted(v) for q, v in by_q.items()} == want
