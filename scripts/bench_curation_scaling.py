@@ -19,7 +19,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-QUERIES = ["contamination", "passage_dedup", "packing", "lm_perplexity"]
+QUERIES = ["contamination", "passage_dedup", "packing", "lm_perplexity", "pq_adc"]
 
 
 def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
@@ -77,6 +77,27 @@ def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
             corpus, corpus.where(F.col("doc_id") % 5 != 0)
         ).write.format("noop").mode("overwrite").save()
         out["lm_perplexity"] = time.monotonic() - t
+        # PQ/ADC over the replicated embeddings table: encode is the
+        # scan-side argmin pass, ADC the code-lookup scan — the round-4
+        # compressed-ANN scale path (operators/similarity.py pq_topk)
+        from crawlers_spark.operators.similarity import pq_topk
+
+        emb = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        ecorpus = (
+            emb.crossJoin(reps)
+            .select((F.col("vec_id") * mult + F.col("rep")).alias("vec_id"), "embedding")
+            .repartition(cores * 4)
+            .persist()
+        )
+        ecorpus.count()
+        t = time.monotonic()
+        pq_topk(
+            ecorpus.where(F.col("vec_id") < 10), ecorpus, n_dims=64, m=8, ks=16, k=5
+        ).write.format("noop").mode("overwrite").save()
+        out["pq_adc"] = time.monotonic() - t
+        ecorpus.unpersist()
         corpus.unpersist()
         return out
     finally:
