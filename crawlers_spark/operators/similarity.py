@@ -563,6 +563,7 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_udf: bool = False,
 ) -> DataFrame:
     """(neighbor_id, codes array<int>[m]) — each vector compressed to
     one code per subspace: argmin_c ||v_sub - c||², ranked by the
@@ -573,6 +574,10 @@ def pq_encode(
     m bytes packed) per vector instead of n_dims floats, so the ADC
     scan (:func:`pq_topk`) reads ~m/(4·n_dims) of the raw bytes."""
     d0 = n_dims // m
+    if use_udf:
+        return _pq_encode_udf(
+            corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col
+        )
     vq = quantize(F.col(vec_col))
 
     def best(j):
@@ -591,6 +596,48 @@ def pq_encode(
     )
 
 
+def _pq_encode_udf(
+    corpus: DataFrame,
+    books: DataFrame,
+    *,
+    n_dims: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched numpy encode — value-identical to the expression
+    path (same HALF_UP quantization, same |c|² - 2·x·c ranking, numpy
+    argmin's first-minimal-index = the min-code tie-break) but one
+    int64 matmul per (batch, subspace) instead of per-row interpreted
+    higher-order functions: Catalyst HOF lambdas (transform/aggregate)
+    evaluate OUTSIDE whole-stage codegen, so the pure-expr encode pays
+    an interpreter visit per element — measured ~8× slower than this
+    batch path at 240k × 64-dim (PLANS.md). The codebook is collected
+    to the driver (m·ks·(n_dims/m) longs — model-sized, same class as
+    the k-means centroid and BPE merge tables)."""
+    from pyspark.sql.functions import pandas_udf
+
+    d0 = n_dims // m
+    B = np.array(books.collect()[0]["books"], dtype=np.int64)  # (m, ks, d0)
+    bn = (B * B).sum(axis=2)  # (m, ks) — |c|² per code
+
+    @pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64) * QUANT_SCALE
+        M_ = np.where(V >= 0, np.floor(V + 0.5), np.ceil(V - 0.5)).astype(np.int64)
+        cols = []
+        for j in range(m):
+            S = M_[:, j * d0 : (j + 1) * d0]          # (N, d0)
+            score = bn[j][None, :] - 2 * (S @ B[j].T)  # (N, ks)
+            cols.append(np.argmin(score, axis=1))      # first min = min code
+        C = np.stack(cols, axis=1).astype(np.int32)    # (N, m)
+        return pd.Series(list(C))
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _codes(F.col(vec_col)).alias("codes")
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -601,6 +648,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_udf: bool = False,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, d2_pq) — asymmetric-distance
     (ADC) top-k: the query stays exact, the corpus is PQ codes, and
@@ -634,7 +682,10 @@ def pq_topk(
             ).alias("dt"),
         )
     )
-    codes = pq_encode(corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col,
+        use_udf=use_udf,
+    )
     scored = (
         codes.crossJoin(F.broadcast(qd))
         .where(F.col("neighbor_id") != F.col("query_id"))

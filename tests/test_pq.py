@@ -186,3 +186,37 @@ def test_kmeans_adc_matches_replay(spark, frames):
     for r in got:
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["d2_pq"]))
     assert {q: sorted(v) for q, v in by_q.items()} == want
+
+
+def test_encode_udf_parity(spark, frames):
+    """The Arrow-batched numpy encode is value-identical to the pure
+    expression path (same quantization, ranking, tie-break)."""
+    from crawlers_spark.operators.similarity import pq_encode
+
+    books = pq_codebooks(frames, n_dims=DIMS, m=M, ks=KS)
+    expr = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in pq_encode(frames, books, n_dims=DIMS, m=M).collect()
+    }
+    udf = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in pq_encode(frames, books, n_dims=DIMS, m=M, use_udf=True).collect()
+    }
+    assert expr == udf
+
+
+def test_topk_udf_parity(spark, frames):
+    from crawlers_spark.operators.similarity import pq_topk
+
+    a = sorted(
+        tuple(r) for r in pq_topk(
+            frames.where("vec_id < 3"), frames, n_dims=DIMS, m=M, ks=KS, k=K
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in pq_topk(
+            frames.where("vec_id < 3"), frames, n_dims=DIMS, m=M, ks=KS, k=K,
+            use_udf=True,
+        ).collect()
+    )
+    assert a == b
