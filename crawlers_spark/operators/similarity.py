@@ -276,7 +276,10 @@ def kmeans_centroids(
     return cents
 
 
-def ivf_assign(df: DataFrame, centroids: DataFrame, *, vec_q: str, n_probe: int = 1) -> DataFrame:
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, *, vec_q: str, n_probe: int = 1,
+    use_udf: bool = False,
+) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest coarse centroids.
 
     ``centroids`` is the one-row array from :func:`ivf_centroids`,
@@ -290,6 +293,8 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, *, vec_q: str, n_probe: int 
     ``cosine``; ||v-c||² = |v|² - 2·v·c + |c|² and |v|² is constant per
     vector, so ranking by (|c|² - 2·v·c) is equivalent.
     """
+    if use_udf:
+        return _ivf_assign_udf(df, centroids, vec_q=vec_q, n_probe=n_probe)
     scores = F.transform(
         F.col("cents"),
         lambda c: F.struct(
@@ -304,6 +309,37 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, *, vec_q: str, n_probe: int 
     )
 
 
+def _ivf_assign_udf(
+    df: DataFrame, centroids: DataFrame, *, vec_q: str, n_probe: int
+) -> DataFrame:
+    """Arrow-batched numpy cell assignment — value-identical to the
+    expression path (same |c|² - 2·v·c ranking over already-quantized
+    int vectors; stable argsort ties break to the lower cell, the
+    array_sort struct order) but one int64 matmul per batch instead of
+    per-element interpreted HOF lambdas (the same outside-codegen cost
+    as PQ encode — see PLANS.md; ~10× at 240k × 64-dim). Centroids are
+    model-sized and collected to the driver, like the PQ codebooks."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.collect()[0]["cents"]  # position i ↔ cell i
+    C = np.array([list(c["c_vec"]) for c in cents], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    np_ = n_probe
+
+    @pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        M_ = np.stack(vecs.to_numpy()).astype(np.int64)
+        d2 = cn[None, :] - 2 * (M_ @ C.T)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :np_].astype(np.int32)
+        return pd.Series(list(order))
+
+    return (
+        df.withColumn("_probes", _probe(F.col(vec_q)))
+        .withColumn("cell", F.explode("_probes"))
+        .select(*df.columns, "cell")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -314,6 +350,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     centroids: DataFrame | None = None,
+    use_udf: bool = False,
 ) -> DataFrame:
     """IVF-flavored ANN: coarse cells from deterministic seed centroids
     (or a trained quantizer passed via ``centroids`` — e.g.
@@ -334,11 +371,11 @@ def ivf_topk(
     )
     c_assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("c_q")),
-        cents, vec_q="c_q", n_probe=1,
+        cents, vec_q="c_q", n_probe=1, use_udf=use_udf,
     )
     q_assigned = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_q")),
-        cents, vec_q="q_q", n_probe=n_probe,
+        cents, vec_q="q_q", n_probe=n_probe, use_udf=use_udf,
     )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cell")

@@ -323,3 +323,25 @@ def test_semdedup_replicated_scale_bounds_cell_pair_join(spark):
     assert max(sizes) <= 16 * target
     # the pair-join upper bound stays linear-ish: sum(s^2) ≪ n^2
     assert sum(s * s for s in sizes) < n * 32 * target
+
+
+def test_ivf_assign_udf_parity(spark, vectors):
+    """The Arrow-batched numpy assignment (ivf_assign use_udf=True) is
+    value-identical to the expression path — same ranking, same
+    stable-min tie-break — across n_probe 1 and 2, and the full
+    ivf_topk result matches."""
+    from crawlers_spark.operators.similarity import ivf_topk
+
+    for probe in (1, 2):
+        a = sorted(
+            tuple(r) for r in ivf_topk(
+                vectors.where("vec_id < 5"), vectors, k=5, n_cells=4, n_probe=probe
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in ivf_topk(
+                vectors.where("vec_id < 5"), vectors, k=5, n_cells=4, n_probe=probe,
+                use_udf=True,
+            ).collect()
+        )
+        assert a == b
