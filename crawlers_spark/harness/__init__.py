@@ -83,6 +83,7 @@ _FRONT = [
     "crawl_opic_step",
     "crawl_cdx_lookup",
     "embed_pq_kmeans_topk",
+    "crawl_related_pages",
     "crawl_url_blocklist",
     "crawl_host_graph",
     "docs_dsir_weights",
@@ -106,7 +107,6 @@ _FRONT = [
     "embed_dedup_clusters",
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
-    "crawl_politeness_from_robots",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_lang_id",
@@ -131,6 +131,11 @@ _TAIL = [
     # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
     # pair
     "rel_salted_part_revenue_top20",
+    # crawl_politeness_from_robots' robots→politeness family stays
+    # countersigned via crawl_robots_rfc9309 (in-window) + the
+    # crawl_adaptive_politeness/crawl_retry_after_holds politeness rows
+    # and the e2e politeness invariant — displaced by crawl_related_pages
+    "crawl_politeness_from_robots",
     # crawl_sitemap_seeds' sitemap family stays countersigned via
     # crawl_robots_sitemaps (r3) + crawl_feed_seeds (r4-window) and the
     # recrawl e2e lanes — displaced by embed_pq_kmeans_topk

@@ -1564,6 +1564,54 @@ FROM root0, n1, ri
 SQL_OPIC_STEP = _opic_sql()
 
 
+def q_related_pages(spark, sf):
+    """Co-citation related pages (Dean & Henzinger WWW 1999;
+    operators/linkrank.py `related_pages`): top-5 per page by
+    co-citing-source count. Graph: every doc links to its century hub
+    AND to a topic page (doc_id % 7), so all docs sharing a (century,
+    topic) cell co-cite that (hub, topic) pair — dense deterministic
+    counts with real ties for the (cocite DESC, url ASC) order. The
+    hub-fanout guard and the min_cocite noise floor are both live
+    (out-degree 2 ≤ max_fanout; sparse tail cells fall below 2)."""
+    from crawlers_spark.operators.linkrank import related_pages
+
+    docs, u, linked, out = _trust_graph(spark, sf)
+    d = F.col("doc_id")
+    topic = F.concat(F.lit("https://t.example/topic/"), (d % 7).cast("string"))
+    edges = docs.select(u(d).alias("src_canon"), u(d - d % 100).alias("dst_canon")).unionByName(
+        docs.select(u(d).alias("src_canon"), topic.alias("dst_canon"))
+    )
+    return related_pages(edges, k=5, max_fanout=100, min_cocite=2)
+
+
+SQL_RELATED_PAGES = f"""
+WITH raw AS (
+  SELECT {_URL_EXPR.format(k='doc_id')} AS src,
+         {_URL_EXPR.format(k='doc_id - doc_id % 100')} AS dst
+  FROM documents
+  UNION ALL
+  SELECT {_URL_EXPR.format(k='doc_id')},
+         'https://t.example/topic/' || (doc_id % 7)
+  FROM documents),
+e AS (SELECT DISTINCT src, dst FROM raw),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+b AS (SELECT e.src, e.dst FROM e JOIN deg ON e.src = deg.src WHERE deg.d <= 100),
+pairs AS (SELECT a.dst AS url_a, b2.dst AS url_b, COUNT(*) AS cocite
+          FROM b a JOIN b b2 ON a.src = b2.src AND a.dst < b2.dst
+          GROUP BY a.dst, b2.dst
+          HAVING COUNT(*) >= 2),
+sides AS (SELECT url_a AS url_canon, url_b AS related_url, cocite FROM pairs
+          UNION ALL
+          SELECT url_b, url_a, cocite FROM pairs),
+ranked AS (SELECT url_canon, related_url, cocite,
+                  CAST(row_number() OVER (PARTITION BY url_canon
+                                          ORDER BY cocite DESC, related_url ASC) AS INT) AS rank
+           FROM sides)
+SELECT url_canon, rank, related_url, CAST(cocite AS BIGINT) AS cocite
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_spam_mass(spark, sf):
     """Relative spam mass (TrustRank paper §6: (PR - TR)/PR as integer
     percent, clamped at 0) over the deterministic doc-id graph with the
@@ -2389,6 +2437,7 @@ QUERIES = {
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_trustrank": (q_trustrank, SQL_TRUSTRANK),
     "crawl_spam_mass": (q_spam_mass, SQL_SPAM_MASS),
+    "crawl_related_pages": (q_related_pages, SQL_RELATED_PAGES),
     "crawl_opic_step": (q_opic_step, SQL_OPIC_STEP),
     "crawl_host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "crawl_antitrust_rank": (q_antitrust, SQL_ANTITRUST),

@@ -43,7 +43,7 @@ floor division, non-negative operands so Spark's ``div`` ≡ DuckDB's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SCALE = 10**12  # 85 * (SCALE + slack) stays far under int64
 
@@ -456,4 +456,75 @@ def spam_mass(
             .cast("int")
             .alias("spam_mass_pct"),
         )
+    )
+
+
+def cocitation_pairs(
+    outlinks: DataFrame,
+    *,
+    max_fanout: int = 100,
+) -> DataFrame:
+    """(url_a, url_b, cocite) — co-citation counts: how many distinct
+    pages link to BOTH a and b (Dean & Henzinger, "Finding related
+    pages in the World Wide Web", WWW 1999 — public; co-citation is
+    their core signal for the Related Pages feature). Crawl uses:
+    seed expansion (pages co-cited with known-good seeds are crawl
+    candidates) and mirror/variant grouping.
+
+    Scale guard: the per-source self-join is QUADRATIC in out-degree —
+    one 10^5-outlink hub page alone would emit 10^10 pairs. Sources
+    with more than ``max_fanout`` distinct outlinks are dropped BEFORE
+    the pair expansion (the paper's own mitigation; directory-shaped
+    mega-hubs carry little co-citation signal per pair anyway), so the
+    expansion is bounded by Σ min(deg, max_fanout)² — linear-ish in
+    sources. One degree agg + one src-keyed self-join + one pair-keyed
+    count; `url_a < url_b` keeps each unordered pair once.
+    """
+    e = outlinks.select(
+        F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    bounded = e.join(
+        deg.where(F.col("_deg") <= max_fanout).select("src"), "src"
+    )
+    a = bounded.select("src", F.col("dst").alias("url_a"))
+    b = bounded.select("src", F.col("dst").alias("url_b"))
+    return (
+        a.join(b, "src")
+        .where(F.col("url_a") < F.col("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(F.count(F.lit(1)).alias("cocite"))
+    )
+
+
+def related_pages(
+    outlinks: DataFrame,
+    *,
+    k: int = 5,
+    max_fanout: int = 100,
+    min_cocite: int = 2,
+) -> DataFrame:
+    """(url_canon, rank, related_url, cocite) — top-k related pages per
+    page by co-citation count (ties: lexicographically smallest
+    neighbour first — deterministic at any parallelism). Pairs below
+    ``min_cocite`` are noise (a single shared hub co-cites everything
+    it links) and are dropped before ranking. Per-page window on the
+    (already tiny) pair table — never a global sort."""
+    pairs = cocitation_pairs(outlinks, max_fanout=max_fanout).where(
+        F.col("cocite") >= min_cocite
+    )
+    both = pairs.select(
+        F.col("url_a").alias("url_canon"), F.col("url_b").alias("related_url"), "cocite"
+    ).unionByName(
+        pairs.select(
+            F.col("url_b").alias("url_canon"), F.col("url_a").alias("related_url"), "cocite"
+        )
+    )
+    w = Window.partitionBy("url_canon").orderBy(
+        F.desc("cocite"), F.asc("related_url")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("url_canon", "rank", "related_url", "cocite")
     )

@@ -234,3 +234,31 @@ def test_engine_hook_noop_without_links(spark, fx):
     # no waves run → no kind=link rows → hook is a no-op, no commit
     st = eng.apply_linkrank()
     assert st == {"wave": None, "boosted": 0}
+
+
+# ------------------------------ co-citation related pages (D&H 1999)
+def test_related_pages_hand_graph(spark):
+    """Co-citation semantics on a known graph: s1 and s2 both link
+    {a, b}; s3 links {a, b, c}; mega links 200 targets (over the
+    fanout guard — contributes nothing). Pairs: (a,b) cocited by
+    s1,s2,s3 = 3; (a,c) and (b,c) by s3 alone = 1 → dropped by
+    min_cocite=2. Top-k is deterministic (cocite DESC, url ASC)."""
+    from crawlers_spark.operators.linkrank import cocitation_pairs, related_pages
+
+    edges = (
+        [("s1", t) for t in ("a", "b")]
+        + [("s2", t) for t in ("a", "b")]
+        + [("s3", t) for t in ("a", "b", "c")]
+        + [("mega", f"t{i:03d}") for i in range(200)]
+        + [("mega", "a"), ("mega", "b")]  # would inflate (a,b) if not guarded
+    )
+    df = spark.createDataFrame(edges, "src_canon string, dst_canon string")
+    pairs = {
+        (r.url_a, r.url_b): r.cocite
+        for r in cocitation_pairs(df, max_fanout=100).collect()
+    }
+    assert pairs == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+    rel = related_pages(df, k=5, max_fanout=100, min_cocite=2).collect()
+    got = {(r.url_canon, r.rank): (r.related_url, r.cocite) for r in rel}
+    assert got == {("a", 1): ("b", 3), ("b", 1): ("a", 3)}
