@@ -66,6 +66,28 @@ def cosine(a_q: Column, b_q: Column) -> Column:
     )
 
 
+def cosine_pairs_udf():
+    """Arrow-batched cosine over PAIRS of already-quantized int vectors
+    — value-identical to :func:`cosine` (exact int64 dot/norms, then
+    the same double ops dot/sqrt(nq)/sqrt(nc) — identical IEEE-754
+    operations in the same order) but one numpy pass per batch instead
+    of per-element interpreted zip_with/aggregate lambdas (the
+    outside-codegen HOF cost — PLANS.md). Use on the candidate-pair
+    rerank of the ANN operators via their ``use_udf`` flags."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.int64)
+        B = np.stack(b.to_numpy()).astype(np.int64)
+        dot = (A * B).sum(axis=1).astype(np.float64)
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        return pd.Series(dot / na / nb)
+
+    return _cos
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -377,10 +399,15 @@ def ivf_topk(
         queries.select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_q")),
         cents, vec_q="q_q", n_probe=n_probe, use_udf=use_udf,
     )
+    score = (
+        cosine_pairs_udf()(F.col("q_q"), F.col("c_q"))
+        if use_udf
+        else cosine(F.col("q_q"), F.col("c_q"))
+    )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_q"), F.col("c_q")).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", score.alias("cosine_sim"))
         .distinct()
     )
     win = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
