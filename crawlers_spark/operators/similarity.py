@@ -251,6 +251,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_cells: int = 8,
     n_iter: int = 1,
+    use_udf: bool = False,
 ) -> DataFrame:
     """Lloyd-refined coarse quantizer in the ``ivf_centroids`` format
     (ONE-row ``cents`` array) — the trained upgrade over the
@@ -269,7 +270,9 @@ def kmeans_centroids(
     cents = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
     vecs = corpus.select(quantize(F.col(vec_col)).alias("_v"))
     for _ in range(n_iter):
-        assigned = ivf_assign(vecs, cents, vec_q="_v", n_probe=1)
+        # use_udf: the Arrow matmul assignment (value-identical —
+        # _ivf_assign_udf) for the per-iteration corpus pass
+        assigned = ivf_assign(vecs, cents, vec_q="_v", n_probe=1, use_udf=use_udf)
         sums = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("_n"),
             *[F.sum(F.element_at("_v", d + 1)).alias(f"_s{d}") for d in range(n_dims)],

@@ -345,3 +345,15 @@ def test_ivf_assign_udf_parity(spark, vectors):
             ).collect()
         )
         assert a == b
+
+
+def test_kmeans_training_udf_parity(spark, vectors):
+    from crawlers_spark.operators.similarity import kmeans_centroids
+
+    a = kmeans_centroids(vectors, n_dims=DIMS, n_cells=4, n_iter=2).collect()[0]
+    b = kmeans_centroids(
+        vectors, n_dims=DIMS, n_cells=4, n_iter=2, use_udf=True
+    ).collect()[0]
+    assert [(c.cell, list(c.c_vec)) for c in a.cents] == [
+        (c.cell, list(c.c_vec)) for c in b.cents
+    ]
