@@ -787,6 +787,7 @@ def pq_kmeans_codebooks(
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_udf: bool = False,
 ) -> DataFrame:
     """Lloyd-refined PQ codebooks in the :func:`pq_codebooks` one-row
     format — the trained upgrade over first-ks-by-id sub-codebooks,
@@ -806,7 +807,10 @@ def pq_kmeans_codebooks(
     d0 = n_dims // m
     books = pq_codebooks(corpus, n_dims=n_dims, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
     for _ in range(n_iter):
-        coded = pq_encode(corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col)
+        coded = pq_encode(
+            corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col,
+            use_udf=use_udf,
+        )
         vecs = corpus.select(
             F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("_v")
         )
@@ -871,13 +875,15 @@ def pq_kmeans_topk(
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_udf: bool = False,
 ) -> DataFrame:
     """:func:`pq_topk` with Lloyd-trained sub-codebooks — same ADC scan
     shape, better cell balance/recall. Kept as a separate entry point
     so both quantizers stay independently oracle-checked."""
     d0 = n_dims // m
     books = pq_kmeans_codebooks(
-        corpus, n_dims=n_dims, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        corpus, n_dims=n_dims, m=m, ks=ks, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, use_udf=use_udf,
     )
     qv = quantize(F.col(vec_col))
     qd = (
@@ -895,7 +901,10 @@ def pq_kmeans_topk(
             ).alias("dt"),
         )
     )
-    codes = pq_encode(corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, books, n_dims=n_dims, m=m, id_col=id_col, vec_col=vec_col,
+        use_udf=use_udf,
+    )
     scored = (
         codes.crossJoin(F.broadcast(qd))
         .where(F.col("neighbor_id") != F.col("query_id"))

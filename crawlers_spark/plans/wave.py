@@ -1610,6 +1610,24 @@ class CrawlEngine:
         edges, _ = self.host_graph()
         return host_communities(edges.select("from_host", "to_host"), iterations=iterations)
 
+    def related_pages(self, *, k: int = 5, max_fanout: int = 100, min_cocite: int = 2) -> DataFrame:
+        """(url_canon, rank, related_url, cocite) — co-citation related
+        pages over everything crawled so far (operators/linkrank.py;
+        Dean & Henzinger 1999): seed-expansion and mirror-grouping
+        material. Like ``anchor_index`` this reads only the persisted
+        ``kind='link'`` rows' URL columns. Derived output, nothing
+        commits."""
+        from crawlers_spark.operators.linkrank import related_pages
+
+        links = self._read_wave_out("link").select("url", "out_url")
+        edges = with_canonical_url(
+            with_canonical_url(links, "url", "src_canon", host_out=None),
+            "out_url", "dst_canon", host_out=None,
+        ).select("src_canon", "dst_canon")
+        return related_pages(
+            edges, k=k, max_fanout=max_fanout, min_cocite=min_cocite
+        )
+
     def trap_signals(self) -> DataFrame:
         """Per-host crawler-trap signals over everything FETCHED so far
         (operators/traps.py): URL-per-content duplication measured on

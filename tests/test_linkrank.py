@@ -262,3 +262,21 @@ def test_related_pages_hand_graph(spark):
     rel = related_pages(df, k=5, max_fanout=100, min_cocite=2).collect()
     got = {(r.url_canon, r.rank): (r.related_url, r.cocite) for r in rel}
     assert got == {("a", 1): ("b", 3), ("b", 1): ("a", 3)}
+
+
+def test_related_pages_engine_surface(spark, fx):
+    """CrawlEngine.related_pages reads committed link rows and equals
+    the operator run directly on the canonicalized edges."""
+    from crawlers_spark.functions.canonicalize import with_canonical_url
+    from crawlers_spark.operators.linkrank import related_pages as rp
+
+    eng = make_engine(spark, fx, "related_engine")
+    eng.run(max_waves=3)
+    got = sorted(tuple(r) for r in eng.related_pages(k=3).collect())
+    links = eng._read_wave_out("link").select("url", "out_url")
+    edges = with_canonical_url(
+        with_canonical_url(links, "url", "src_canon", host_out=None),
+        "out_url", "dst_canon", host_out=None,
+    ).select("src_canon", "dst_canon")
+    want = sorted(tuple(r) for r in rp(edges, k=3).collect())
+    assert got == want and got
