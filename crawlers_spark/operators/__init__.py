@@ -3,3 +3,12 @@ from crawlers_spark.operators.dedup import anti_join_seen, BloomShards  # noqa: 
 from crawlers_spark.operators.politeness import politeness_budget  # noqa: F401
 from crawlers_spark.operators.robots import robots_filter  # noqa: F401
 from crawlers_spark.operators.fetch import fetch_pages  # noqa: F401
+from crawlers_spark.operators.linkrank import (  # noqa: F401
+    pagerank_priorities,
+    related_pages,
+    spam_mass,
+    trustrank_scores,
+)
+from crawlers_spark.operators.communities import host_communities  # noqa: F401
+from crawlers_spark.operators.opic import opic_importance, opic_init, opic_step  # noqa: F401
+from crawlers_spark.operators.similarity import pq_topk  # noqa: F401
