@@ -96,6 +96,9 @@ _FRONT = [
     "crawl_harmonic_centrality",
     "docs_host_quality",
     "docs_shard_assignment",
+    # NEW this session (round-4 fourth window)
+    "crawl_scc_bowtie",
+    "crawl_dust_params",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -108,11 +111,9 @@ _FRONT = [
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "docs_exact_dedup",
-    "docs_minhash_lsh_pairs",
     "docs_lang_id",
     "embed_ivf_topk",
     "rel_pricing_summary",
-    "rel_region_revenue",
     "rel_anti_join_customers_no_orders",
     "rel_json_event_props",
     "crawl_canonicalize_urls",
@@ -120,6 +121,14 @@ _FRONT = [
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
+    # rel_region_revenue's broadcast-join-agg family stays in-window
+    # via rel_pricing_summary + rel_anti_join_customers_no_orders —
+    # displaced by crawl_scc_bowtie
+    "rel_region_revenue",
+    # docs_minhash_lsh_pairs' banded-LSH family stays in-window via
+    # docs_incremental_dedup (same band keys) + embed_near_dup_pairs —
+    # displaced by crawl_dust_params
+    "docs_minhash_lsh_pairs",
     # displaced by this session's new queries (one-for-one; each
     # family keeps an in-window countersignature, noted per entry):
     # rel_distinct_users_per_type's distinct family stays in-window via

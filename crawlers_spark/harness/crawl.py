@@ -2402,6 +2402,193 @@ def q_neighborhood(spark, sf):
     return neighborhood_exact(ring.unionByName(skip), radius=2)
 
 
+def q_scc_bowtie(spark, sf):
+    """SCC + bowtie decomposition (Broder et al. 2000;
+    operators/scc.py) over a deterministic web-shaped graph derived
+    from doc ids: a 10-node CORE ring with chords, an IN fan (i0..i4
+    with an i0→i1 chain and a private j0↔j1 SCC), an OUT fan
+    (o0..o4 with an o0→o1 chain), a tendril (i1→t0), a tube
+    (i0→u0→o0), and a disconnected island (d0↔d1 ← d2).
+
+    The engine runs Orzan's coloring/peeling algorithm; the oracle
+    never replays it — it derives SCCs from MUTUAL reachability over
+    a recursive-CTE transitive closure, so the two sides are
+    independent derivations of the same mathematical object.
+    """
+    from crawlers_spark.operators.scc import bowtie_classes
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def n(p, expr):
+        return F.concat(F.lit(p), expr.cast("string"))
+
+    def lit_edge(cond, s, t):
+        return docs.where(cond).select(F.lit(s).alias("src"), F.lit(t).alias("dst"))
+
+    k10, k5 = d % 10, d % 5
+    parts = [
+        docs.select(n("c", k10).alias("src"), n("c", (k10 + 1) % 10).alias("dst")),
+        docs.where(d % 2 == 0).select(
+            n("c", k10).alias("src"), n("c", (k10 + 3) % 10).alias("dst")
+        ),
+        docs.select(n("i", k5).alias("src"), n("c", k5).alias("dst")),
+        lit_edge(d % 7 == 0, "i0", "i1"),
+        lit_edge(d % 11 == 0, "j0", "j1"),
+        lit_edge(d % 11 == 0, "j1", "j0"),
+        lit_edge(d % 11 == 0, "j0", "i0"),
+        docs.select(n("c", k5).alias("src"), n("o", k5).alias("dst")),
+        lit_edge(d % 13 == 0, "o0", "o1"),
+        lit_edge(d % 17 == 0, "i1", "t0"),
+        lit_edge(d % 19 == 0, "i0", "u0"),
+        lit_edge(d % 19 == 0, "u0", "o0"),
+        lit_edge(d % 23 == 0, "d0", "d1"),
+        lit_edge(d % 23 == 0, "d1", "d0"),
+        lit_edge(d % 23 == 0, "d2", "d0"),
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return bowtie_classes(edges)
+
+
+SQL_SCC_BOWTIE = """
+WITH RECURSIVE raw AS (
+  SELECT 'c' || CAST(doc_id % 10 AS VARCHAR) AS src,
+         'c' || CAST((doc_id % 10 + 1) % 10 AS VARCHAR) AS dst FROM documents
+  UNION ALL SELECT 'c' || CAST(doc_id % 10 AS VARCHAR),
+         'c' || CAST((doc_id % 10 + 3) % 10 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'i' || CAST(doc_id % 5 AS VARCHAR),
+         'c' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+  UNION ALL SELECT 'i0', 'i1' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT 'j0', 'j1' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL SELECT 'j1', 'j0' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL SELECT 'j0', 'i0' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL SELECT 'c' || CAST(doc_id % 5 AS VARCHAR),
+         'o' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+  UNION ALL SELECT 'o0', 'o1' FROM documents WHERE doc_id % 13 = 0
+  UNION ALL SELECT 'i1', 't0' FROM documents WHERE doc_id % 17 = 0
+  UNION ALL SELECT 'i0', 'u0' FROM documents WHERE doc_id % 19 = 0
+  UNION ALL SELECT 'u0', 'o0' FROM documents WHERE doc_id % 19 = 0
+  UNION ALL SELECT 'd0', 'd1' FROM documents WHERE doc_id % 23 = 0
+  UNION ALL SELECT 'd1', 'd0' FROM documents WHERE doc_id % 23 = 0
+  UNION ALL SELECT 'd2', 'd0' FROM documents WHERE doc_id % 23 = 0),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+-- reflexive-transitive closure
+r AS (SELECT id AS src, id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+-- SCC = min mutually-reachable id (reflexive closure covers v itself)
+scc AS (SELECT f.src AS id, MIN(f.dst) AS scc
+        FROM r f JOIN r b ON f.src = b.dst AND f.dst = b.src
+        GROUP BY f.src),
+core AS (SELECT scc AS core_id
+         FROM (SELECT scc, COUNT(*) AS cnt FROM scc GROUP BY scc)
+         ORDER BY cnt DESC, scc ASC LIMIT 1),
+members AS (SELECT s.id FROM scc s, core c WHERE s.scc = c.core_id),
+to_core AS (SELECT DISTINCT r.src AS id FROM r JOIN members m ON r.dst = m.id),
+from_core AS (SELECT DISTINCT r.dst AS id FROM r JOIN members m ON r.src = m.id)
+SELECT s.id, s.scc,
+       CASE WHEN s.scc = c.core_id THEN 'core'
+            WHEN s.id IN (SELECT id FROM to_core) THEN 'in'
+            WHEN s.id IN (SELECT id FROM from_core) THEN 'out'
+            ELSE 'other' END AS cls
+FROM scc s, core c
+"""
+
+
+def q_dust_params(spark, sf):
+    """DUST rule mining (Bar-Yossef et al., WWW 2007;
+    operators/dust.py) over a deterministic URL zoo: three hosts ×
+    five pages, each page served bare, with a session param
+    (``?sid=``, never affects the digest), with a pagination param
+    (``?page=2``, always changes the digest), and with both.  The
+    miner must learn, per host, that ``sid`` is droppable and
+    ``page`` is not.  The oracle restates the witness-pair contract
+    (strip one key → must observe the stripped URL → digests must all
+    agree with ≥2 witnesses) over the same derivation.
+    """
+    from crawlers_spark.operators.dust import dust_param_rules
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    h = (d % 3).cast("string")
+    pid = F.expr("(doc_id DIV 4) % 5").cast("string")
+    v = d % 4
+    s = F.expr("(doc_id DIV 4) % 2").cast("string")
+    base = F.concat(F.lit("https://h"), h, F.lit(".example/p/"), pid)
+    url = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(base, F.lit("?sid="), s))
+        .when(v == 2, F.concat(base, F.lit("?page=2")))
+        .otherwise(F.concat(base, F.lit("?page=2&sid="), s))
+    )
+    digest = F.md5(
+        F.concat(
+            F.lit("c"), h, F.lit("-"), pid,
+            F.when(v >= 2, F.lit("p2")).otherwise(F.lit("")),
+        )
+    )
+    pages = docs.select(url.alias("url"), digest.alias("digest"))
+    return dust_param_rules(pages, min_support=2)
+
+
+SQL_DUST_PARAMS = """
+WITH vars AS (
+  SELECT CAST(doc_id % 3 AS VARCHAR) AS h,
+         CAST((doc_id // 4) % 5 AS VARCHAR) AS pid,
+         doc_id % 4 AS v,
+         CAST((doc_id // 4) % 2 AS VARCHAR) AS s
+  FROM documents),
+raw AS (
+  SELECT 'https://h' || h || '.example/p/' || pid ||
+         CASE WHEN v = 0 THEN ''
+              WHEN v = 1 THEN '?sid=' || s
+              WHEN v = 2 THEN '?page=2'
+              ELSE '?page=2&sid=' || s END AS url,
+         md5('c' || h || '-' || pid ||
+             CASE WHEN v >= 2 THEN 'p2' ELSE '' END) AS digest,
+         'h' || h || '.example' AS host
+  FROM vars),
+base AS (
+  SELECT url, host, MIN(digest) AS digest
+  FROM raw GROUP BY url, host
+  HAVING COUNT(DISTINCT digest) = 1),
+parts AS (
+  SELECT url, host, digest,
+         CASE WHEN instr(url, '?') > 0
+              THEN substr(url, 1, instr(url, '?') - 1) ELSE url END AS b,
+         CASE WHEN instr(url, '?') > 0
+              THEN str_split(substr(url, instr(url, '?') + 1), '&')
+              ELSE CAST([] AS VARCHAR[]) END AS params
+  FROM base),
+cands AS (
+  SELECT host, digest, param,
+         list_filter(params, p -> str_split(p, '=')[1] != param) AS kept,
+         b
+  FROM parts, UNNEST(list_distinct(
+         list_transform(params, p -> str_split(p, '=')[1]))) AS t(param)
+  WHERE len(params) > 0),
+stripped AS (
+  SELECT host, param, digest,
+         CASE WHEN len(kept) = 0 THEN b
+              ELSE b || '?' || array_to_string(kept, '&') END AS surl
+  FROM cands)
+SELECT c.host, c.param,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.digest = o.digest THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       (COUNT(*) >= 2 AND
+        SUM(CASE WHEN c.digest = o.digest THEN 1 ELSE 0 END) = COUNT(*))
+         AS irrelevant
+FROM stripped c JOIN base o ON c.surl = o.url
+GROUP BY c.host, c.param
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -2431,6 +2618,8 @@ QUERIES = {
     "crawl_host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "crawl_soft404": (q_soft404, SQL_SOFT404),
     "crawl_neighborhood_function": (q_neighborhood, SQL_NEIGHBORHOOD),
+    "crawl_scc_bowtie": (q_scc_bowtie, SQL_SCC_BOWTIE),
+    "crawl_dust_params": (q_dust_params, SQL_DUST_PARAMS),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
