@@ -1,0 +1,141 @@
+"""Cavnar–Trenkle n-gram language identification.
+
+Cavnar & Trenkle, "N-Gram-Based Text Categorization" (SDAIR 1994 —
+public; the algorithm behind the classic ``textcat``/``langid``
+family): a LANGUAGE PROFILE is the rank-ordered list of its most
+frequent character n-grams; a document is classified by the
+"out-of-place" distance — for each gram in the document's own
+profile, how far its rank in the candidate language's profile is
+from its rank in the document's (a gram missing from the language
+profile costs the maximum).  The smallest total distance wins.
+
+This complements the repo's other language signals: the stop-word /
+character-class heuristic (functions/textstats.py ``lang_id``) needs
+hand-curated word lists per language; the bigram LM
+(functions/lm.py) scores likelihood under ONE model.  Cavnar–Trenkle
+trains from labeled data alone and is the standard crawl-pipeline
+labeler shape (CLD/fastText are its descendants).
+
+Determinism contract (everything integer, replayable in SQL):
+
+- grams: per whitespace token of ``lower(text)``, pad to ``_tok_``
+  and take every character bigram and trigram (the paper pads with
+  underscores; we keep bigrams+trigrams — the discriminative core);
+- profile ranks: ``row_number`` ordered by (count DESC, gram ASC) —
+  the tie order makes training bit-deterministic at any parallelism;
+- distance: ``Σ coalesce(|rank_doc − rank_lang|, K_lang)`` over the
+  doc's top-``k_doc`` grams;
+- verdict: min (distance, lang) struct — ties break to the smallest
+  language code.
+
+Scale: training is one (lang, gram) partial-agg shuffle + a
+per-language top-K window over the GRAM VOCABULARY (bounded), giving
+an L×K profile table that broadcasts everywhere.  Per-doc profiles
+are one (id, gram) agg + a per-doc window (partitioned by doc — no
+global sort); scoring joins doc-profile rows against the broadcast
+profiles and reduces — the corpus crosses the wire once in gram
+form.  Nothing is all-pairs; no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["char_ngrams", "language_profiles", "classify_language"]
+
+
+def _tok_grams(tok: Column) -> Column:
+    # '_tok_' padding per the paper; a 1-char token still yields two
+    # bigrams and one trigram. sequence() is INCLUSIVE (and would
+    # descend past an empty range), but len(padded) ≥ 3 always holds
+    # for split()'s non-empty tokens, so both ranges are well-formed.
+    p = F.concat(F.lit("_"), tok, F.lit("_"))
+    n = F.length(p)
+    bi = F.transform(F.sequence(F.lit(1), n - 1), lambda i: p.substr(i, F.lit(2)))
+    tri = F.transform(F.sequence(F.lit(1), n - 2), lambda i: p.substr(i, F.lit(3)))
+    return F.concat(bi, tri)
+
+
+def char_ngrams(text: Column) -> Column:
+    """All padded character bigrams+trigrams of every whitespace token
+    of ``lower(text)`` (duplicates preserved — they carry frequency).
+    Pure Catalyst higher-order expressions; empty/blank text → []."""
+    t = F.trim(F.lower(text))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    return F.flatten(F.transform(toks, _tok_grams))
+
+
+def _grams_df(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    return df.select(*id_cols, F.explode(char_ngrams(F.col(text_col))).alias("gram"))
+
+
+def language_profiles(
+    labeled: DataFrame,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k_lang: int = 100,
+) -> DataFrame:
+    """(lang, gram, rank) — each language's top-``k_lang`` grams by
+    (count DESC, gram ASC), rank 1-based.  L×K rows: broadcast-sized
+    at any corpus size."""
+    counts = (
+        _grams_df(labeled, [lang_col], text_col)
+        .groupBy(lang_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.col("c").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_lang)
+        .select(F.col(lang_col).alias("lang"), "gram", "rank")
+    )
+
+
+def classify_language(
+    docs: DataFrame,
+    profiles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_lang: int = 100,
+    k_doc: int = 50,
+) -> DataFrame:
+    """(id, lang_pred, dist) — out-of-place classification of every
+    doc against the (broadcast) profile table.  Docs with no grams
+    (blank text) get lang_pred NULL, dist NULL."""
+    doc_counts = (
+        _grams_df(docs, [id_col], text_col)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gram").asc())
+    doc_prof = (
+        doc_counts.withColumn("drank", F.row_number().over(w))
+        .where(F.col("drank") <= k_doc)
+        .select(id_col, "gram", "drank")
+    )
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "gram"], "left")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("rank")), F.lit(int(k_lang))
+                )
+            ).alias("dist")
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("dist", "lang")).alias("b")
+    )
+    return docs.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.col("b.lang").alias("lang_pred"),
+        F.col("b.dist").cast("bigint").alias("dist"),
+    )

@@ -99,6 +99,9 @@ _FRONT = [
     # NEW this session (round-4 fourth window)
     "crawl_scc_bowtie",
     "crawl_dust_params",
+    "crawl_focused_priorities",
+    "docs_line_dedup",
+    "docs_langid_profiles",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -110,9 +113,6 @@ _FRONT = [
     "embed_dedup_clusters",
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
-    "docs_exact_dedup",
-    "docs_lang_id",
-    "embed_ivf_topk",
     "rel_pricing_summary",
     "rel_anti_join_customers_no_orders",
     "rel_json_event_props",
@@ -129,6 +129,19 @@ _TAIL = [
     # docs_incremental_dedup (same band keys) + embed_near_dup_pairs —
     # displaced by crawl_dust_params
     "docs_minhash_lsh_pairs",
+    # embed_ivf_topk's IVF family stays in-window via embed_pq_topk +
+    # embed_pq_kmeans_topk (same cell-assignment / no-corpus-shuffle
+    # contract, plan-asserted in tests) — displaced by
+    # crawl_focused_priorities
+    "embed_ivf_topk",
+    # docs_exact_dedup's digest-groupBy family stays in-window via
+    # docs_incremental_dedup (same digest keys) — displaced by
+    # docs_line_dedup
+    "docs_exact_dedup",
+    # docs_lang_id's language family stays in-window via
+    # docs_langid_profiles (the trained Cavnar–Trenkle classifier over
+    # the same table) — displaced by it
+    "docs_lang_id",
     # displaced by this session's new queries (one-for-one; each
     # family keeps an in-window countersignature, noted per entry):
     # rel_distinct_users_per_type's distinct family stays in-window via

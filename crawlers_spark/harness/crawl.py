@@ -2589,6 +2589,132 @@ GROUP BY c.host, c.param
 """
 
 
+def q_focused_priorities(spark, sf):
+    """Focused-crawl NB frontier scoring (Chakrabarti et al. 1999;
+    operators/focused.py). Train the two-class hashed-ngram NB on the
+    documents table (relevant = French docs), then score one frontier
+    URL per doc from PRE-FETCH evidence only: the URL's own words plus
+    1–2 inbound anchor-text snippets (substrings of the doc text). The
+    oracle retrains the model and re-assembles the identical contexts
+    (anchors sorted before joining — the determinism contract) from
+    the same md5 bucket grid.
+    """
+    from crawlers_spark.operators.focused import (
+        focused_scores,
+        frontier_context,
+        nb_train,
+    )
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"), F.lit(".example/a/"), d.cast("string")
+    )
+    a1 = docs.select(url.alias("dst_canon"), F.lower(F.substring("text", 1, 40)).alias("anchor"))
+    a2 = (
+        docs.where(d % 3 == 0)
+        .select(url.alias("dst_canon"), F.lower(F.substring("text", 41, 40)).alias("anchor"))
+    )
+    links = a1.unionByName(a2)
+    frontier = docs.select(url.alias("url_canon"))
+    labeled = docs.select("text", (F.col("lang") == "fr").alias("label"))
+    ratios, prior = nb_train(labeled, n_buckets=4096)
+    ctx = frontier_context(frontier, links)
+    return focused_scores(ctx, ratios, prior, n_buckets=4096)
+
+
+_FOCUS_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5('dsir|' || gram), 6, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5('dsir|' || gram), 7, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('dsir|' || gram), 8, 1)) - 1) % 4096"
+)
+
+SQL_FOCUSED = rf"""
+WITH toksl AS (
+  SELECT lang = 'fr' AS lab,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS ts
+  FROM documents),
+gramsl AS (
+  SELECT lab,
+         unnest(list_concat(
+           ts, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+         )) AS gram
+  FROM toksl),
+countsl AS (
+  SELECT lab, {_FOCUS_BUCKET} AS bucket, COUNT(*) AS n
+  FROM gramsl GROUP BY 1, 2),
+t AS (SELECT bucket, SUM(n) AS ct FROM countsl WHERE lab GROUP BY 1),
+r AS (SELECT bucket, SUM(n) AS cr FROM countsl WHERE NOT lab GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM t) AS nt,
+               (SELECT COALESCE(SUM(cr), 0) FROM r) AS nr),
+ratios AS (
+  SELECT d.range AS bucket,
+         CAST(floor((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                        / CAST(tot.nt + 4096 AS DOUBLE))
+                     - ln(CAST(COALESCE(r.cr, 0) + 1 AS DOUBLE)
+                          / CAST(tot.nr + 4096 AS DOUBLE))) * 1000000 + 0.5)
+              AS BIGINT) AS ratio_micro
+  FROM range(0, 4096) d
+  LEFT JOIN t ON t.bucket = d.range
+  LEFT JOIN r ON r.bucket = d.range
+  CROSS JOIN tot),
+prior AS (
+  SELECT CAST(floor((ln(CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) + 1
+                             AS DOUBLE))
+                     - ln(CAST(SUM(CASE WHEN lang <> 'fr' THEN 1 ELSE 0 END) + 1
+                               AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+           AS prior_micro
+  FROM documents),
+anchors AS (
+  SELECT url, a FROM (
+    SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/a/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           lower(substr(text, 1, 40)) AS a
+    FROM documents
+    UNION ALL
+    SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/a/'
+             || CAST(doc_id AS VARCHAR),
+           lower(substr(text, 41, 40))
+    FROM documents WHERE doc_id % 3 = 0)
+  WHERE a IS NOT NULL AND a <> ''),
+urls AS (
+  SELECT DISTINCT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/a/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+ank AS (SELECT url, string_agg(a, ' ' ORDER BY a) AS atext
+        FROM anchors GROUP BY url),
+ctx AS (
+  SELECT u.url,
+         trim(array_to_string(
+                list_filter(string_split_regex(lower(u.url), '[^a-z0-9]+'),
+                            x -> x <> ''), ' ')
+              || ' ' || COALESCE(k.atext, '')) AS context
+  FROM urls u LEFT JOIN ank k ON u.url = k.url),
+ctoks AS (
+  SELECT url, CASE WHEN trim(context) = '' THEN []
+                   ELSE string_split_regex(trim(context), '\s+') END AS ts
+  FROM ctx),
+cgrams AS (
+  SELECT url,
+         unnest(list_concat(
+           ts, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+         )) AS gram
+  FROM ctoks),
+ccounts AS (
+  SELECT url, {_FOCUS_BUCKET} AS bucket, COUNT(*) AS n
+  FROM cgrams GROUP BY 1, 2),
+scored AS (
+  SELECT url, SUM(n) AS nf, SUM(n * ratio_micro) AS wm
+  FROM ccounts JOIN ratios USING (bucket) GROUP BY url)
+SELECT c.url AS url_canon,
+       CAST(COALESCE(s.nf, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(s.wm, 0) + p.prior_micro AS BIGINT) AS score_micro
+FROM ctx c LEFT JOIN scored s ON c.url = s.url
+CROSS JOIN prior p
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -2620,6 +2746,7 @@ QUERIES = {
     "crawl_neighborhood_function": (q_neighborhood, SQL_NEIGHBORHOOD),
     "crawl_scc_bowtie": (q_scc_bowtie, SQL_SCC_BOWTIE),
     "crawl_dust_params": (q_dust_params, SQL_DUST_PARAMS),
+    "crawl_focused_priorities": (q_focused_priorities, SQL_FOCUSED),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

@@ -1695,7 +1695,125 @@ GROUP BY 1
 """
 
 
+def q_line_dedup(spark, sf):
+    """Cross-document line dedup (`operators/textdedup.py
+    line_dedup_stats`, RefinedWeb-style line-wise corrections) over a
+    deterministic multi-line rebuild of each doc: two universal
+    boilerplate lines (newsletter header, rights footer), a
+    half-corpus copyright line on even ids, the doc's own content
+    slices, and a planted blank line on %7=0 (blank lines are
+    structure — never matched, always kept). Lines crossing the
+    10-distinct-doc threshold vanish from every doc; the value hash
+    covers the REJOINED clean text, so per-line verdicts are
+    countersigned character-for-character.
+    """
+    from crawlers_spark.operators.textdedup import line_dedup_stats
+
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("subscribe to our newsletter\n"),
+        F.substring("text", 1, 80),
+        F.when(d % 7 == 0, F.lit("\n")).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.when(d % 2 == 0, F.lit("copyright acme 2024")).otherwise(
+            F.substring("text", 81, 80)
+        ),
+        F.lit("\nall rights reserved"),
+    )
+    docs = load(spark, sf, "documents").select("doc_id", txt.alias("t"))
+    return line_dedup_stats(docs, text_col="t", min_dup=10)
+
+
+SQL_LINE_DEDUP = """
+WITH t AS (
+  SELECT doc_id,
+    'subscribe to our newsletter' || chr(10) ||
+    substr(text, 1, 80) ||
+    CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END || chr(10) ||
+    CASE WHEN doc_id % 2 = 0 THEN 'copyright acme 2024'
+         ELSE substr(text, 81, 80) END ||
+    chr(10) || 'all rights reserved' AS txt
+  FROM documents),
+l0 AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t),
+lines AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls) + 1)) AS pos FROM l0),
+dup AS (SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 10)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN trim(line) IN (SELECT k FROM dup)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(
+         CASE WHEN trim(line) IN (SELECT k FROM dup) THEN NULL ELSE line END,
+         chr(10) ORDER BY pos), '') AS clean_text
+FROM lines GROUP BY doc_id
+"""
+
+
+def q_langid_profiles(spark, sf):
+    """Cavnar–Trenkle n-gram language ID (`functions/langid.py`):
+    train rank profiles (top-100 padded char bigrams+trigrams, count
+    DESC / gram ASC tie order) per language over the documents table,
+    classify every doc by out-of-place distance against its own
+    top-50 profile. The oracle retrains the profiles and replays the
+    whole rank/distance pipeline — every step is integer, so the
+    match is exact.
+    """
+    from crawlers_spark.functions.langid import classify_language, language_profiles
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    profs = language_profiles(docs, k_lang=100)
+    out = classify_language(docs, profs, k_lang=100, k_doc=50)
+    return docs.select("doc_id", "lang").join(out, "doc_id")
+
+
+SQL_LANGID_PROFILES = r"""
+WITH tox AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+  FROM documents),
+toks AS (SELECT doc_id, lang, '_' || unnest(ts) || '_' AS p FROM tox),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(
+           list_transform(range(1, len(p)), i -> substr(p, i, 2)),
+           list_transform(range(1, len(p) - 1), i -> substr(p, i, 3))
+         )) AS gram
+  FROM toks),
+lc AS (SELECT lang, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+lp AS (SELECT lang, gram, rank FROM (
+         SELECT lang, gram,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY c DESC, gram ASC) AS rank
+         FROM lc) WHERE rank <= 100),
+dc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+dp AS (SELECT doc_id, gram, drank FROM (
+         SELECT doc_id, gram,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, gram ASC) AS drank
+         FROM dc) WHERE drank <= 50),
+langs AS (SELECT DISTINCT lang FROM lp),
+dist AS (
+  SELECT dp.doc_id, l.lang AS cand,
+         SUM(COALESCE(ABS(dp.drank - lp.rank), 100)) AS dist
+  FROM dp CROSS JOIN langs l
+  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dp.gram
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, cand, dist FROM (
+    SELECT doc_id, cand, dist,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY dist ASC, cand ASC) AS rn
+    FROM dist) WHERE rn = 1)
+SELECT d.doc_id, d.lang, b.cand AS lang_pred, CAST(b.dist AS BIGINT) AS dist
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
 QUERIES = {
+    "docs_line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "docs_langid_profiles": (q_langid_profiles, SQL_LANGID_PROFILES),
     "docs_substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "docs_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "docs_host_quality": (q_host_quality, SQL_HOST_QUALITY),

@@ -83,21 +83,28 @@ def _min_ancestors(
         )
         stepped = labels.join(nbr, labels["id"] == nbr["dst"], "left").select(
             "id",
+            F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
-        # pointer doubling: an ancestor's ancestor is an ancestor
+        # pointer doubling: an ancestor's ancestor is an ancestor.
+        # Change detection rides the same frame (label vs the round's
+        # starting label) so convergence costs one cheap scan of the
+        # checkpointed result instead of a second join+shuffle.
         hop = stepped.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
         new_labels = (
             stepped.join(hop, stepped["label"] == hop["pid"], "left")
-            .select("id", F.least("label", F.coalesce("plabel", "label")).alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+            .select(
+                "id",
+                F.least("label", F.coalesce("plabel", "label")).alias("label"),
+                (F.least("label", F.coalesce("plabel", "label")) != F.col("old")).alias(
+                    "_chg"
+                ),
+            )
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it — one job per round, not two
+        changed = new_labels.where("_chg").count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             return labels
     raise RuntimeError(

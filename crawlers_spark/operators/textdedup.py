@@ -763,3 +763,51 @@ def novel_against_index(
             (F.coalesce("n_hit_bands", F.lit(0)) == 0).alias("novel"),
         )
     )
+
+
+def line_dedup_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup: int = 10,
+) -> DataFrame:
+    """(id, n_lines, n_removed, clean_text) — cross-document LINE
+    deduplication (RefinedWeb, Penedo et al. 2023 §"line-wise
+    corrections"; also MassiveText's repeated-line removal): a line
+    whose TRIMMED text occurs in at least ``min_dup`` distinct
+    documents is boilerplate (navigation, cookie banners, copyright
+    footers, share buttons) and is removed from EVERY document; all
+    other lines survive in their original order. Blank lines are
+    document structure, never matched, always kept. Complements
+    ``passage_dedup_stats`` (within/cross-doc 16-word spans) and
+    ``c4_line_filter`` (per-line quality rules — intra-doc, corpus
+    blind): this is the corpus-frequency signal neither captures.
+
+    Scale: one explode, one (line-key) partial-agg shuffle with
+    map-side combine, one equi-join back on the line key (the dup-key
+    table is bounded by the BOILERPLATE vocabulary — lines crossing
+    ``min_dup`` distinct docs — typically broadcastable even at
+    10^10 docs), and one per-doc regroup. Nothing is all-pairs; the
+    doc text crosses the wire once in line form.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("k", F.trim("line"))
+    dup = (
+        lines.where(F.col("k") != "")
+        .groupBy("k")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= F.lit(int(min_dup)))
+        .select("k", F.lit(True).alias("_dup"))
+    )
+    marked = lines.join(dup, "k", "left")
+    kept = F.sort_array(
+        F.collect_list(F.when(F.col("_dup").isNull(), F.struct("pos", "line")))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_dup").isNotNull().cast("long")).cast("bigint").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["line"]), "\n").alias("clean_text"),
+    )

@@ -1465,6 +1465,104 @@ class CrawlEngine:
         self.io.commit_wave(wave, staged, {"trustrank_frontier": n})
         return {"wave": wave, "demoted": n}
 
+    def apply_focused(
+        self,
+        relevant_expr: str,
+        *,
+        boost_to: int = 110,
+        threshold_micro: int = 0,
+        n_buckets: int = 4096,
+    ) -> dict:
+        """Focused-crawl frontier boost (Chakrabarti et al. 1999;
+        operators/focused.py) — the topical promote lane beside
+        ``apply_linkrank``'s popularity promote and
+        ``apply_trustrank``'s spam demote. Between waves:
+
+        1. train a two-class hashed-ngram NB on every CRAWLED row that
+           carries text — ``kind='offer'`` rows always do, ``kind=
+           'page'`` rows do when ``cfg.main_content`` is on — labeled
+           by ``relevant_expr`` (a SQL boolean over those rows, e.g.
+           ``"extracted_text LIKE '%machine learning%'"``); rows where
+           the expression is NULL (no text) are not training evidence,
+           and zero labeled rows raises rather than training on air;
+        2. score every frontier URL from PRE-FETCH evidence only: its
+           URL words plus inbound anchor texts from the staged
+           ``kind='link'`` rows (anchors sorted before joining — the
+           bit-reproducibility contract in operators/focused.py);
+        3. frontier priority := greatest(priority, ``boost_to``) where
+           the NB log-odds ≥ ``threshold_micro`` (0 = the natural
+           decision boundary). ``boost_to`` defaults below freshness
+           recrawls (120) and above seeds (100), mirroring
+           ``apply_linkrank``'s cap; greatest() only promotes, so the
+           deterministic frontier-merge contract is unchanged.
+
+        Commits as one atomic maintenance wave; the result is a pure
+        function of (committed page+link rows, relevant_expr), so
+        resume replays it identically.
+
+        Scale: training is one (bucket,label) partial-agg shuffle over
+        crawled text; the B-row model broadcasts; anchor aggregation is
+        one (dst, anchor) shuffle; the frontier never shuffles to be
+        scored.
+        """
+        from crawlers_spark.operators.focused import (
+            focused_scores,
+            frontier_context,
+            nb_train,
+        )
+
+        wave = self.io.last_committed_wave() + 1
+        if not self._kind_paths("page", "offer"):
+            return {"wave": None, "boosted": 0}
+        crawled = self._read_wave_out("page", "offer").select(
+            "extracted_text", "url_canon"
+        )
+        labeled = crawled.select(
+            F.coalesce("extracted_text", F.lit("")).alias("text"),
+            F.expr(relevant_expr).alias("label"),
+        ).where(F.col("label").isNotNull())
+        if labeled.isEmpty():
+            raise ValueError(
+                "apply_focused: relevant_expr labeled zero crawled rows "
+                "(page rows carry text only with cfg.main_content; offer "
+                "rows always do) — nothing to train on"
+            )
+        ratios, prior = nb_train(labeled, n_buckets=n_buckets)
+        if self._kind_paths("link"):
+            links = with_canonical_url(
+                self._read_wave_out("link").select("out_url", "anchor"),
+                "out_url", "dst_canon", host_out=None,
+            ).select("dst_canon", "anchor")
+        else:
+            links = self.spark.createDataFrame(
+                [], "dst_canon string, anchor string"
+            )
+        frontier = self._read_frontier()
+        ctx = frontier_context(frontier.select("url_canon"), links)
+        hot = (
+            focused_scores(ctx, ratios, prior, n_buckets=n_buckets)
+            .where(F.col("score_micro") >= F.lit(int(threshold_micro)))
+            .select("url_canon", F.lit(1).alias("_fc"))
+        )
+        boosted = (
+            frontier.join(hot, "url_canon", "left")
+            .withColumn(
+                "priority",
+                F.when(
+                    F.col("_fc").isNotNull(),
+                    F.greatest(F.col("priority"), F.lit(int(boost_to))),
+                )
+                .otherwise(F.col("priority"))
+                .cast("int"),
+            )
+            .drop("_fc")
+            .select(*[c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")])
+        )
+        staged = {"frontier": [self._stage(boosted, "frontier", wave, "none")]}
+        n = self._rowcount(staged["frontier"])
+        self.io.commit_wave(wave, staged, {"focused_frontier": n})
+        return {"wave": wave, "boosted": n}
+
     def _read_opic(self) -> DataFrame | None:
         """Latest committed OPIC state (replace semantics, like the
         frontier), or None before the first ``apply_opic`` commit. The
