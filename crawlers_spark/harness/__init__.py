@@ -102,6 +102,8 @@ _FRONT = [
     "crawl_focused_priorities",
     "docs_line_dedup",
     "docs_langid_profiles",
+    "crawl_mirror_hosts",
+    "docs_temperature_mix",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -113,11 +115,9 @@ _FRONT = [
     "embed_dedup_clusters",
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
-    "rel_pricing_summary",
     "rel_anti_join_customers_no_orders",
     "rel_json_event_props",
     "crawl_canonicalize_urls",
-    "crawl_frontier_topk_per_host",
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
@@ -142,6 +142,16 @@ _TAIL = [
     # docs_langid_profiles (the trained Cavnar–Trenkle classifier over
     # the same table) — displaced by it
     "docs_lang_id",
+    # rel_pricing_summary's filtered-scan 2-phase-agg family stays
+    # in-window via rel_anti_join_customers_no_orders +
+    # rel_json_event_props (same pushdown/agg shapes) and is a bench.py
+    # headline measured every round — displaced by crawl_mirror_hosts
+    "rel_pricing_summary",
+    # crawl_frontier_topk_per_host's salted two-phase top-k family
+    # stays in-window via crawl_domain_budget_topk (the same two-phase
+    # exact top-k at domain granularity) and is a bench.py headline —
+    # displaced by docs_temperature_mix
+    "crawl_frontier_topk_per_host",
     # displaced by this session's new queries (one-for-one; each
     # family keeps an in-window countersignature, noted per entry):
     # rel_distinct_users_per_type's distinct family stays in-window via

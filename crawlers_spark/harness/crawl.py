@@ -2715,6 +2715,81 @@ CROSS JOIN prior p
 """
 
 
+def q_mirror_hosts(spark, sf):
+    """Host-pair mirror detection (Bharat & Broder, WWW 1999;
+    operators/mirrors.py) over a deterministic host zoo: hosts h0–h5
+    where h_k and h_{k+3} serve identical 4-digest content sets, each
+    host adds one private page, one boilerplate digest sits on all six
+    hosts (over the 4-host pairing cap — excluded from pairing, still
+    counted in sizes), and a 3-host shared digest plants sub-threshold
+    partial overlaps. The oracle replays the distinct/cap/threshold
+    contract verbatim (integer cross-multiplied compare).
+    """
+    from crawlers_spark.operators.mirrors import mirror_host_pairs
+
+    docs = load(spark, sf, "documents")
+    h = F.expr("(doc_id DIV 4) % 6")
+    v = F.col("doc_id") % 4
+    f = F.col("doc_id") % 5
+    host = F.concat(F.lit("h"), h.cast("string"))
+    rows = docs.select(host.alias("host"), h.alias("h"), v.alias("v"), f.alias("f"))
+    parts = [
+        rows.select(
+            "host",
+            F.md5(
+                F.concat(F.lit("c"), (F.col("h") % 3).cast("string"), F.lit("-"), F.col("v").cast("string"))
+            ).alias("digest"),
+        ),
+        rows.where(F.col("v") == 0).select(
+            "host", F.md5(F.concat(F.lit("p"), F.col("h").cast("string"))).alias("digest")
+        ),
+        rows.select("host", F.md5(F.lit("q")).alias("digest")),
+        rows.where(F.col("f") == 0).select(
+            "host",
+            F.md5(F.concat(F.lit("x"), (F.col("h") % 2).cast("string"))).alias("digest"),
+        ),
+    ]
+    pages = parts[0]
+    for p in parts[1:]:
+        pages = pages.unionByName(p)
+    return mirror_host_pairs(pages, threshold_pct=50, max_hosts_per_digest=4)
+
+
+SQL_MIRROR_HOSTS = """
+WITH rows0 AS (
+  SELECT (doc_id // 4) % 6 AS h, doc_id % 4 AS v, doc_id % 5 AS f
+  FROM documents),
+pages AS (
+  SELECT 'h' || CAST(h AS VARCHAR) AS host,
+         md5('c' || CAST(h % 3 AS VARCHAR) || '-' || CAST(v AS VARCHAR)) AS digest
+  FROM rows0
+  UNION ALL
+  SELECT 'h' || CAST(h AS VARCHAR), md5('p' || CAST(h AS VARCHAR))
+  FROM rows0 WHERE v = 0
+  UNION ALL
+  SELECT 'h' || CAST(h AS VARCHAR), md5('q') FROM rows0
+  UNION ALL
+  SELECT 'h' || CAST(h AS VARCHAR), md5('x' || CAST(h % 2 AS VARCHAR))
+  FROM rows0 WHERE f = 0),
+hd AS (SELECT DISTINCT host, digest FROM pages),
+sizes AS (SELECT host, COUNT(*) AS sz FROM hd GROUP BY 1),
+spread AS (SELECT digest, COUNT(*) AS nh FROM hd GROUP BY 1),
+pairable AS (SELECT hd.host, hd.digest FROM hd JOIN spread USING (digest)
+             WHERE nh <= 4),
+pairs AS (SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+          FROM pairable a JOIN pairable b USING (digest)
+          WHERE a.host < b.host GROUP BY 1, 2)
+SELECT host_a, host_b,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(sa.sz AS BIGINT) AS size_a,
+       CAST(sb.sz AS BIGINT) AS size_b,
+       shared * 100 >= 50 * LEAST(sa.sz, sb.sz) AS is_mirror
+FROM pairs
+JOIN sizes sa ON sa.host = pairs.host_a
+JOIN sizes sb ON sb.host = pairs.host_b
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -2747,6 +2822,7 @@ QUERIES = {
     "crawl_scc_bowtie": (q_scc_bowtie, SQL_SCC_BOWTIE),
     "crawl_dust_params": (q_dust_params, SQL_DUST_PARAMS),
     "crawl_focused_priorities": (q_focused_priorities, SQL_FOCUSED),
+    "crawl_mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

@@ -1811,9 +1811,41 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 """
 
 
+def q_temperature_mix(spark, sf):
+    """α=½ temperature-flattened multilingual mixing
+    (`operators/sampling.py temperature_mix`, the mC4/XLM-R
+    rebalancing family): per-language keep rate √(n_min/n_l) realized
+    through the repo's md5-threshold sampling contract. α is fixed at
+    ½ so every step (division, sqrt, ·2^32) is correctly rounded /
+    exact — the oracle recomputes the identical thresholds and
+    countersigns the kept MEMBERSHIP row for row.
+    """
+    from crawlers_spark.operators.sampling import temperature_mix
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    return temperature_mix(docs)
+
+
+SQL_TEMPERATURE_MIX = """
+WITH n AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+mn AS (SELECT MIN(c) AS cmin FROM n),
+thr AS (
+  SELECT lang,
+         CASE WHEN c <= cmin THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(
+                     sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))
+                     * 4294967296.0) AS BIGINT))), 8, '0') END AS t
+  FROM n, mn)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < t
+"""
+
+
 QUERIES = {
     "docs_line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "docs_langid_profiles": (q_langid_profiles, SQL_LANGID_PROFILES),
+    "docs_temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "docs_substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "docs_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "docs_host_quality": (q_host_quality, SQL_HOST_QUALITY),

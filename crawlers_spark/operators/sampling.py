@@ -206,3 +206,73 @@ def assign_token_shards(
     ).withColumn(
         "shard", F.floor(F.col("cum_prev") / F.lit(int(shard_tokens))).cast("int")
     )
+
+
+def temperature_rates(
+    docs: DataFrame, lang_col: str = "lang"
+) -> DataFrame:
+    """(lang, n, thr) — per-language keep thresholds realizing
+    temperature-flattened multilingual mixing at α = 0.5 (the
+    mC4/XLM-R rebalancing family: sample language l with probability
+    ∝ p_l^α, Conneau et al. 2020 — public). With α = ½ the algebra
+    collapses beautifully: the realized mixture q_l ∝ √n_l needs
+    per-row keep rate ∝ q_l/n_l = 1/√n_l, and scaling so the rarest
+    language keeps everything gives ``rate_l = √(n_min/n_l)`` — the
+    post-sample size is √(n_min·n_l), the geometric mean, exactly the
+    α=½ flattening. No upsampling, no RNG.
+
+    α is FIXED at ½ on purpose: sqrt and division are correctly
+    rounded IEEE ops and 16^8 = 2^32 scales exactly, so the
+    threshold integer is bit-identical in every engine (a general
+    ``pow(x, α)`` is not correctly rounded and would put a 1-ulp
+    cross-engine risk inside the keep decision itself — worse than
+    the documented ln() caveat in lm.py, which only perturbs scores).
+
+    Scale: one (lang) partial-agg + a 1-row global min broadcast —
+    the rate table is language-cardinality-sized.
+    """
+    n = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n"))
+    cmin = n.agg(F.min("n").alias("cmin"))
+    thr = (
+        F.when(F.col("n") <= F.col("cmin"), F.lit(KEEP_ALL))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.floor(
+                            F.sqrt(F.col("cmin").cast("double") / F.col("n").cast("double"))
+                            * F.lit(float(HEX_SPACE))
+                        ).cast("bigint")
+                    )
+                ),
+                8,
+                "0",
+            )
+        )
+    )
+    return n.crossJoin(F.broadcast(cmin)).select(
+        F.col(lang_col).alias("lang"), F.col("n").cast("bigint").alias("n"), thr.alias("thr")
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """``docs`` filtered to the α=½ temperature-flattened sample
+    (schema unchanged): join the broadcast per-language thresholds,
+    keep rows whose md5 sample key falls under their language's
+    threshold — the same map-only hash contract as
+    ``stratified_sample``, with the rates LEARNED from corpus counts
+    instead of supplied."""
+    rates = temperature_rates(docs, lang_col).select(
+        F.col("lang").alias("__lang"), "thr"
+    )
+    return (
+        docs.join(F.broadcast(rates), docs[lang_col] == F.col("__lang"))
+        .where(sample_key(F.col(id_col), salt=salt) < F.col("thr"))
+        .drop("__lang", "thr")
+    )
