@@ -104,6 +104,7 @@ _FRONT = [
     "docs_langid_profiles",
     "crawl_mirror_hosts",
     "docs_temperature_mix",
+    "crawl_snapshot_diff",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -117,7 +118,6 @@ _FRONT = [
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "rel_anti_join_customers_no_orders",
     "rel_json_event_props",
-    "crawl_canonicalize_urls",
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
@@ -152,6 +152,12 @@ _TAIL = [
     # exact top-k at domain granularity) and is a bench.py headline —
     # displaced by docs_temperature_mix
     "crawl_frontier_topk_per_host",
+    # crawl_canonicalize_urls' canonicalization family stays in-window
+    # via crawl_registrable_domain + every crawl query that keys on
+    # url_canon, plus the RFC 3986 property suite and e2e byte parity
+    # — displaced by crawl_snapshot_diff. Its own driver row stays r2:
+    # MUST lead round 5's window.
+    "crawl_canonicalize_urls",
     # displaced by this session's new queries (one-for-one; each
     # family keeps an in-window countersignature, noted per entry):
     # rel_distinct_users_per_type's distinct family stays in-window via

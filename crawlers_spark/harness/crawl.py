@@ -2790,6 +2790,57 @@ JOIN sizes sb ON sb.host = pairs.host_b
 """
 
 
+def q_snapshot_diff(spark, sf):
+    """Crawl-over-crawl delta report (operators/recrawl.py
+    snapshot_diff): two snapshots derived from doc ids — a page is
+    absent from the OLD crawl on %5=4 (→ added), absent from the NEW
+    on %7=6 (→ removed), content-changed on %3=0, else unchanged. The
+    oracle restates the full-outer-join classification verbatim.
+    """
+    from crawlers_spark.operators.recrawl import snapshot_diff
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://s"), (d % 9).cast("string"), F.lit(".example/p/"), d.cast("string")
+    )
+    old = docs.where(d % 5 != 4).select(
+        url.alias("url_canon"),
+        F.md5(
+            F.concat(
+                F.lit("v"), d.cast("string"),
+                F.when(d % 3 == 0, F.lit("old")).otherwise(F.lit("")),
+            )
+        ).alias("digest"),
+    )
+    new = docs.where(d % 7 != 6).select(
+        url.alias("url_canon"),
+        F.md5(F.concat(F.lit("v"), d.cast("string"))).alias("digest"),
+    )
+    return snapshot_diff(old, new)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT 'https://s' || CAST(doc_id % 9 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS u,
+         md5('v' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0 THEN 'old' ELSE '' END) AS dg
+  FROM documents WHERE doc_id % 5 <> 4),
+new AS (
+  SELECT 'https://s' || CAST(doc_id % 9 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS u,
+         md5('v' || CAST(doc_id AS VARCHAR)) AS dg
+  FROM documents WHERE doc_id % 7 <> 6)
+SELECT COALESCE(o.u, n.u) AS url_canon,
+       CASE WHEN o.u IS NULL THEN 'added'
+            WHEN n.u IS NULL THEN 'removed'
+            WHEN o.dg = n.dg THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.u = n.u
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -2823,6 +2874,7 @@ QUERIES = {
     "crawl_dust_params": (q_dust_params, SQL_DUST_PARAMS),
     "crawl_focused_priorities": (q_focused_priorities, SQL_FOCUSED),
     "crawl_mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
+    "crawl_snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

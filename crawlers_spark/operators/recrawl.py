@@ -224,3 +224,37 @@ def revalidate_candidates(
         )
         .drop("_etag_rec", "_etag_now")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    url_col: str = "url_canon",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """(url_canon, status) — the incremental-crawl delta report
+    between two crawl snapshots of ``(url, content digest)`` rows:
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    digest differs), ``unchanged`` (both, digest equal).  The
+    Common-Crawl-style crawl-over-crawl report every continuous
+    crawler publishes, and the summary input to the freshness triad
+    (schedule_recrawls / revalidate / change_rate_schedule): per-host
+    ``changed`` ratios are exactly the change-rate evidence the Cho &
+    Garcia-Molina estimator consumes.
+
+    One full outer join keyed by canonical URL; duplicate rows per
+    URL collapse to the max digest first (deterministic regardless of
+    row order), so inputs may be raw page tables.  Scales as a single
+    URL-keyed shuffle on each side.
+    """
+    o = old.groupBy(F.col(url_col).alias("u")).agg(F.max(digest_col).alias("od"))
+    n = new.groupBy(F.col(url_col).alias("u")).agg(F.max(digest_col).alias("nd"))
+    return o.join(n, "u", "full_outer").select(
+        F.col("u").alias(url_col),
+        F.when(F.col("od").isNull(), F.lit("added"))
+        .when(F.col("nd").isNull(), F.lit("removed"))
+        .when(F.col("od") == F.col("nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -1726,6 +1726,29 @@ class CrawlEngine:
             edges, k=k, max_fanout=max_fanout, min_cocite=min_cocite
         )
 
+    def mirror_hosts(
+        self, *, threshold_pct: int = 50, max_hosts_per_digest: int = 64
+    ) -> DataFrame:
+        """Host-pair mirror report over everything FETCHED so far
+        (operators/mirrors.py; Bharat & Broder 1999): host pairs whose
+        distinct ``content_digest`` sets overlap by at least
+        ``threshold_pct`` percent of the smaller host. The inter-host
+        dual of :meth:`trap_signals`' intra-host duplication — a
+        flagged pair means one whole host is a copy and the frontier
+        can stop paying politeness budget for it. Uses the same
+        visible-text digests the trap gate uses (requires
+        ``cfg.page_digests``, force-enabled with trap gating /
+        content-seen). Derived output; nothing commits."""
+        from crawlers_spark.operators.mirrors import mirror_host_pairs
+
+        pages = self._read_wave_out("page").select("host", "content_digest")
+        return mirror_host_pairs(
+            pages,
+            digest_col="content_digest",
+            threshold_pct=threshold_pct,
+            max_hosts_per_digest=max_hosts_per_digest,
+        )
+
     def trap_signals(self) -> DataFrame:
         """Per-host crawler-trap signals over everything FETCHED so far
         (operators/traps.py): URL-per-content duplication measured on
