@@ -105,6 +105,7 @@ _FRONT = [
     "crawl_mirror_hosts",
     "docs_temperature_mix",
     "crawl_snapshot_diff",
+    "crawl_sitemap_changefreq",
     # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
     # oracle rule family), PII counts on the progressively scrubbed
     # string, and the scale-adaptive-bucketing signature change in
@@ -117,7 +118,6 @@ _FRONT = [
     # the ENTIRE r2-countersigned tail rotates back into the window
     # (r3 VERDICT item 1): these 43 queries' last driver row is r2
     "rel_anti_join_customers_no_orders",
-    "rel_json_event_props",
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
@@ -158,6 +158,11 @@ _TAIL = [
     # — displaced by crawl_snapshot_diff. Its own driver row stays r2:
     # MUST lead round 5's window.
     "crawl_canonicalize_urls",
+    # rel_json_event_props' JSON-functions family is pytest-covered via
+    # the WAT sink's canonical-JSON envelope round trip (test_wat) —
+    # displaced by crawl_sitemap_changefreq. Driver row stays r2: MUST
+    # lead round 5's window alongside crawl_canonicalize_urls.
+    "rel_json_event_props",
     # displaced by this session's new queries (one-for-one; each
     # family keeps an in-window countersignature, noted per entry):
     # rel_distinct_users_per_type's distinct family stays in-window via

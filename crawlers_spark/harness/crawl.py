@@ -2841,6 +2841,79 @@ FROM old o FULL OUTER JOIN new n ON o.u = n.u
 """
 
 
+def q_sitemap_changefreq(spark, sf):
+    """sitemaps.org changefreq/priority hints → scheduler columns
+    (extraction/sitemaps.py parse_sitemaps_full + changefreq_intervals),
+    as a build→parse round trip: each doc contributes a urlset with
+    one fully-hinted URL (changefreq cycling through all six protocol
+    values plus an invalid token; priority through valid decimals,
+    an invalid token, and the boundary '0') and one bare URL (absent
+    hints → NULL interval, default priority 500). The oracle restates
+    the expected entries and the interval/rounding contract directly
+    from the generation variables — the XML parse is verified by the
+    round trip.
+    """
+    from crawlers_spark.extraction.sitemaps import (
+        changefreq_intervals,
+        parse_sitemaps_full,
+    )
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example"))
+    cf = F.element_at(
+        F.array(*[F.lit(x) for x in (
+            "daily", "weekly", "hourly", "monthly", "yearly", "never",
+            "sometimes", "always",
+        )]),
+        (d % 8 + 1).cast("int"),
+    )
+    pr = F.element_at(
+        F.array(*[F.lit(x) for x in ("0.1", "0.5", "1.0", "0.9", "high", "0")]),
+        (d % 6 + 1).cast("int"),
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://"), host, F.lit("/p/"), d.cast("string"),
+        F.lit("</loc><changefreq>"), cf, F.lit("</changefreq><priority>"), pr,
+        F.lit("</priority></url><url><loc>https://"), host, F.lit("/q/"),
+        d.cast("string"), F.lit("</loc></url></urlset>"),
+    )
+    sm = docs.select(host.alias("host"), xml.alias("xml"))
+    out = changefreq_intervals(parse_sitemaps_full(sm))
+    return out.select("host", "loc", "changefreq", "interval_s", "priority_milli")
+
+
+SQL_SITEMAP_CHANGEFREQ = """
+WITH m AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CASE doc_id % 8 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+              WHEN 2 THEN 'hourly' WHEN 3 THEN 'monthly'
+              WHEN 4 THEN 'yearly' WHEN 5 THEN 'never'
+              WHEN 6 THEN 'sometimes' ELSE 'always' END AS cf,
+         CASE doc_id % 6 WHEN 0 THEN '0.1' WHEN 1 THEN '0.5'
+              WHEN 2 THEN '1.0' WHEN 3 THEN '0.9'
+              WHEN 4 THEN 'high' ELSE '0' END AS pr
+  FROM documents)
+SELECT host,
+       'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS loc,
+       cf AS changefreq,
+       CAST(CASE cf WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600
+                    WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+                    WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+                    ELSE NULL END AS BIGINT) AS interval_s,
+       CAST(CASE pr WHEN '0.1' THEN 100 WHEN '0.5' THEN 500
+                    WHEN '1.0' THEN 1000 WHEN '0.9' THEN 900
+                    WHEN 'high' THEN 500 ELSE 0 END AS INTEGER) AS priority_milli
+FROM m
+UNION ALL
+SELECT host,
+       'https://' || host || '/q/' || CAST(doc_id AS VARCHAR),
+       NULL, NULL, 500
+FROM m
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -2875,6 +2948,7 @@ QUERIES = {
     "crawl_focused_priorities": (q_focused_priorities, SQL_FOCUSED),
     "crawl_mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "crawl_snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "crawl_sitemap_changefreq": (q_sitemap_changefreq, SQL_SITEMAP_CHANGEFREQ),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
