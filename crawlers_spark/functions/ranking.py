@@ -106,3 +106,46 @@ def bm25_topk(
         .cast("int")
         .alias("rank"),
     )
+
+
+def inverted_index(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, df, doc_id, tf, positions) — a classic positional
+    inverted index over lowercase whitespace tokens: one row per
+    posting, ``df`` = number of documents containing the term,
+    ``tf`` = occurrences in this document, ``positions`` = the sorted
+    0-based token positions, comma-joined (a flat driver-hashable
+    encoding; consumers split on ',').
+
+    The search-side derivative that completes the ranking family: BM25
+    (`bm25_topk`) scores ad-hoc queries by recomputing tf/df per run —
+    an index EXPORT amortizes that over every future query, the same
+    way sources/cdx.py amortizes URL lookups. Scale: one (term, doc)
+    partial-agg shuffle (map-side combine collapses repeated terms
+    per partition) + one term-keyed df agg folded back by an equi-join
+    on term. Postings for one term land on one partition already
+    reduced to per-doc rows — bounded by document frequency, not by
+    positions. For a binary-searchable on-disk layout, export with
+    ``repartitionByRange(term).sortWithinPartitions(term)`` exactly
+    like the CDX shards (sources/cdx.py write pattern).
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(t == "", F.array().cast("array<string>")).otherwise(
+                F.split(t, r"\s+")
+            )
+        ).alias("pos", "term"),
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.array_join(
+            F.sort_array(F.collect_list("pos")).cast("array<string>"), ","
+        ).alias("positions"),
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return postings.join(df_t, "term").select(
+        "term", "df", id_col, "tf", "positions"
+    )

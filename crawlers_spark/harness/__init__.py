@@ -121,6 +121,13 @@ _FRONT = [
     "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
 ]
 _TAIL = [
+    # ---- ROUND-5 WINDOW LEADERS: new this session with the 50-row
+    # window already full of this round's other new/modified queries.
+    # Never driver-countersigned yet (local-oracle green + pytest) —
+    # they MUST front round 5's window together with the two flagged
+    # r2-signed rotations below.
+    "docs_inverted_index",
+    "stream_dedup_within_watermark",
     # rel_region_revenue's broadcast-join-agg family stays in-window
     # via rel_pricing_summary + rel_anti_join_customers_no_orders —
     # displaced by crawl_scc_bowtie

@@ -1842,8 +1842,46 @@ WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < t
 """
 
 
+def q_inverted_index(spark, sf):
+    """Positional inverted index (`functions/ranking.py
+    inverted_index`): one posting row per (term, doc) with df, tf, and
+    the sorted 0-based position list comma-joined. The oracle rebuilds
+    the index from the same tokenization (lowercase whitespace) with
+    parallel unnest + ordered string_agg. Restricted to the French
+    slice to keep the sf0.01 posting count oracle-friendly; the
+    operator itself is corpus-wide.
+    """
+    from crawlers_spark.functions.ranking import inverted_index
+
+    docs = load(spark, sf, "documents").where(F.col("lang") == "fr").select(
+        "doc_id", "text"
+    )
+    return inverted_index(docs)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+  FROM documents WHERE lang = 'fr'),
+toks AS (
+  SELECT doc_id, unnest(ts) AS term,
+         unnest(range(0, len(ts))) AS pos
+  FROM base),
+p AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+         string_agg(pos, ',' ORDER BY pos) AS positions
+  FROM toks GROUP BY 1, 2),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1)
+SELECT p.term, d.df, p.doc_id, p.tf, p.positions
+FROM p JOIN d USING (term)
+"""
+
+
 QUERIES = {
     "docs_line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "docs_inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "docs_langid_profiles": (q_langid_profiles, SQL_LANGID_PROFILES),
     "docs_temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "docs_substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),

@@ -237,8 +237,38 @@ FROM events c JOIN events p
 """
 
 
+def q_dedup_within_watermark(spark, sf):
+    """State-bounded streaming dedup via
+    ``dropDuplicatesWithinWatermark`` — the production dedup operator
+    at unbounded-stream scale (plain ``dropDuplicates`` keeps ALL keys
+    in state forever; the watermark variant evicts expired keys). The
+    source is the events stream UNIONED with itself, so every row
+    arrives exactly twice inside the watermark; dedup on event_id must
+    reduce the doubled stream back to the original rows. Bounded input
+    ⇒ final append-mode output ≡ batch DISTINCT (duplicate rows carry
+    identical payloads, so first-arrival semantics cannot diverge).
+    """
+    ev = _stream_events(spark, sf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev2 = _stream_events(spark, sf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    doubled = ev.unionByName(ev2)
+    dd = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return _run_to_table(dd, "append").select("event_id", "user_id", "event_type")
+
+
+SQL_STREAM_DEDUP_WM = """
+SELECT DISTINCT event_id, user_id, event_type FROM events
+"""
+
+
 QUERIES = {
     "stream_hourly_windows": (q_hourly_windows, SQL_STREAM_HOURLY),
+    "stream_dedup_within_watermark": (q_dedup_within_watermark, SQL_STREAM_DEDUP_WM),
     "stream_session_windows": (q_session_windows, SQL_STREAM_SESSION),
     "stream_stream_join_clicks_purchases": (q_stream_stream_join, SQL_STREAM_JOIN),
     "stream_distinct_users_per_type": (q_distinct_users, SQL_STREAM_DISTINCT),

@@ -79,3 +79,34 @@ def test_bm25_query_case_and_dup_insensitive(spark):
     a = sorted(map(tuple, bm25_topk(docs, ["join", "hash"], k=10).collect()))
     b = sorted(map(tuple, bm25_topk(docs, ["JOIN", "hash", "Hash"], k=10).collect()))
     assert a == b
+
+
+# ---------------------------------------------------- inverted index
+def test_inverted_index_hand(spark):
+    from crawlers_spark.functions.ranking import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b A"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        (r["term"], r["doc_id"]): (r["df"], r["tf"], r["positions"])
+        for r in inverted_index(docs).collect()
+    }
+    assert got == {
+        ("a", 1): (1, 2, "0,2"),     # lowercased, both positions
+        ("b", 1): (2, 1, "1"),
+        ("b", 2): (2, 1, "0"),
+        ("c", 2): (1, 1, "1"),
+    }
+
+
+def test_inverted_index_invariance(spark):
+    from crawlers_spark.functions.ranking import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} shared w{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    one = sorted(map(tuple, inverted_index(docs.repartition(1)).collect()))
+    many = sorted(map(tuple, inverted_index(docs.repartition(9)).collect()))
+    assert one == many
