@@ -1749,6 +1749,44 @@ class CrawlEngine:
             max_hosts_per_digest=max_hosts_per_digest,
         )
 
+    def dust_rules(self, *, min_support: int = 2) -> DataFrame:
+        """Learned per-host drop-parameter rewrite rules over
+        everything FETCHED so far (operators/dust.py; Bar-Yossef et
+        al. 2007): query params whose removal provably never changes
+        the visible-text digest. Feeds the static canonicalizer's
+        strip list with site-specific junk params (`sid`,
+        `jsessionid`) no global list knows. Reads only (url,
+        content_digest) from committed page rows (requires
+        ``cfg.page_digests``). Derived output; nothing commits — the
+        operator of record for applying rules is
+        operators/dust.py ``apply_dust_rules``."""
+        from crawlers_spark.operators.dust import dust_param_rules
+
+        pages = self._read_wave_out("page").select("url", "content_digest")
+        return dust_param_rules(
+            pages, digest_col="content_digest", min_support=min_support
+        )
+
+    def diff_since(self, wave: int) -> DataFrame:
+        """(url_canon, status) — what changed since committed ``wave``:
+        the crawl-over-crawl delta (operators/recrawl.py
+        snapshot_diff) between the page set committed up to and
+        including ``wave`` and the full current state. ``added`` URLs
+        were first fetched later, ``changed`` were refetched with a
+        different visible-text digest, ``removed`` cannot occur within
+        one monotone state dir (kept for cross-state-dir diffs).
+        Derived output; nothing commits."""
+        from crawlers_spark.operators.recrawl import snapshot_diff
+
+        pages = self._read_wave_out("page").select(
+            "url_canon", "content_digest", "wave"
+        )
+        old = pages.where(F.col("wave") <= int(wave)).select(
+            "url_canon", F.col("content_digest").alias("digest")
+        )
+        new = pages.select("url_canon", F.col("content_digest").alias("digest"))
+        return snapshot_diff(old, new)
+
     def trap_signals(self) -> DataFrame:
         """Per-host crawler-trap signals over everything FETCHED so far
         (operators/traps.py): URL-per-content duplication measured on

@@ -52,3 +52,28 @@ def test_engine_mirror_hosts_surface(spark):
     for r in rows:
         assert r["host_a"] < r["host_b"]
         assert 0 < r["shared"] <= min(r["size_a"], r["size_b"])
+
+
+def test_engine_diff_since_and_dust_rules(spark):
+    """diff_since: pages first fetched after the pivot wave are
+    'added', everything earlier is 'unchanged' (no refetch lanes in
+    this run); dust_rules runs over real state and learns nothing on
+    a fixture whose URLs carry no content-irrelevant params."""
+    from fixtures.gen_pages import ensure_fixture
+    from tests.test_crawl_e2e import make_engine
+
+    fx = ensure_fixture(300)
+    eng = make_engine(spark, fx, "diff_since", page_digests=True)
+    eng.run(max_waves=4)
+    pages = {
+        r["url_canon"]: r["wave"]
+        for r in eng._read_wave_out("page").select("url_canon", "wave").collect()
+    }
+    pivot = 2
+    got = {r["url_canon"]: r["status"] for r in eng.diff_since(pivot).collect()}
+    assert set(got) == set(pages)
+    for u, w in pages.items():
+        assert got[u] == ("unchanged" if w <= pivot else "added"), (u, w)
+
+    rules = eng.dust_rules().collect()
+    assert all(not r["irrelevant"] for r in rules)
