@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngrams", "language_profiles", "classify_language"]
+__all__ = [
+    "char_ngrams",
+    "language_profiles",
+    "classify_language",
+    "classify_language_udf",
+]
 
 
 def _tok_grams(tok: Column) -> Column:
@@ -63,7 +68,10 @@ def char_ngrams(text: Column) -> Column:
     Pure Catalyst higher-order expressions; empty/blank text → []."""
     t = F.trim(F.lower(text))
     toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        # drop empty pieces: a leading \t/\n survives trim (which strips
+        # only spaces) and Java's split would emit a leading "" token —
+        # whose padded form would feed sequence() a descending range
+        F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
     )
     return F.flatten(F.transform(toks, _tok_grams))
 
@@ -139,3 +147,80 @@ def classify_language(
         F.col("b.lang").alias("lang_pred"),
         F.col("b.dist").cast("bigint").alias("dist"),
     )
+
+
+def classify_language_udf(
+    docs: DataFrame,
+    profiles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_lang: int = 100,
+    k_doc: int = 50,
+) -> DataFrame:
+    """Map-only production path for :func:`classify_language` — value-
+    identical (parity-tested), ZERO exchanges.
+
+    The key observation: a document's rank profile is a pure function
+    of its own text (no cross-row information), and the language
+    profiles are a model (L×K rows — BPE-merges-sized), so
+    classification is embarrassingly parallel.  The expression path
+    exists for the SQL oracle; it pays a corpus-wide (doc, gram)
+    shuffle plus a per-doc window that this path never materializes —
+    the probe in BASELINE.md measured that shuffle at ~350M rows for
+    320k docs.  Here the profiles collect to the driver once (the
+    same driver-sized-model precedent as functions/bpe.py) and ship
+    in the task closure; each Arrow batch computes grams, top-k ranks
+    (the identical (count DESC, gram ASC) tie order), and the
+    out-of-place distance in plain Python ints.  Tokenization
+    replicates the JVM contract exactly: ASCII-\\s+ split (Python's
+    unicode \\s would also split NBSP -- Java/RE2 do not) of the
+    space-trimmed lowercase text, empty pieces dropped.
+    """
+    import pandas as pd
+
+    prof = {}
+    for r in profiles.collect():  # L×K rows — a model, not data
+        prof.setdefault(r["lang"], {})[r["gram"]] = r["rank"]
+    langs = sorted(prof)
+    kl = int(k_lang)
+    kd = int(k_doc)
+
+    def classify(it):
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"\s+", re.ASCII)
+
+        for pdf in it:
+            ids, preds, dists = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [
+                    t for t in ws.split((text or "").lower().strip(" ")) if t
+                ]
+                grams = []
+                for tok in toks:
+                    p = f"_{tok}_"
+                    grams += [p[i : i + 2] for i in range(len(p) - 1)]
+                    grams += [p[i : i + 3] for i in range(len(p) - 2)]
+                ids.append(did)
+                if not grams:
+                    preds.append(None)
+                    dists.append(None)
+                    continue
+                top = sorted(Counter(grams).items(), key=lambda kv: (-kv[1], kv[0]))[:kd]
+                best = None
+                for lang in langs:
+                    lp = prof[lang]
+                    d = 0
+                    for rank0, (g, _c) in enumerate(top, start=1):
+                        lr = lp.get(g)
+                        d += abs(rank0 - lr) if lr is not None else kl
+                    if best is None or (d, lang) < best:
+                        best = (d, lang)
+                preds.append(best[1])
+                dists.append(best[0])
+            yield pd.DataFrame({id_col: ids, "lang_pred": preds, "dist": dists})
+
+    out_schema = f"{id_col} long, lang_pred string, dist long"
+    return docs.select(id_col, text_col).mapInPandas(classify, out_schema)

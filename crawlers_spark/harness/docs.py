@@ -1771,7 +1771,9 @@ SQL_LANGID_PROFILES = r"""
 WITH tox AS (
   SELECT doc_id, lang,
          CASE WHEN trim(lower(text)) = '' THEN []
-              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+              ELSE list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') END AS ts
   FROM documents),
 toks AS (SELECT doc_id, lang, '_' || unnest(ts) || '_' AS p FROM tox),
 grams AS (

@@ -113,3 +113,30 @@ def test_parallelism_invariance(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_udf_parity(spark):
+    """classify_language_udf (map-only production path) is value-
+    identical to the expression path, including nasty whitespace
+    (tabs/newlines around tokens), a unicode NBSP that must NOT split
+    (Java/RE2 \\s is ASCII), and the blank doc."""
+    from crawlers_spark.functions.langid import classify_language_udf
+
+    train = spark.createDataFrame(TRAIN, "lang string, text string")
+    nasty = DOCS + [
+        (5, "\tle chien  dort\n"),
+        (6, "the fox jumps"),   # NBSP inside a "token"
+        (7, " \t\n "),
+    ]
+    docs = spark.createDataFrame(nasty, "doc_id long, text string")
+    profs = language_profiles(train, k_lang=K_LANG)
+    expr = sorted(
+        map(tuple, classify_language(docs, profs, k_lang=K_LANG, k_doc=K_DOC).collect())
+    )
+    udf = sorted(
+        map(
+            tuple,
+            classify_language_udf(docs, profs, k_lang=K_LANG, k_doc=K_DOC).collect(),
+        )
+    )
+    assert expr == udf
