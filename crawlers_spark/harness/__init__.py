@@ -128,6 +128,7 @@ _TAIL = [
     # r2-signed rotations below.
     "docs_inverted_index",
     "stream_dedup_within_watermark",
+    "crawl_robots_status_policy",
     # rel_region_revenue's broadcast-join-agg family stays in-window
     # via rel_pricing_summary + rel_anti_join_customers_no_orders —
     # displaced by crawl_scc_bowtie

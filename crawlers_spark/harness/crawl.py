@@ -2914,6 +2914,80 @@ FROM m
 """
 
 
+def q_robots_status_policy(spark, sf):
+    """RFC 9309 §2.3.1 robots fetch-status semantics
+    (operators/robots.py robots_status_policy): hosts derived from doc
+    ids cycle through every branch — 200 with a body, 301, 404
+    (unavailable = allow-all), fresh 503 (unreachable = disallow-all),
+    long-outage 503 with a cached copy (use cache), long-outage 500
+    without one (assume unavailable), and network status 0. The
+    oracle restates the status CASE, the 30-day outage boundary in
+    integer seconds, and the effective rules strings verbatim.
+    """
+    from crawlers_spark.operators.robots import robots_status_policy
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    v = d % 7
+    status = (
+        F.when(v == 0, 200).when(v == 1, 301).when(v == 2, 404)
+        .when(v == 3, 503).when(v == 4, 503).when(v == 5, 500)
+        .otherwise(0)
+    )
+    rules = F.when(
+        v == 0,
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /p"), (d % 3).cast("string"), F.lit("/")
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+    cached = F.when(
+        (v == 3) | (v == 4), F.lit("User-agent: *\nDisallow: /old/")
+    ).otherwise(F.lit(None).cast("string"))
+    err_since = (
+        F.when(
+            (v == 3) | (v == 6),
+            F.expr(
+                "timestampadd(SECOND, CAST(doc_id % 97 AS INT), "
+                "TIMESTAMP '2024-02-28 00:00:00')"
+            ),
+        )
+        .when(
+            (v == 4) | (v == 5), F.expr("TIMESTAMP '2024-01-01 00:00:00'")
+        )
+        .otherwise(F.lit(None).cast("timestamp"))
+    )
+    fetches = docs.select(
+        F.concat(F.lit("h"), d.cast("string")).alias("host"),
+        status.cast("int").alias("status"),
+        rules.alias("rules"),
+        cached.alias("cached_rules"),
+        err_since.alias("error_since_ts"),
+    )
+    return robots_status_policy(fetches, now="2024-03-01 00:00:00")
+
+
+SQL_ROBOTS_STATUS = """
+WITH f AS (
+  SELECT doc_id, doc_id % 7 AS v, 'h' || CAST(doc_id AS VARCHAR) AS host
+  FROM documents)
+SELECT host,
+       CASE WHEN v = 0 THEN 'parse'
+            WHEN v = 1 THEN 'redirect'
+            WHEN v = 2 THEN 'allow_all'
+            WHEN v = 3 THEN 'disallow_all'     -- fresh 503
+            WHEN v = 4 THEN 'cached'           -- long outage, cache
+            WHEN v = 5 THEN 'allow_all'        -- long outage, no cache
+            ELSE 'disallow_all' END AS policy, -- status 0, fresh
+       CASE WHEN v = 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /p'
+                             || CAST(doc_id % 3 AS VARCHAR) || '/'
+            WHEN v = 1 THEN NULL
+            WHEN v = 2 OR v = 5 THEN ''
+            WHEN v = 4 THEN 'User-agent: *' || chr(10) || 'Disallow: /old/'
+            ELSE 'User-agent: *' || chr(10) || 'Disallow: /' END AS rules
+FROM f
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -2949,6 +3023,7 @@ QUERIES = {
     "crawl_mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "crawl_snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "crawl_sitemap_changefreq": (q_sitemap_changefreq, SQL_SITEMAP_CHANGEFREQ),
+    "crawl_robots_status_policy": (q_robots_status_policy, SQL_ROBOTS_STATUS),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

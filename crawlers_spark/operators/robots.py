@@ -388,3 +388,66 @@ def stale_robots(
         F.lit(now_ts).cast("timestamp") - F.expr(f"INTERVAL {int(ttl_hours)} HOURS")
     )
     return robots.withColumn("robots_stale", ~F.coalesce(age_ok, F.lit(False)))
+
+
+DISALLOW_ALL_RULES = "User-agent: *\nDisallow: /"
+
+
+def robots_status_policy(
+    fetches: DataFrame,
+    *,
+    now: str,
+    long_outage_days: int = 30,
+) -> DataFrame:
+    """(host, policy, rules) — RFC 9309 §2.3.1 fetch-status semantics
+    for the robots.txt file itself, the piece the rule-matching gate
+    (``robots_flag``) deliberately does not know about:
+
+    - 2xx  → ``parse``: use the fetched body;
+    - 3xx  → ``redirect``: resolve first (≥5 hops = unavailable per
+      the RFC; operators/redirects.py owns chains), rules NULL here;
+    - 4xx  → ``allow_all`` ("unavailable" — the RFC says MAY access
+      any resources; Googlebot documents the same);
+    - 5xx / network-unreachable (status 0) → ``disallow_all``
+      ("unreachable" MUST be treated as complete disallow) — until
+      the outage exceeds ``long_outage_days`` (RFC: "reasonably long
+      period"), after which a cached copy MAY be used (``cached``) or,
+      with no cache, the file MAY be assumed unavailable
+      (``allow_all``).
+
+    Input rows: ``(host, status, rules, cached_rules,
+    error_since_ts)`` — ``rules`` the fetched body (2xx), ``cached_
+    rules`` the last good copy or NULL, ``error_since_ts`` when the
+    current error streak began.  The returned ``rules`` column is the
+    EFFECTIVE rules text and feeds ``robots_flag`` unchanged: '' for
+    allow-all (matches both dialects' empty-file semantics) and a
+    literal deny-everything file for disallow-all, so the downstream
+    gate needs no policy awareness at all.  Pure column expressions
+    over the host-cardinality robots table; integer second arithmetic
+    (``now`` is an ISO timestamp literal so replay is exact).
+    """
+    status = F.col("status")
+    long_out = (
+        F.unix_timestamp(F.lit(now)).cast("long")
+        - F.unix_timestamp(F.col("error_since_ts")).cast("long")
+    ) >= F.lit(int(long_outage_days) * 86400)
+    err = status.between(500, 599) | (status == 0)
+    policy = (
+        F.when(status.between(200, 299), F.lit("parse"))
+        .when(status.between(300, 399), F.lit("redirect"))
+        .when(status.between(400, 499), F.lit("allow_all"))
+        .when(err & long_out & F.col("cached_rules").isNotNull(), F.lit("cached"))
+        .when(err & long_out, F.lit("allow_all"))
+        .when(err, F.lit("disallow_all"))
+        .otherwise(F.lit("disallow_all"))
+    )
+    rules_eff = (
+        F.when(policy == "parse", F.col("rules"))
+        .when(policy == "cached", F.col("cached_rules"))
+        .when(policy == "allow_all", F.lit(""))
+        .when(policy == "disallow_all", F.lit(DISALLOW_ALL_RULES))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return fetches.select(
+        "host", policy.alias("policy"), rules_eff.alias("rules")
+    )
