@@ -129,6 +129,7 @@ _TAIL = [
     "docs_inverted_index",
     "stream_dedup_within_watermark",
     "crawl_robots_status_policy",
+    "crawl_jsonld_offers",
     # rel_region_revenue's broadcast-join-agg family stays in-window
     # via rel_pricing_summary + rel_anti_join_customers_no_orders —
     # displaced by crawl_scc_bowtie

@@ -2988,6 +2988,86 @@ FROM f
 """
 
 
+def q_jsonld_offers(spark, sf):
+    """schema.org JobPosting JSON-LD extraction (extraction/jsonld.py)
+    as a build→parse round trip: each doc embeds one posting cycling
+    through the salary shape zoo (MonetaryAmount with nested
+    QuantitativeValue, bare string, absent, currency-less), every
+    11th wraps it in an @graph envelope beside a non-posting object,
+    and every 13th page carries a second minimal posting block. The
+    oracle restates the expected flat rows from the generation
+    variables — tag finding, JSON parsing, and the raw-lexeme number
+    contract are all verified by the round trip.
+    """
+    from crawlers_spark.extraction.jsonld import extract_jsonld_offers
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    v = d % 4
+    ds = d.cast("string")
+    desc = F.regexp_replace(F.lower(F.substring("text", 1, 40)), "[^a-z0-9 ]", "")
+    date = F.concat(F.lit("2024-01-"), F.lpad((d % 28 + 1).cast("string"), 2, "0"))
+    sal = (
+        F.when(v == 0, F.concat(
+            F.lit('"baseSalary": {"currency": "EUR", "value": {"value": '),
+            ds, F.lit("}}, ")))
+        .when(v == 1, F.lit('"baseSalary": "negotiable", '))
+        .when(v == 2, F.lit(""))
+        .otherwise(F.concat(F.lit('"baseSalary": {"value": '), ds, F.lit("}, ")))
+    )
+    obj = F.concat(
+        F.lit('{"@type": "JobPosting", "title": "T'), ds,
+        F.lit('", "hiringOrganization": {"name": "C'), (d % 7).cast("string"),
+        F.lit('"}, "jobLocation": {"address": {"addressLocality": "L'),
+        (d % 5).cast("string"), F.lit('"}}, '), sal,
+        F.lit('"description": "'), desc, F.lit('", "datePosted": "'), date,
+        F.lit('"}'),
+    )
+    body = F.when(
+        d % 11 == 0,
+        F.concat(F.lit('{"@graph": [{"@type": "WebPage", "name": "n"}, '), obj, F.lit("]}")),
+    ).otherwise(obj)
+    extra = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">{"@type": "JobPosting", '
+                  '"title": "T2-'), ds, F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'), body,
+        F.lit("</script>"), extra, F.lit("</head><body>x</body></html>"),
+    )
+    url = F.concat(F.lit("https://jobs"), (d % 3).cast("string"), F.lit(".example/p/"), ds)
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return extract_jsonld_offers(pages)
+
+
+SQL_JSONLD_OFFERS = """
+WITH b AS (
+  SELECT doc_id, doc_id % 4 AS v,
+         'https://jobs' || CAST(doc_id % 3 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         regexp_replace(lower(substr(text, 1, 40)), '[^a-z0-9 ]', '', 'g') AS dsc,
+         '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dt
+  FROM documents)
+SELECT url,
+       'T' || CAST(doc_id AS VARCHAR) AS title,
+       'C' || CAST(doc_id % 7 AS VARCHAR) AS company,
+       'L' || CAST(doc_id % 5 AS VARCHAR) AS location,
+       CASE WHEN v = 0 THEN 'EUR ' || CAST(doc_id AS VARCHAR)
+            WHEN v = 1 THEN 'negotiable'
+            WHEN v = 2 THEN NULL
+            ELSE CAST(doc_id AS VARCHAR) END AS salary,
+       dsc AS description,
+       dt AS date_posted
+FROM b
+UNION ALL
+SELECT url, 'T2-' || CAST(doc_id AS VARCHAR), NULL, NULL, NULL, NULL, NULL
+FROM b WHERE doc_id % 13 = 0
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -3024,6 +3104,7 @@ QUERIES = {
     "crawl_snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "crawl_sitemap_changefreq": (q_sitemap_changefreq, SQL_SITEMAP_CHANGEFREQ),
     "crawl_robots_status_policy": (q_robots_status_policy, SQL_ROBOTS_STATUS),
+    "crawl_jsonld_offers": (q_jsonld_offers, SQL_JSONLD_OFFERS),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
