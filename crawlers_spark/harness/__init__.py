@@ -130,6 +130,7 @@ _TAIL = [
     "stream_dedup_within_watermark",
     "crawl_robots_status_policy",
     "crawl_jsonld_offers",
+    "docs_paragraph_bloom",
     # rel_region_revenue's broadcast-join-agg family stays in-window
     # via rel_pricing_summary + rel_anti_join_customers_no_orders —
     # displaced by crawl_scc_bowtie

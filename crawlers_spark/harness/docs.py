@@ -1881,9 +1881,73 @@ FROM p JOIN d USING (term)
 """
 
 
+def q_paragraph_bloom(spark, sf):
+    """Dolma-style incremental paragraph dedup
+    (`operators/textdedup.py paragraph_bloom_dedup`) THROUGH the
+    bloom-prefiltered path: the prior snapshot's paragraph-hash set is
+    loaded into real BloomShards and candidates take the O5→O4
+    exactness-guarded route, so the oracle can state plain membership
+    semantics (md5(trim(para)) ∈ seen ⇒ removed) while the engine
+    exercises the bloom probe — the same exactness claim as
+    crawl_bloom_dedup_exactness. Prior snapshot = the trimmed leading
+    60 chars of every 4th doc plus a universal shared-tail paragraph;
+    every 7th doc plants a blank paragraph (structure — always kept).
+    """
+    from crawlers_spark.operators.dedup import BloomShards
+    from crawlers_spark.operators.textdedup import paragraph_bloom_dedup
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    head = F.trim(F.substring("text", 1, 60))
+    seen = (
+        docs.where(d % 4 == 0)
+        .select(F.md5(head).alias("pkey"))
+        .unionByName(docs.limit(1).select(F.md5(F.lit("shared tail")).alias("pkey")))
+    )
+    txt = F.concat(
+        F.substring("text", 1, 60), F.lit("\n"),
+        F.lit("fresh "), d.cast("string"),
+        F.when(d % 7 == 0, F.lit("\n")).otherwise(F.lit("")),
+        F.lit("\nshared tail"),
+    )
+    corpus = docs.select("doc_id", txt.alias("t"))
+    io = BloomShards(n_shards=8, bits_per_shard=1 << 16, n_hashes=5)
+    shards = io.update(None, seen, version=0, key="pkey")
+    return paragraph_bloom_dedup(corpus, seen, shards=shards, io=io, text_col="t")
+
+
+SQL_PARAGRAPH_BLOOM = """
+WITH seen AS (
+  SELECT md5(trim(substr(text, 1, 60))) AS pkey
+  FROM documents WHERE doc_id % 4 = 0
+  UNION SELECT md5('shared tail')),
+t AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || chr(10) || 'fresh ' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END
+         || chr(10) || 'shared tail' AS txt
+  FROM documents),
+l0 AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t),
+paras AS (SELECT doc_id, unnest(ls) AS para,
+                 unnest(range(1, len(ls) + 1)) AS pos FROM l0),
+marked AS (
+  SELECT doc_id, para, pos,
+         trim(para) = '' OR
+         md5(trim(para)) NOT IN (SELECT pkey FROM seen) AS kept
+  FROM paras)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN kept THEN para END, chr(10) ORDER BY pos),
+                '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "docs_line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "docs_inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "docs_paragraph_bloom": (q_paragraph_bloom, SQL_PARAGRAPH_BLOOM),
     "docs_langid_profiles": (q_langid_profiles, SQL_LANGID_PROFILES),
     "docs_temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "docs_substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),

@@ -267,7 +267,8 @@ def temperature_mix(
     keep rows whose md5 sample key falls under their language's
     threshold — the same map-only hash contract as
     ``stratified_sample``, with the rates LEARNED from corpus counts
-    instead of supplied."""
+    instead of supplied.  Rows with NULL ``lang_col`` are dropped (no
+    language, no mixture membership) — run language-ID first."""
     rates = temperature_rates(docs, lang_col).select(
         F.col("lang").alias("__lang"), "thr"
     )

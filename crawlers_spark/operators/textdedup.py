@@ -811,3 +811,58 @@ def line_dedup_stats(
         F.sum(F.col("_dup").isNotNull().cast("long")).cast("bigint").alias("n_removed"),
         F.array_join(F.transform(kept, lambda s: s["line"]), "\n").alias("clean_text"),
     )
+
+
+def paragraph_bloom_dedup(
+    docs: DataFrame,
+    seen_paras: DataFrame,
+    *,
+    shards: DataFrame | None = None,
+    io=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_paras, n_removed, clean_text) — Dolma-style incremental
+    PARAGRAPH dedup against a previous corpus snapshot (Soldaini et
+    al. 2024 dedupe paragraphs against a Bloom filter of everything
+    already in the corpus; Dolma accepts the false-positive rate —
+    this engine keeps its established exactness guard instead):
+    paragraphs are '\\n'-separated segments; a paragraph whose
+    md5-of-trimmed-text appears in ``seen_paras (pkey)`` is removed;
+    blank segments are document structure, always kept; survivors
+    rejoin in original order.
+
+    The seen-set plumbing is the URL seen-set machinery VERBATIM
+    (operators/dedup.py): pass ``shards`` (+ ``io=BloomShards(...)``)
+    to prefilter through the partitioned bloom with the O5→O4 exact
+    guard — at 10^10 paragraphs the bloom eliminates the exact
+    anti-join for everything provably new, which is almost all of a
+    fresh crawl. Without shards it degrades to the plain exact
+    anti-join. Differs from ``line_dedup_stats`` (frequency WITHIN the
+    current corpus) — this is membership against a PRIOR corpus, the
+    incremental-crawl lane.
+    """
+    from crawlers_spark.operators.dedup import BloomShards, anti_join_seen
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).withColumn("pkey", F.md5(F.trim("para")))
+    cand = paras.where(F.trim("para") != "").select(id_col, "pos", "pkey")
+    if shards is not None:
+        io = io or BloomShards()
+        kept_keys = io.filter_unseen(cand, shards, seen_paras, key="pkey")
+    else:
+        kept_keys = anti_join_seen(cand, seen_paras, key="pkey")
+    kept_mark = kept_keys.select(id_col, "pos", F.lit(True).alias("_keep"))
+    marked = paras.join(kept_mark, [id_col, "pos"], "left").withColumn(
+        "_kept", F.col("_keep").isNotNull() | (F.trim("para") == "")
+    )
+    kept = F.sort_array(
+        F.collect_list(F.when(F.col("_kept"), F.struct("pos", "para")))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum((~F.col("_kept")).cast("long")).cast("bigint").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["para"]), "\n").alias("clean_text"),
+    )
