@@ -131,6 +131,7 @@ _TAIL = [
     "crawl_robots_status_policy",
     "crawl_jsonld_offers",
     "docs_paragraph_bloom",
+    "embed_bitext_mine",
     # rel_region_revenue's broadcast-join-agg family stays in-window
     # via rel_pricing_summary + rel_anti_join_customers_no_orders —
     # displaced by crawl_scc_bowtie

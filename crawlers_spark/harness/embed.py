@@ -493,7 +493,61 @@ FROM ranked WHERE rank <= {k}
 SQL_PQ_KMEANS_TOPK = _pq_kmeans_sql()
 
 
+def q_bitext_mine(spark, sf):
+    """Margin-based bitext mining (operators/similarity.py
+    bitext_margin_pairs; Artetxe & Schwenk 2019): even vec_ids play
+    the source language, odd ids the target; per source, the best
+    target neighbor with the 2k-scaled integer margin against both
+    top-4 neighborhoods. The oracle replays the identical cosine
+    expression tree, both rank windows, the neighborhood sums, and
+    the division-free margin algebra.
+    """
+    from crawlers_spark.operators.similarity import bitext_margin_pairs
+
+    e = load(spark, sf, "embeddings")
+    src = e.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 80))
+    tgt = e.where(F.col("vec_id") % 2 == 1)
+    return bitext_margin_pairs(src, tgt, k=4, margin_threshold_micro=0)
+
+
+SQL_BITEXT_MINE = f"""
+WITH dots AS (
+  SELECT s.src_id, t.tgt_id,
+         sum(s.sv[CAST(d AS INT)] * t.tv[CAST(d AS INT)]) AS dot,
+         sum(s.sv[CAST(d AS INT)] * s.sv[CAST(d AS INT)]) AS ns,
+         sum(t.tv[CAST(d AS INT)] * t.tv[CAST(d AS INT)]) AS nt
+  FROM (SELECT vec_id AS src_id, {_Q} AS sv FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id < 80) s
+  CROSS JOIN (SELECT vec_id AS tgt_id, {_Q} AS tv FROM embeddings
+              WHERE vec_id % 2 = 1) t
+  CROSS JOIN range(1, {N_DIMS + 1}) r(d)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT src_id, tgt_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(ns AS DOUBLE))
+           / sqrt(CAST(nt AS DOUBLE)) AS sim
+  FROM dots),
+m AS (
+  SELECT src_id, tgt_id, sim,
+         CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS cm,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY sim DESC, tgt_id ASC) AS r_s,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY sim DESC, src_id ASC) AS r_t
+  FROM scored),
+sx AS (SELECT src_id, SUM(cm) AS sum_x FROM m WHERE r_s <= 4 GROUP BY 1),
+sy AS (SELECT tgt_id, SUM(cm) AS sum_y FROM m WHERE r_t <= 4 GROUP BY 1)
+SELECT m.src_id, m.tgt_id,
+       {_ROUND6.format('m.sim')} AS cosine_sim,
+       CAST(8 * cm - sum_x - sum_y AS BIGINT) AS margin_scaled,
+       (8 * cm - sum_x - sum_y) >= 0 AS accepted
+FROM m JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+WHERE r_s = 1
+"""
+
+
 QUERIES = {
+    "embed_bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "embed_pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "embed_pq_kmeans_topk": (q_pq_kmeans_topk, SQL_PQ_KMEANS_TOPK),
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

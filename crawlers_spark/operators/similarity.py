@@ -928,3 +928,76 @@ def pq_kmeans_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "d2_pq")
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_micro: int = 0,
+) -> DataFrame:
+    """(src_id, tgt_id, cosine_sim, margin_scaled, accepted) —
+    margin-based bitext candidate mining (Artetxe & Schwenk, ACL 2019
+    — the scoring behind CCMatrix/WikiMatrix parallel-corpus
+    extraction; public): for every source-language embedding, its
+    best target-language neighbor, scored by how much it beats the
+    NEIGHBORHOOD — ``margin = cos(x,y) − (Σ_{z∈NNk(x)} cos(x,z) +
+    Σ_{z∈NNk(y)} cos(z,y)) / 2k`` — which suppresses hubs that are
+    "close to everything".
+
+    Exact-integer discipline: cosines quantize once to micro-units;
+    the reported ``margin_scaled`` is the 2k-scaled margin
+    ``2k·cos_micro − (sum_x + sum_y)`` — monotone-equivalent to the
+    paper's ratio-free margin with NO division, so acceptance and
+    ordering are pure integer arithmetic (``accepted`` ⇔ scaled
+    margin ≥ threshold; 0 = "beats the average of both
+    neighborhoods").
+
+    Plan: one broadcast cross of tgt × src (the ``cosine_topk``
+    shape — at mining scale feed IVF/PQ candidate pairs instead of
+    the full cross; the margin algebra is unchanged), two windows
+    (per-src and per-tgt rank — no global sort), two neighborhood-sum
+    aggregates joined back onto the per-src argmax.
+    """
+    s = src.select(F.col(id_col).alias("src_id"), quantize(F.col(vec_col)).alias("sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), quantize(F.col(vec_col)).alias("tv"))
+    scored = (
+        t.crossJoin(F.broadcast(s))
+        .select(
+            "src_id",
+            "tgt_id",
+            cosine(F.col("sv"), F.col("tv")).alias("sim"),
+        )
+        .withColumn("cos_micro", F.floor(F.col("sim") * 1000000 + F.lit(0.5)).cast("bigint"))
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
+    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
+    ranked = scored.withColumn("r_s", F.row_number().over(w_s)).withColumn(
+        "r_t", F.row_number().over(w_t)
+    )
+    sum_s = (
+        ranked.where(F.col("r_s") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_micro").alias("sum_x"))
+    )
+    sum_t = (
+        ranked.where(F.col("r_t") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_micro").alias("sum_y"))
+    )
+    best = ranked.where(F.col("r_s") == 1)
+    margin = (2 * int(k)) * F.col("cos_micro") - F.col("sum_x") - F.col("sum_y")
+    return (
+        best.join(sum_s, "src_id")
+        .join(sum_t, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            round6(F.col("sim")).alias("cosine_sim"),
+            margin.cast("bigint").alias("margin_scaled"),
+            (margin >= F.lit(int(margin_threshold_micro))).alias("accepted"),
+        )
+    )
