@@ -106,32 +106,36 @@ _FRONT = [
     "docs_temperature_mix",
     "crawl_snapshot_diff",
     "crawl_sitemap_changefreq",
-    # MODIFIED this round: RFC 9309 empty-matched-group fix (+ a 5th
-    # oracle rule family), PII counts on the progressively scrubbed
-    # string, and the scale-adaptive-bucketing signature change in
-    # operators/similarity.py (semdedup_prune / embedding_near_dup_pairs
-    # — embed_near_dup_pairs itself is below, in the returning tail)
-    "crawl_robots_rfc9309",
-    "docs_pii_scrub",
-    "embed_semdedup_prune",
-    "embed_dedup_clusters",
-    # the ENTIRE r2-countersigned tail rotates back into the window
-    # (r3 VERDICT item 1): these 43 queries' last driver row is r2
-    "rel_anti_join_customers_no_orders",
-    "embed_near_dup_pairs",  # r2 tail AND touched by the similarity signature change
-]
-_TAIL = [
-    # ---- ROUND-5 WINDOW LEADERS: new this session with the 50-row
-    # window already full of this round's other new/modified queries.
-    # Never driver-countersigned yet (local-oracle green + pytest) —
-    # they MUST front round 5's window together with the two flagged
-    # r2-signed rotations below.
+    # NEW this round (fifth-session additions, never driver-signed):
+    # with exactly 50 never-countersigned queries this round, the whole
+    # window goes to them — a query with NO external signature ever
+    # outranks a modified query that still has r2/r3 history plus the
+    # strict local replica + golden tests (the 4 modified ones lead the
+    # round-5 tail below)
     "docs_inverted_index",
     "stream_dedup_within_watermark",
     "crawl_robots_status_policy",
     "crawl_jsonld_offers",
     "docs_paragraph_bloom",
     "embed_bitext_mine",
+]
+_TAIL = [
+    # ---- ROUND-5 WINDOW LEADERS ----
+    # MODIFIED this round, displaced from the r4 window by the 50
+    # never-signed new queries: RFC 9309 empty-matched-group fix (+ a
+    # 5th oracle rule family), PII counts on the progressively scrubbed
+    # string, and the scale-adaptive-bucketing signature change in
+    # operators/similarity.py (semdedup_prune / embedding_near_dup_pairs).
+    # Each is strict-local-oracle green post-modification and carries an
+    # r2/r3 driver signature for the prior semantics; they MUST front
+    # round 5's window.
+    "crawl_robots_rfc9309",
+    "docs_pii_scrub",
+    "embed_semdedup_prune",
+    "embed_dedup_clusters",
+    "embed_near_dup_pairs",  # r2-signed AND touched by the similarity signature change
+    # r2-countersigned, untouched since — oldest remaining signature
+    "rel_anti_join_customers_no_orders",
     # rel_region_revenue's broadcast-join-agg family stays in-window
     # via rel_pricing_summary + rel_anti_join_customers_no_orders —
     # displaced by crawl_scc_bowtie
