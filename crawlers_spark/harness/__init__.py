@@ -121,6 +121,16 @@ _FRONT = [
 ]
 _TAIL = [
     # ---- ROUND-5 WINDOW LEADERS ----
+    # NEW in the sixth round-4 session (never driver-signed; a
+    # never-signed query outranks the modified ones below): the
+    # trained-perceptron quality classifier, IP-granularity politeness,
+    # per-host boilerplate removal, asymmetric containment pairs, and
+    # sliding-window streaming counts
+    "docs_quality_classifier",
+    "crawl_ip_politeness",
+    "docs_host_boilerplate",
+    "docs_containment_pairs",
+    "stream_sliding_counts",
     # MODIFIED this round, displaced from the r4 window by the 50
     # never-signed new queries: RFC 9309 empty-matched-group fix (+ a
     # 5th oracle rule family), PII counts on the progressively scrubbed

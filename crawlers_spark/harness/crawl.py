@@ -3092,7 +3092,63 @@ SELECT node, 2 AS r, CAST(count(*) AS BIGINT) AS ball FROM b2 GROUP BY node
 """
 
 
+def q_ip_politeness(spark, sf):
+    """IP-granularity politeness (`operators/politeness.py
+    ip_politeness_budget`, Scrapy's CONCURRENT_REQUESTS_PER_IP slot
+    semantics): hosts resolve to ip 10.0.0.(src_n % 4) — co-hosted
+    vhosts share ONE slot/budget — EXCEPT src_n % 7 = 5, which are
+    absent from the resolution table and must fall back to their own
+    host string as the slot with the engine-default delay (0.5 s →
+    budget 2, cadence 1 at a 1 s wave interval). Per-ip delays
+    0.5 + (m % 3)·0.75 make wave 3 a REAL gate: ips .1/.2 are
+    off-cadence (cadence 2) and vanish; ips .0/.3 and every
+    unresolved host pass with the max(1, floor) budget arithmetic.
+    Grouping by (slot, budget_k) with distinct-host counts
+    countersigns both the sharing (5 hosts on one ip slot) and the
+    fallback (1 host per unresolved slot)."""
+    from crawlers_spark.operators.politeness import ip_politeness_budget
+
+    fr = _frontier(spark, sf)
+    hosts = fr.select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    host_ip = hosts.where(n % 7 != 5).select(
+        "host", F.concat(F.lit("10.0.0."), (n % 4).cast("string")).alias("ip")
+    )
+    ips = host_ip.select("ip").distinct()
+    m = F.regexp_extract("ip", r"(\d+)$", 1).cast("int")
+    politeness = ips.select(
+        "ip",
+        (F.lit(0.5) + (m % 3) * F.lit(0.75)).alias("delay_s"),
+        (F.lit(3) + m % 4).cast("int").alias("max_per_wave"),
+    )
+    gated = ip_politeness_budget(fr, host_ip, politeness, wave=3, wave_interval_s=1.0)
+    return gated.groupBy("slot", "budget_k").agg(
+        F.count_distinct("host").alias("n_hosts"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+
+
+SQL_IP_POLITENESS = f"""
+SELECT slot, budget_k, COUNT(DISTINCT host) AS n_hosts, COUNT(*) AS n_candidates
+FROM (
+  SELECT host,
+         CASE WHEN src_n % 7 = 5 THEN host
+              ELSE '10.0.0.' || CAST(src_n % 4 AS VARCHAR) END AS slot,
+         CASE WHEN src_n % 7 = 5 THEN CAST(2 AS INT)
+              ELSE CAST(LEAST(3 + (src_n % 4) % 4,
+                              GREATEST(1, FLOOR(1.0 / (0.5 + ((src_n % 4) % 3) * 0.75)))) AS INT)
+         END AS budget_k,
+         CASE WHEN src_n % 7 = 5 THEN 1
+              ELSE CAST(CEIL((0.5 + ((src_n % 4) % 3) * 0.75) / 1.0) AS INT)
+         END AS cadence
+  FROM ({_SQL_URLS}) u) g
+WHERE 3 % cadence = 0 AND budget_k > 0
+GROUP BY slot, budget_k
+"""
+
+
 QUERIES = {
+    "crawl_ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
     "crawl_url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
     "crawl_host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "crawl_soft404": (q_soft404, SQL_SOFT404),

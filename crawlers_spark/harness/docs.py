@@ -1944,7 +1944,227 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_quality_classifier(spark, sf):
+    """Trained model-based quality filter
+    (`operators/quality_classifier.py`, the DCLM / FineWeb-Edu
+    pattern): a batch perceptron over hashed unigram+bigram counts
+    (md5 `qc|` bucket contract, B=512, bias feature) trained 3 fixed
+    epochs with labels y = +1 for English docs, −1 otherwise, then
+    every document scored under the final weights. Pure integer
+    arithmetic end to end, so the oracle UNROLLS the identical
+    3-epoch recurrence in SQL and must match bit-for-bit. Scale: the
+    weight vector (≤513 rows) broadcasts each epoch; the corpus never
+    shuffles to compute margins; only the model reaches the driver."""
+    from crawlers_spark.operators.quality_classifier import quality_classifier
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("int").alias("y"),
+    )
+    scores = quality_classifier(
+        docs, labels, n_buckets=512, epochs=3, spark=spark
+    )
+    return scores.join(labels, "doc_id").select("doc_id", "y", "score", "pred")
+
+
+_QC_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5('qc|' || gram), 6, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5('qc|' || gram), 7, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('qc|' || gram), 8, 1)) - 1) % 512"
+)
+
+SQL_QUALITY_CLASSIFIER = rf"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           ts,
+           list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+         )) AS gram
+  FROM toks),
+counts AS (
+  SELECT doc_id, {_QC_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, -1 AS bucket, CAST(1 AS BIGINT) AS n FROM toks),
+labels AS (SELECT doc_id, y FROM toks),
+-- epoch 1: w = 0 ⇒ every margin 0 ⇒ every labeled doc misclassified
+w1 AS (
+  SELECT bucket, SUM(y * n) AS w
+  FROM counts JOIN labels USING (doc_id) GROUP BY 1),
+m1 AS (
+  SELECT doc_id, SUM(n * COALESCE(w, 0)) AS margin
+  FROM counts LEFT JOIN w1 USING (bucket) GROUP BY 1),
+mis2 AS (
+  SELECT labels.doc_id, y FROM labels JOIN m1 USING (doc_id)
+  WHERE y * margin <= 0),
+d2 AS (
+  SELECT bucket, SUM(y * n) AS d
+  FROM counts JOIN mis2 USING (doc_id) GROUP BY 1),
+w2 AS (
+  SELECT COALESCE(w1.bucket, d2.bucket) AS bucket,
+         COALESCE(w, 0) + COALESCE(d, 0) AS w
+  FROM w1 FULL JOIN d2 ON w1.bucket = d2.bucket),
+m2 AS (
+  SELECT doc_id, SUM(n * COALESCE(w, 0)) AS margin
+  FROM counts LEFT JOIN w2 USING (bucket) GROUP BY 1),
+mis3 AS (
+  SELECT labels.doc_id, y FROM labels JOIN m2 USING (doc_id)
+  WHERE y * margin <= 0),
+d3 AS (
+  SELECT bucket, SUM(y * n) AS d
+  FROM counts JOIN mis3 USING (doc_id) GROUP BY 1),
+w3 AS (
+  SELECT COALESCE(w2.bucket, d3.bucket) AS bucket,
+         COALESCE(w2.w, 0) + COALESCE(d, 0) AS w
+  FROM w2 FULL JOIN d3 ON w2.bucket = d3.bucket),
+scores AS (
+  SELECT doc_id, SUM(n * COALESCE(w, 0)) AS margin
+  FROM counts LEFT JOIN w3 USING (bucket) GROUP BY 1)
+SELECT s.doc_id, CAST(l.y AS INT) AS y,
+       CAST(s.margin AS BIGINT) AS score, s.margin > 0 AS pred
+FROM scores s JOIN labels l USING (doc_id)
+"""
+
+
+def q_containment_pairs(spark, sf):
+    """Asymmetric shingle containment (`operators/textdedup.py
+    containment_pairs`, Broder 1997): the corpus is every document's
+    200-char prefix PLUS, for doc_id % 5 = 0, a planted 80-char
+    interior excerpt under id+1000000 — an excerpt's shingles sit
+    inside its source's, so C(excerpt→source) ≈ 1 while Jaccard is
+    small, the syndication/quote case Jaccard-based dedup misses. A
+    universal " visit our site today" suffix plants boilerplate
+    shingles in EVERY doc whose document frequency crosses the
+    max_df=100 prune — countersigning the DF guard, not just the
+    arithmetic. Sizes/intersections are exact integers over the
+    pruned sets; both containment directions are reported and the
+    pair survives on max(C_ab, C_ba) >= 0.3."""
+    from crawlers_spark.operators.textdedup import containment_pairs
+
+    d = load(spark, sf, "documents")
+    boiler = F.lit(" visit our site today")
+    full = d.select("doc_id", F.concat(F.substring("text", 1, 200), boiler).alias("t"))
+    excerpt = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.substring("text", 41, 80), boiler).alias("t"),
+    )
+    corpus = full.unionByName(excerpt)
+    return containment_pairs(corpus, "doc_id", "t", k=3, max_df=100, threshold=0.3)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH corpus AS (
+  SELECT doc_id, substr(text, 1, 200) || ' visit our site today' AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 41, 80) || ' visit our site today'
+  FROM documents WHERE doc_id % 5 = 0),
+words AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS ws FROM corpus),
+sh0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                                      i -> array_to_string(ws[i:i+2], ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM words),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0) g
+  WHERE df <= 100),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS containment_a_in_b,
+       CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS containment_b_in_a
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE GREATEST(CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE),
+               CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.3
+"""
+
+
+def q_host_boilerplate(spark, sf):
+    """Per-host boilerplate removal (`operators/textdedup.py
+    host_boilerplate_stats`, the CCNet/jusText site-template signal):
+    each doc is rebuilt as 5 lines over its host (= source) — a
+    host-templated welcome line (100% of the host's docs), a unique
+    content slice, a 20%-of-host line (doc_id % 100 < 20 — BELOW the
+    40% threshold, must be KEPT), a 52%-of-host line (doc_id % 40 <
+    20 — above, removed), and a host footer (100%, removed). doc_id ≡
+    src_n (mod 20) makes plain %2/%4 constant within a host, so the
+    planted fractions use the %100/%40 residue classes that DO vary
+    within one. Short texts make some content slices empty — blank
+    lines are structure, never matched, always kept. The value hash
+    covers the REJOINED clean text per doc."""
+    from crawlers_spark.operators.textdedup import host_boilerplate_stats
+
+    d = F.col("doc_id")
+    src = F.col("source")
+    txt = F.concat(
+        F.lit("welcome to "), src, F.lit("\n"),
+        F.substring("text", 1, 80), F.lit("\n"),
+        F.when(d % 100 < 20, F.concat(F.lit("subscribe at "), src)).otherwise(
+            F.substring("text", 81, 80)
+        ),
+        F.lit("\n"),
+        F.when(d % 40 < 20, F.concat(F.lit("menu home about "), src)).otherwise(
+            F.substring("text", 161, 80)
+        ),
+        F.lit("\nfooter "), src, F.lit(" all rights reserved"),
+    )
+    docs = load(spark, sf, "documents").select(
+        "doc_id", src.alias("host"), txt.alias("t")
+    )
+    return host_boilerplate_stats(docs, text_col="t", min_docs=3, min_pct=40)
+
+
+SQL_HOST_BOILERPLATE = """
+WITH t AS (
+  SELECT doc_id, source AS host,
+    'welcome to ' || source || chr(10) ||
+    substr(text, 1, 80) || chr(10) ||
+    CASE WHEN doc_id % 100 < 20 THEN 'subscribe at ' || source
+         ELSE substr(text, 81, 80) END || chr(10) ||
+    CASE WHEN doc_id % 40 < 20 THEN 'menu home about ' || source
+         ELSE substr(text, 161, 80) END || chr(10) ||
+    'footer ' || source || ' all rights reserved' AS txt
+  FROM documents),
+l0 AS (SELECT doc_id, host, string_split(txt, chr(10)) AS ls FROM t),
+lines AS (SELECT doc_id, host, unnest(ls) AS line,
+                 unnest(range(1, len(ls) + 1)) AS pos FROM l0),
+hs AS (SELECT host, COUNT(DISTINCT doc_id) AS n_docs FROM t GROUP BY 1),
+dup AS (
+  SELECT l.host, trim(line) AS k
+  FROM lines l JOIN hs ON hs.host = l.host
+  WHERE trim(line) <> ''
+  GROUP BY l.host, trim(line), hs.n_docs
+  HAVING hs.n_docs >= 3 AND COUNT(DISTINCT doc_id) * 100 >= 40 * hs.n_docs),
+marked AS (
+  SELECT l.doc_id, l.host, l.pos, l.line, d.k IS NOT NULL AS bp
+  FROM lines l LEFT JOIN dup d ON d.host = l.host AND d.k = trim(l.line))
+SELECT doc_id, host,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN bp THEN NULL ELSE line END,
+                           chr(10) ORDER BY pos), '') AS clean_text
+FROM marked GROUP BY doc_id, host
+"""
+
+
 QUERIES = {
+    "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),
+    "docs_quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "docs_line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "docs_inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "docs_paragraph_bloom": (q_paragraph_bloom, SQL_PARAGRAPH_BLOOM),

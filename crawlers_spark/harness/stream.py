@@ -266,7 +266,46 @@ SELECT DISTINCT event_id, user_id, event_type FROM events
 """
 
 
+# --------------------------------------- sliding (hopping) windows
+def q_sliding_counts(spark, sf):
+    """SLIDING-window aggregation (2-hour windows every 1 hour) — the
+    overlapping-window surface tumbling windows don't exercise: each
+    event lands in exactly duration/slide = 2 windows, so Spark's
+    window assignment (epoch-aligned starts every slide) is what the
+    oracle must reproduce — batch SQL replays it by fanning each event
+    to window starts bucket(ts) − {0,1} hours. Sums go through exact
+    DECIMAL so overlap double-counting is bit-reproducible."""
+    ev = _stream_events(spark, sf)
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_table(agg, "complete").select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_STREAM_SLIDING = """
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour' AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs) g
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "stream_sliding_counts": (q_sliding_counts, SQL_STREAM_SLIDING),
     "stream_hourly_windows": (q_hourly_windows, SQL_STREAM_HOURLY),
     "stream_dedup_within_watermark": (q_dedup_within_watermark, SQL_STREAM_DEDUP_WM),
     "stream_session_windows": (q_session_windows, SQL_STREAM_SESSION),

@@ -1,6 +1,6 @@
 from crawlers_spark.operators.frontier import select_wave_topk, with_salt  # noqa: F401
 from crawlers_spark.operators.dedup import anti_join_seen, BloomShards  # noqa: F401
-from crawlers_spark.operators.politeness import politeness_budget  # noqa: F401
+from crawlers_spark.operators.politeness import ip_politeness_budget, politeness_budget  # noqa: F401
 from crawlers_spark.operators.robots import robots_filter  # noqa: F401
 from crawlers_spark.operators.fetch import fetch_pages  # noqa: F401
 from crawlers_spark.operators.linkrank import (  # noqa: F401
@@ -18,5 +18,11 @@ from crawlers_spark.operators.focused import focused_scores, frontier_context, n
 from crawlers_spark.operators.mirrors import mirror_host_pairs  # noqa: F401
 from crawlers_spark.operators.sampling import temperature_mix, temperature_rates  # noqa: F401
 from crawlers_spark.operators.recrawl import snapshot_diff  # noqa: F401
-from crawlers_spark.operators.textdedup import line_dedup_stats, paragraph_bloom_dedup  # noqa: F401
+from crawlers_spark.operators.textdedup import (  # noqa: F401
+    containment_pairs,
+    host_boilerplate_stats,
+    line_dedup_stats,
+    paragraph_bloom_dedup,
+)
 from crawlers_spark.operators.similarity import bitext_margin_pairs  # noqa: F401
+from crawlers_spark.operators.quality_classifier import quality_classifier  # noqa: F401

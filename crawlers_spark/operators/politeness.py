@@ -242,3 +242,60 @@ def apply_retry_after(frontier: DataFrame, holds: DataFrame, wave: int) -> DataF
         .where(F.col("resume_wave").isNull() | (F.col("resume_wave") <= wave))
         .select(*frontier.columns)
     )
+
+
+def ip_politeness_budget(
+    frontier: DataFrame,
+    host_ip: DataFrame,
+    politeness_ip: DataFrame,
+    wave: int,
+    wave_interval_s: float = 60.0,
+) -> DataFrame:
+    """IP-granularity politeness gate — Scrapy's
+    ``CONCURRENT_REQUESTS_PER_IP`` analog (public framework behavior:
+    when per-IP limits are set, the downloader keys its slots by
+    resolved IP instead of domain, so a thousand vhosts on one shared
+    server still respect ONE budget for that server).
+
+    ``host_ip`` is the resolution table ``(host, ip)`` — in
+    production the output of an async-DNS warm pass, here injected
+    (deterministic in tests/oracles). A host absent from the table
+    falls back to its host string as the slot key, exactly Scrapy's
+    fallback to the domain slot — an unresolved host is never
+    silently merged with anything else. ``politeness_ip`` carries
+    ``(ip, delay_s, max_per_wave)`` at slot granularity; missing
+    slots get the engine defaults, the same double arithmetic as
+    :func:`politeness_budget`.
+
+    Returns the gated frontier with ``slot`` and ``budget_k``
+    attached: rows whose slot is off-cadence this wave or whose
+    budget is 0 are dropped, and the downstream wave top-k must rank
+    per ``slot`` (not per host) so co-hosted vhosts share the budget
+    instead of multiplying it.
+
+    Scale shape: the resolution table is host-cardinality and the
+    budget table is slot-cardinality — both broadcast; the frontier
+    never shuffles to be gated (one broadcast join each + one
+    filter). Slot skew (a CDN IP fronting many hot hosts) surfaces in
+    the downstream top-k, where the frontier's salting machinery
+    (``with_salt``) applies to ``slot`` exactly as it does to host.
+    """
+    fr = frontier.join(F.broadcast(host_ip.select("host", "ip")), "host", "left")
+    fr = fr.withColumn("slot", F.coalesce("ip", "host")).drop("ip")
+    tbl = (
+        politeness_budget_table(
+            politeness_ip.select(
+                F.col("ip").alias("host"), "delay_s", "max_per_wave"
+            ),
+            wave_interval_s,
+        )
+        .withColumnRenamed("host", "slot")
+    )
+    b0, c0 = default_budget_cadence(wave_interval_s)
+    bud = F.coalesce("budget_k", F.lit(b0))
+    cad = F.coalesce("cadence", F.lit(c0))
+    return (
+        fr.join(F.broadcast(tbl), "slot", "left")
+        .where((F.lit(wave) % cad == 0) & (bud > 0))
+        .select(*frontier.columns, "slot", bud.alias("budget_k"))
+    )

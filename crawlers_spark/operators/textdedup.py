@@ -866,3 +866,152 @@ def paragraph_bloom_dedup(
         F.sum((~F.col("_kept")).cast("long")).cast("bigint").alias("n_removed"),
         F.array_join(F.transform(kept, lambda s: s["para"]), "\n").alias("clean_text"),
     )
+
+
+# ----------------------------------------------- asymmetric containment
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    max_df: int = 1000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs (Broder 1997, "On the
+    resemblance and containment of documents"): for each candidate
+    pair, C(A→B) = |S(A)∩S(B)| / |S(A)| — near 1 when A is a quote,
+    excerpt, or syndicated fragment of B even though their symmetric
+    Jaccard is small. This is the signal Jaccard-based near-dup
+    (``minhash_lsh_pairs``/``jaccard_on_pairs``) structurally misses:
+    a 50-word excerpt of a 5000-word article has Jaccard ≈ 0.01 but
+    containment ≈ 1.0, and LLM-corpus pipelines deduplicate exactly
+    that case (syndication, quote farms, RSS scrapers).
+
+    Semantics: shingle sets are per-doc DISTINCT word ``k``-grams
+    (:func:`shingles`), pruned of shingles occurring in more than
+    ``max_df`` documents BEFORE any size or intersection is computed
+    (ubiquitous boilerplate shingles carry no identity signal and are
+    the quadratic blowup at web scale — same guard as
+    ``candidate_pairs``). Sizes and intersections are then exact
+    integers over the pruned sets; returned pairs are those with
+    ``max(C(A→B), C(B→A)) >= threshold``, with both directions
+    reported.
+
+    Output: (id_a, id_b, n_a, n_b, n_inter,
+    containment_a_in_b = n_inter/n_a, containment_b_in_a = n_inter/n_b)
+    with id_a < id_b.
+
+    Scale shape: one explode + one shingle-keyed window (DF prune),
+    one shingle-keyed equi self-join whose per-shingle fanout is
+    capped at ``max_df``² pairs, one pair-keyed partial agg (map-side
+    combine), two broadcast-size joins against the ≤corpus-sized size
+    table. Nothing is all-pairs; at 10^10 docs tighten ``max_df`` (or
+    pre-filter the pair space with ``minhash_lsh_pairs`` and feed the
+    survivors through the same size/intersection arithmetic).
+    """
+    sh = distinct_shingles(df, id_col, text_col, k)
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .where(F.col("df") <= F.lit(int(max_df)))
+        .drop("df")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            c_a.alias("containment_a_in_b"),
+            c_b.alias("containment_b_in_a"),
+        )
+        .where(F.greatest(c_a, c_b) >= F.lit(float(threshold)))
+    )
+
+
+# ------------------------------------------- per-host boilerplate removal
+def host_boilerplate_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_pct: int = 50,
+) -> DataFrame:
+    """(id, host, n_lines, n_removed, clean_text) — PER-HOST
+    boilerplate line removal (the CCNet / jusText observation that
+    boilerplate is site-templated: navigation, cookie banners, and
+    footers repeat across one host's pages, not across the web). A
+    line whose TRIMMED text occurs in at least ``min_pct`` percent of
+    the host's distinct documents — on hosts contributing at least
+    ``min_docs`` documents — is template boilerplate and is removed
+    from every document of that host; the same line on another host
+    is untouched. Blank lines are document structure, never matched,
+    always kept; survivors rejoin in original order.
+
+    Complements ``line_dedup_stats`` (global corpus frequency,
+    absolute ``min_dup`` threshold): a 20-page niche site's template
+    footer never crosses a global min_dup=10, but crosses 50% of its
+    own host trivially — and conversely a globally common line
+    ("home") on a single page of a large host stays, because the
+    threshold is relative to THAT host's page count.
+
+    The percent test is integer cross-multiplication
+    (``nd * 100 >= min_pct * n_docs``) — no float division, exact and
+    oracle-replayable.
+
+    Scale shape: one explode, one (host, line-key) partial-agg
+    shuffle with map-side combine, one (host)-keyed host-size join
+    against a host-cardinality table, one (host, line-key) equi-join
+    back (the boilerplate table is bounded by per-host TEMPLATE
+    vocabulary), one per-doc regroup. Keys carry the host, so a
+    host's lines never meet another host's — skew follows page-count
+    skew and is handled by the same AQE/salting as the frontier.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("k", F.trim("line"))
+    host_sizes = docs.groupBy(host_col).agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    dup = (
+        lines.where(F.col("k") != "")
+        .groupBy(host_col, "k")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .join(host_sizes, host_col)
+        .where(
+            (F.col("n_docs") >= F.lit(int(min_docs)))
+            & (F.col("nd") * 100 >= F.lit(int(min_pct)) * F.col("n_docs"))
+        )
+        .select(host_col, "k", F.lit(True).alias("_bp"))
+    )
+    marked = lines.join(dup, [host_col, "k"], "left")
+    kept = F.sort_array(
+        F.collect_list(F.when(F.col("_bp").isNull(), F.struct("pos", "line")))
+    )
+    return marked.groupBy(id_col, host_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_bp").isNotNull().cast("long")).cast("bigint").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["line"]), "\n").alias("clean_text"),
+    )
