@@ -131,6 +131,7 @@ _TAIL = [
     "docs_host_boilerplate",
     "docs_containment_pairs",
     "stream_sliding_counts",
+    "docs_dedup_keep_best",
     # MODIFIED this round, displaced from the r4 window by the 50
     # never-signed new queries: RFC 9309 empty-matched-group fix (+ a
     # 5th oracle rule family), PII counts on the progressively scrubbed

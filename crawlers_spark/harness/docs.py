@@ -2161,8 +2161,40 @@ FROM marked GROUP BY doc_id, host
 """
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware canonical selection (`operators/textdedup.py
+    keep_best_per_cluster`): the apply step after near-dup clustering
+    — exactly one survivor per cluster, the highest-score member, ties
+    to the smallest id. Clusters derive deterministically (doc_id %
+    37) so the oracle states pure argmax semantics; score = n_chars
+    guarantees real ties inside 500-doc clusters, countersigning the
+    deterministic tie-break, and the engine's two-phase
+    max(struct)-aggregate path (no window sort — the mega-cluster
+    guard) must agree with the oracle's window formulation exactly."""
+    from crawlers_spark.operators.textdedup import keep_best_per_cluster
+
+    d = load(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        (F.col("doc_id") % 37).alias("cluster"),
+        F.col("n_chars").alias("score"),
+    )
+    return keep_best_per_cluster(scored)
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH scored AS (
+  SELECT doc_id, doc_id % 37 AS cluster, n_chars AS score FROM documents)
+SELECT doc_id, cluster, score,
+       doc_id = FIRST_VALUE(doc_id) OVER (
+         PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),
     "docs_quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "docs_line_dedup": (q_line_dedup, SQL_LINE_DEDUP),

@@ -21,6 +21,7 @@ from crawlers_spark.operators.recrawl import snapshot_diff  # noqa: F401
 from crawlers_spark.operators.textdedup import (  # noqa: F401
     containment_pairs,
     host_boilerplate_stats,
+    keep_best_per_cluster,
     line_dedup_stats,
     paragraph_bloom_dedup,
 )

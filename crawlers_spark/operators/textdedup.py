@@ -1015,3 +1015,61 @@ def host_boilerplate_stats(
         F.sum(F.col("_bp").isNotNull().cast("long")).cast("bigint").alias("n_removed"),
         F.array_join(F.transform(kept, lambda s: s["line"]), "\n").alias("clean_text"),
     )
+
+
+# -------------------------------------- quality-aware canonical selection
+def keep_best_per_cluster(
+    scored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """(id, cluster, score, keep) — the APPLY step after near-dup
+    clustering: within each duplicate cluster keep exactly one
+    document, the highest-``score_col`` one (ties broken to the
+    smallest id, so selection is deterministic under any partitioning
+    and on resume). This is how production corpus pipelines turn
+    `dedup_clusters` output into a corpus: FineWeb/SlimPajama-style
+    "keep one representative", but quality-AWARE — the survivor is
+    the best-scoring member (a quality-classifier margin, a length
+    prior, a recency stamp), not the accidental min-id.
+
+    Deliberately NOT a window function: ``row_number() OVER
+    (PARTITION BY cluster)`` sorts every cluster, and the pathological
+    boilerplate mega-cluster (millions of members at web scale) lands
+    on one task. Instead the argmax is a two-phase hash aggregate —
+    ``max(struct(score, -id))`` has a map-side partial, so the hot
+    cluster's members reduce locally before one tiny merged row per
+    cluster crosses the wire — followed by a cluster-keyed equi-join
+    of the winner table back onto the rows. The winner table is
+    cluster-cardinality — with `dedup_clusters` output that is
+    corpus-cardinality (every doc belongs to a cluster, most are
+    singletons), so it is deliberately NOT broadcast-hinted: the join
+    shuffles on the cluster key the aggregate already produced
+    (Catalyst reuses that partitioning for the winner side), and AQE
+    is free to downgrade to broadcast when the input really is just
+    the non-singleton clusters.
+
+    ``scored`` must carry (id, cluster, score); score may be any
+    orderable numeric (cast happens on comparison, not stored).
+    Unclustered docs (cluster = own id from `dedup_clusters`) are
+    singleton clusters and trivially keep themselves.
+    """
+    rows = scored.select(
+        F.col(id_col), F.col(cluster_col), F.col(score_col)
+    )
+    best = rows.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid"))
+        ).alias("b")
+    ).select(cluster_col, (-F.col("b.negid")).alias("_best_id"))
+    return (
+        rows.join(best, cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            score_col,
+            (F.col(id_col) == F.col("_best_id")).alias("keep"),
+        )
+    )
