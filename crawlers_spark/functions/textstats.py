@@ -240,6 +240,44 @@ def bigram_stats(
     )
 
 
+def distinct_ngram_stats(
+    df: DataFrame, *, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Corpus-level lexical diversity per group: bigram type-token
+    ratio — distinct adjacent-token pairs over total pairs (the
+    distinct-n diversity metric used to audit training-data slices for
+    template/boilerplate collapse: a slice dominated by generated or
+    mirrored text shows a sharply lower ratio than organic prose).
+
+    Same whitespace tokens as :func:`bigram_stats` so the two share an
+    oracle-tokenization contract. Two-phase shape: explode → hash-agg
+    on ``(group, pair)`` (map-side combine bounds the shuffle by the
+    DISTINCT pair count, not corpus size) → per-group rollup rows (one
+    per group). The ratio divides two exact longs once — bit-identical
+    across engines.
+    """
+    ws = tokens_ws(F.col(text_col))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_pair = (
+        df.select(F.col(group_col).alias("grp"), F.explode(pairs).alias("pair"))
+        .groupBy("grp", "pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_pair.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("total_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")
+        ).alias("ttr_bigrams"),
+    )
+
+
 # ----------------------------------------------------------- PII scrubbing
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"

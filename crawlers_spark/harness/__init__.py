@@ -121,6 +121,15 @@ _FRONT = [
 ]
 _TAIL = [
     # ---- ROUND-5 WINDOW LEADERS ----
+    # NEW in the seventh round-4 session (never driver-signed):
+    # hreflang language-alternate clusters (reciprocity-validated),
+    # explicit GROUPING SETS, the stream-static enrichment join, and
+    # bigram type-token corpus diversity
+    "crawl_hreflang_clusters",
+    "rel_grouping_sets",
+    "stream_static_enrich",
+    "docs_ngram_diversity",
+    "embed_sq8_topk",
     # NEW in the sixth round-4 session (never driver-signed; a
     # never-signed query outranks the modified ones below): the
     # trained-perceptron quality classifier, IP-granularity politeness,

@@ -3147,7 +3147,102 @@ GROUP BY slot, budget_k
 """
 
 
+# ------------------- hreflang language-alternate clusters
+def q_hreflang_clusters(spark, sf):
+    """hreflang alternate clusters (`extraction/hreflang.py`): each
+    document joins a 3-language group (en/fr/de by doc_id%3, group
+    g=doc_id//3) whose pages cross-declare alternates in the full tag
+    zoo — attribute orders, quote styles, uppercase tag/label,
+    unquoted values, a stylesheet decoy every 11th page. Every 7th
+    group's de page omits its fr back-link, so the fr→de edge must
+    come back NON-reciprocal (the Google rule: ignore unconfirmed
+    pairs); the last (possibly incomplete) group exercises edges to
+    never-crawled pages. The oracle restates expected rollups from
+    the generation variables — tag parsing, reciprocity join, and
+    clique cluster keys are all verified against independently-derived
+    expectations.
+    """
+    from crawlers_spark.extraction.hreflang import hreflang_clusters
+
+    d = F.col("doc_id")
+    g = F.floor(d / 3)
+    m = (d % 3).cast("int")
+    langs = ["en", "fr", "de"]
+
+    def url_of(mv: int):
+        return F.concat(
+            F.lit("https://site"), (g % 10).cast("string"),
+            F.lit(f".example/{langs[mv]}/page/"), g.cast("string"),
+        )
+
+    def tag(mv: int):
+        u, lang = url_of(mv), langs[mv]
+        v = (d + F.lit(mv)) % 4
+        return (
+            F.when(v == 0, F.concat(
+                F.lit(f'<link rel="alternate" hreflang="{lang}" href="'), u, F.lit('"/>')))
+            .when(v == 1, F.concat(
+                F.lit("<link href='"), u, F.lit(f"' hreflang='{lang}' rel='alternate'>")))
+            .when(v == 2, F.concat(
+                F.lit(f"<LINK rel=alternate hreflang={lang.upper()} href="), u, F.lit(">")))
+            .otherwise(F.concat(
+                F.lit(f'<link hreflang="{lang}" rel="alternate" href="'), u,
+                F.lit('" title="x">')))
+        )
+
+    decoy = F.when(d % 11 == 0, F.lit('<link rel="stylesheet" href="/css.css">')).otherwise(F.lit(""))
+    omit_fr = (g % 7 == 0)  # the de page's fr back-link omission
+    body = (
+        F.when(m == 0, F.concat(tag(0), tag(1), tag(2)))
+        .when(m == 1, F.concat(tag(1), tag(0), tag(2)))
+        .otherwise(F.concat(tag(2), tag(0), F.when(omit_fr, F.lit("")).otherwise(tag(1))))
+    )
+    own_url = F.when(m == 0, url_of(0)).when(m == 1, url_of(1)).otherwise(url_of(2))
+    pages = load(spark, sf, "documents").select(
+        own_url.alias("url"),
+        F.concat(F.lit("<html><head>"), decoy, body, F.lit("</head><body>x</body></html>")).alias("html"),
+    )
+    return hreflang_clusters(pages)
+
+
+SQL_HREFLANG = """
+WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+base AS (
+  SELECT doc_id AS d, doc_id // 3 AS g, CAST(doc_id % 3 AS INT) AS m
+  FROM documents),
+edges AS (
+  SELECT b.g, b.m, t.m2
+  FROM base b CROSS JOIN (SELECT unnest([0, 1, 2]) AS m2) t
+  WHERE t.m2 != b.m AND NOT (b.g % 7 = 0 AND b.m = 2 AND t.m2 = 1)),
+rec AS (
+  SELECT e.*,
+         (3 * e.g + e.m2 <= (SELECT mid FROM mx))
+           AND NOT (e.g % 7 = 0 AND e.m2 = 2 AND e.m = 1) AS reciprocal
+  FROM edges e)
+SELECT 'https://site' || CAST(g % 10 AS VARCHAR) || '.example/'
+         || CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END
+         || '/page/' || CAST(g AS VARCHAR) AS url,
+       CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lang,
+       COUNT(*) AS n_alternates,
+       COUNT(CASE WHEN reciprocal THEN 1 END) AS n_reciprocal,
+       LEAST(
+         'https://site' || CAST(g % 10 AS VARCHAR) || '.example/'
+           || CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END
+           || '/page/' || CAST(g AS VARCHAR),
+         COALESCE(MIN(CASE WHEN reciprocal THEN
+           'https://site' || CAST(g % 10 AS VARCHAR) || '.example/'
+             || CASE m2 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END
+             || '/page/' || CAST(g AS VARCHAR) END),
+           'https://site' || CAST(g % 10 AS VARCHAR) || '.example/'
+             || CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END
+             || '/page/' || CAST(g AS VARCHAR))) AS cluster_key
+FROM rec
+GROUP BY g, m
+"""
+
+
 QUERIES = {
+    "crawl_hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG),
     "crawl_ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
     "crawl_url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
     "crawl_host_graph": (q_host_graph, SQL_HOST_GRAPH),

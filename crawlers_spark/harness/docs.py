@@ -22,6 +22,7 @@ from crawlers_spark.functions.textstats import (
     BPE_TOKEN_RE,
     LANG_STOPWORDS,
     bigram_stats,
+    distinct_ngram_stats,
     hashing_tf,
     lang_id,
     quality_features,
@@ -616,6 +617,41 @@ p AS (
     ELSE [] END) AS pair
   FROM w)
 SELECT pair, COUNT(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
+# ----------------------------------------- bigram type-token diversity
+def q_ngram_diversity(spark, sf):
+    """Per-language bigram type-token ratio (distinct-n corpus
+    diversity; `functions/textstats.py distinct_ngram_stats`) — the
+    slice-level template-collapse audit. Shares tokenization with
+    `docs_bigram_stats` so the oracle reuses that query's proven
+    token SQL; the ratio is one exact-long division on both sides."""
+    return distinct_ngram_stats(
+        load(spark, sf, "documents").select("lang", "text")
+    ).select(
+        F.col("grp").alias("lang"), "total_bigrams", "distinct_bigrams", "ttr_bigrams"
+    )
+
+
+SQL_NGRAM_DIVERSITY = r"""
+WITH w AS (
+  SELECT lang, CASE WHEN trim(text) = '' THEN []
+               ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents),
+p AS (
+  SELECT lang, unnest(CASE WHEN len(ws) >= 2
+    THEN list_transform(range(1, len(ws)),
+                        i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])
+    ELSE [] END) AS pair
+  FROM w),
+c AS (SELECT lang, pair, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS total_bigrams,
+       COUNT(*) AS distinct_bigrams,
+       CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+         AS ttr_bigrams
+FROM c GROUP BY lang
 """
 
 
@@ -2234,6 +2270,7 @@ QUERIES = {
     "docs_winnow_fingerprints": (q_winnow, SQL_WINNOW),
     "docs_hashing_tf": (q_hashing_tf, SQL_HASHING_TF),
     "docs_bigram_stats": (q_bigram_stats, SQL_BIGRAMS),
+    "docs_ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "docs_bpe_round1_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
     "docs_token_counts_bpe_trained": (q_token_counts_bpe_trained, SQL_BPE_TRAINED_COUNTS),
 }

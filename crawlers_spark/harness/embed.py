@@ -422,6 +422,43 @@ FROM ranked WHERE rank <= {k}
 SQL_PQ_TOPK = _pq_sql()
 
 
+def q_sq8_topk(spark, sf):
+    """Scalar-quantized (SQ8) ANN (similarity.py sq8_topk; faiss
+    ScalarQuantizer QT_8bit contract): per-dimension trained min/max
+    grid, corpus encoded to one 8-bit code per DIMENSION, asymmetric
+    inner-product scoring against exact queries. Every step is
+    integer-exact (the encode divide runs on an exact multiple), so
+    the oracle restates stats → encode → scan verbatim."""
+    from crawlers_spark.operators.similarity import sq8_topk
+
+    e = load(spark, sf, "embeddings")
+    return sq8_topk(e.where(F.col("vec_id") < 10), e, n_dims=N_DIMS, k=5)
+
+
+SQL_SQ8_TOPK = f"""
+WITH qv AS (SELECT vec_id, {_Q} AS v FROM embeddings),
+dims AS (SELECT t.t, MIN(v[CAST(t.t AS INT)]) AS mn, MAX(v[CAST(t.t AS INT)]) AS mx
+         FROM qv, range(1, {N_DIMS + 1}) t(t) GROUP BY t.t),
+codes AS (SELECT e.vec_id, d.t, d.mn, d.mx - d.mn AS span,
+                 CASE WHEN d.mx = d.mn THEN CAST(0 AS BIGINT)
+                      ELSE ((e.v[CAST(d.t AS INT)] - d.mn) * 255) // (d.mx - d.mn)
+                 END AS code
+          FROM qv e CROSS JOIN dims d),
+sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(SUM(q.v[CAST(c.t AS INT)] * (255 * c.mn + c.code * c.span))
+                   AS BIGINT) AS score_sq8
+       FROM codes c JOIN (SELECT * FROM qv WHERE vec_id < 10) q
+            ON c.vec_id <> q.vec_id
+       GROUP BY 1, 2),
+ranked AS (SELECT query_id, neighbor_id, score_sq8,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score_sq8 DESC, neighbor_id ASC)
+                       AS INT) AS rank
+           FROM sc)
+SELECT query_id, rank, neighbor_id, score_sq8 FROM ranked WHERE rank <= 5
+"""
+
+
 def q_pq_kmeans_topk(spark, sf):
     """PQ/ADC with Lloyd-trained sub-codebooks (one k-means round per
     subspace over the seed books, floor(sum/count + 0.5) integer-grid
@@ -549,6 +586,7 @@ WHERE r_s = 1
 QUERIES = {
     "embed_bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "embed_pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "embed_sq8_topk": (q_sq8_topk, SQL_SQ8_TOPK),
     "embed_pq_kmeans_topk": (q_pq_kmeans_topk, SQL_PQ_KMEANS_TOPK),
     "embed_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embed_dedup_clusters": (q_embed_clusters, SQL_EMBED_CLUSTERS),

@@ -225,6 +225,52 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --- explicit GROUPING SETS (the shape rollup/cube can't express) ------
+def q_grouping_sets(spark, sf):
+    """Arbitrary GROUPING SETS — ((status, priority), (priority), ())
+    is NOT a rollup prefix chain (the lone-priority set skips status),
+    so it exercises Spark's Expand operator with an explicit set list
+    plus per-column GROUPING flags to disambiguate real NULLs from
+    subtotal rows. One Expand + one hash aggregate; at scale the
+    Expand multiplies rows by #sets BEFORE the exchange, and partial
+    aggregation still applies per set — the same 2-phase shape as a
+    plain groupBy."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
 # --- exact distinct ----------------------------------------------------
 def q_users_per_event_type(spark, sf):
     ev = load(spark, sf, "events")
@@ -634,6 +680,7 @@ QUERIES = {
     "rel_latest5_events_per_user": (q_latest5_events_per_user, SQL_LATEST5),
     "rel_range_join_30d": (q_lineitems_within_30d, SQL_RANGE),
     "rel_rollup_revenue": (q_revenue_rollup, SQL_ROLLUP),
+    "rel_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "rel_distinct_users_per_type": (q_users_per_event_type, SQL_DISTINCT),
     "rel_json_event_props": (q_event_props_json, SQL_JSON),
     "rel_dedup_latest_event": (q_dedup_latest_event, SQL_DEDUP_EV),

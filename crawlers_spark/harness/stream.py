@@ -304,7 +304,50 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------- stream-static enrichment join
+def q_static_enrich(spark, sf):
+    """Stream-STATIC join — the canonical streaming-enrichment shape
+    (each micro-batch joins a static dimension snapshot; no state, no
+    watermark needed on the static side): events enrich with the
+    customer's market segment (broadcast — the dim is executor-memory
+    sized by definition of a dimension), then a 6-hour tumbling-window
+    aggregation per segment. At scale the static side reloads per
+    epoch but never shuffles the stream; the stream side's only
+    exchange is the windowed aggregation itself."""
+    ev = _stream_events(spark, sf)
+    dim = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_table(agg, "complete").select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_STREAM_STATIC_ENRICH = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "stream_static_enrich": (q_static_enrich, SQL_STREAM_STATIC_ENRICH),
     "stream_sliding_counts": (q_sliding_counts, SQL_STREAM_SLIDING),
     "stream_hourly_windows": (q_hourly_windows, SQL_STREAM_HOURLY),
     "stream_dedup_within_watermark": (q_dedup_within_watermark, SQL_STREAM_DEDUP_WM),

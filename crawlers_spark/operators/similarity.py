@@ -1001,3 +1001,110 @@ def bitext_margin_pairs(
             (margin >= F.lit(int(margin_threshold_micro))).alias("accepted"),
         )
     )
+
+
+# --------------------------------------------------- scalar quantization (SQ8)
+def sq8_stats(
+    corpus: DataFrame, *, n_dims: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row SQ8 model: per-dimension ``mn``/``span`` arrays over the
+    integer-quantized corpus (faiss's ScalarQuantizer QT_8bit contract,
+    trained min/max per dim). ONE global aggregate — 2·n_dims longs
+    reach the driver, nothing else moves; at 100 TB this is a single
+    partial-agg pass identical in shape to any count."""
+    qv = quantize(F.col(vec_col))
+    v = corpus.select(qv.alias("v"))
+    aggs = []
+    for i in range(n_dims):
+        aggs.append(F.min(F.element_at("v", i + 1)).alias(f"_mn{i}"))
+        aggs.append(F.max(F.element_at("v", i + 1)).alias(f"_mx{i}"))
+    row = v.agg(*aggs)
+    return row.select(
+        F.array(*[F.col(f"_mn{i}") for i in range(n_dims)]).alias("mn"),
+        F.array(
+            *[(F.col(f"_mx{i}") - F.col(f"_mn{i}")) for i in range(n_dims)]
+        ).alias("span"),
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    *,
+    n_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(neighbor_id, codes: array<long>)`` — 8-bit codes
+    ``(x−mn)·255 div span`` per dimension (0 when the dimension is
+    constant). Integer-exact: the divide runs on a multiple of the
+    divisor (``a − pmod(a, b)``), so the double division is exact and
+    the DuckDB oracle's ``//`` reproduces it bit-for-bit. Scan-side
+    against the broadcast one-row model — zero corpus shuffle."""
+    qv = quantize(F.col(vec_col))
+
+    def code(i: int):
+        a = (F.element_at(qv, i + 1) - F.element_at("mn", i + 1)) * 255
+        b = F.element_at("span", i + 1)
+        exact = ((a - F.pmod(a, b)) / b).cast("long")
+        return F.when(b == 0, F.lit(0).cast("long")).otherwise(exact)
+
+    return corpus.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[code(i) for i in range(n_dims)]).alias("codes"),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score_sq8) — scalar-quantized ANN
+    (the third compression family beside IVF and PQ: 8 bits per
+    DIMENSION, no codebook training): corpus vectors become int8 codes
+    against the :func:`sq8_stats` min/max grid; queries stay exact and
+    score by the asymmetric inner product
+
+        score(q, x) = Σ_d q_d · (255·mn_d + code_d·span_d)
+
+    which is 255× the dequantized dot product — monotone in it, and a
+    plain bigint, so ranking is exact-integer and the DuckDB oracle
+    restates stats → encode → scan verbatim. Plan shape mirrors
+    :func:`pq_topk`: codes are computed scan-side against the
+    broadcast one-row model, queries broadcast into the scan, and the
+    only corpus-sized exchange is the final per-query top-k window.
+    """
+    stats = sq8_stats(corpus, n_dims=n_dims, vec_col=vec_col)
+    codes = sq8_encode(corpus, stats, n_dims=n_dims, id_col=id_col, vec_col=vec_col)
+    qq = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qq")
+    )
+    deq = F.transform(
+        F.sequence(F.lit(0), F.lit(n_dims - 1)),
+        lambda i: F.element_at("mn", i + 1) * 255
+        + F.element_at("codes", i + 1) * F.element_at("span", i + 1),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(stats))
+        .select("neighbor_id", deq.alias("deq"))
+        .crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qq"), F.col("deq")).alias("score_sq8"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_sq8"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_sq8")
+    )
