@@ -71,6 +71,9 @@ HEADLINE = [
     "docs_langid_profiles",       # Cavnar-Trenkle profile classification (r4 s4)
     "crawl_mirror_hosts",         # host-pair digest-overlap mirrors (r4 s4)
     "crawl_focused_priorities",   # NB pre-fetch frontier scoring (r4 s4)
+    "docs_quality_classifier",    # trained perceptron filter (r4 s6)
+    "embed_sq8_topk",             # SQ8 scalar-quantized ANN scan (r4 s7)
+    "crawl_hreflang_clusters",    # language-alternate reciprocity (r4 s7)
 ]
 
 

@@ -121,6 +121,16 @@ def canonicalize_one(raw: str) -> str:
         port = parts.port  # raises ValueError on junk like 'http://::'
     except ValueError:
         return url  # unparseable authority: pass through untouched
+    if host and not host.isascii():
+        # IDN hosts → punycode (RFC 3490 via the stdlib idna codec,
+        # w3lib/safe_url_string behavior): 'münchen.example' and
+        # 'xn--mnchen-3ya.example' are the SAME authority and must
+        # collapse to one seen-set key. Unencodable labels (overlong,
+        # empty) pass through — never drop data.
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            pass
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT.get(scheme, ""):
         netloc = f"{host}:{port}"

@@ -126,6 +126,7 @@ _TAIL = [
     # explicit GROUPING SETS, the stream-static enrichment join, and
     # bigram type-token corpus diversity
     "crawl_hreflang_clusters",
+    "crawl_idn_canonicalize",
     "rel_grouping_sets",
     "stream_static_enrich",
     "docs_ngram_diversity",

@@ -3241,7 +3241,53 @@ GROUP BY g, m
 """
 
 
+# ------------------- IDN (punycode) host canonicalization
+def q_idn_canonicalize(spark, sf):
+    """IDN host canonicalization (`functions/canonicalize.py`): raw
+    URLs cycling five internationalized authorities — uppercase
+    unicode, trailing root dot, explicit default port, CJK labels, and
+    the IDNA-2003 ß→ss fold — plus an ASCII control. The engine runs
+    the real Arrow-batched canonicalize UDF; the oracle restates the
+    RFC 3490 punycode forms as literals (public encodings, e.g. RFC
+    3492's own examples use the same algorithm), so any regression in
+    the idna path or in the surrounding canonicalization (port drop,
+    root-dot strip, case fold) mismatches.
+    """
+    from crawlers_spark.functions.canonicalize import canonicalize_udf
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 6
+    raw = (
+        F.when(v == 0, F.concat(F.lit("http://MÜNCHEN.example/Jobs/"), ds))
+        .when(v == 1, F.concat(F.lit("https://bücher.example./p?id="), ds))
+        .when(v == 2, F.concat(F.lit("http://españa.example:80/x/"), ds))
+        .when(v == 3, F.concat(F.lit("https://例え.example/a/"), ds))
+        .when(v == 4, F.concat(F.lit("http://straße.example/s/"), ds))
+        .otherwise(F.concat(F.lit("http://plain.example/ok/"), ds))
+    )
+    return (
+        load(spark, sf, "documents")
+        .select(d.alias("doc_id"), canonicalize_udf(raw).alias("url_canon"))
+    )
+
+
+SQL_IDN = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'http://xn--mnchen-3ya.example/Jobs/' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN 'https://xn--bcher-kva.example/p?id=' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN 'http://xn--espaa-rta.example/x/' || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN 'https://xn--r8jz45g.example/a/' || CAST(doc_id AS VARCHAR)
+         WHEN 4 THEN 'http://strasse.example/s/' || CAST(doc_id AS VARCHAR)
+         ELSE 'http://plain.example/ok/' || CAST(doc_id AS VARCHAR)
+       END AS url_canon
+FROM documents
+"""
+
+
 QUERIES = {
+    "crawl_idn_canonicalize": (q_idn_canonicalize, SQL_IDN),
     "crawl_hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG),
     "crawl_ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
     "crawl_url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
