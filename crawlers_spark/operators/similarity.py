@@ -1063,6 +1063,7 @@ def sq8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_udf: bool = False,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, score_sq8) — scalar-quantized ANN
     (the third compression family beside IVF and PQ: 8 bits per
@@ -1078,7 +1079,14 @@ def sq8_topk(
     :func:`pq_topk`: codes are computed scan-side against the
     broadcast one-row model, queries broadcast into the scan, and the
     only corpus-sized exchange is the final per-query top-k window.
+    ``use_udf=True`` switches to the Arrow int64-matmul scan
+    (:func:`_sq8_topk_udf`, value-identical — parity-tested) for the
+    production hot path; expr stays the oracle default.
     """
+    if use_udf:
+        return _sq8_topk_udf(
+            queries, corpus, n_dims=n_dims, k=k, id_col=id_col, vec_col=vec_col
+        )
     stats = sq8_stats(corpus, n_dims=n_dims, vec_col=vec_col)
     codes = sq8_encode(corpus, stats, n_dims=n_dims, id_col=id_col, vec_col=vec_col)
     qq = queries.select(
@@ -1106,5 +1114,77 @@ def sq8_topk(
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_sq8")
+    )
+
+
+def _sq8_topk_udf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched SQ8 scan — value-identical to the expression path
+    (same HALF_UP quantization, same integer encode/dequant/score)
+    but one int64 matmul per batch instead of per-element interpreted
+    HOF lambdas (the same finding as ``pq_encode(use_udf=True)``:
+    transform/aggregate evaluate outside whole-stage codegen). The
+    model (2·n_dims longs) and the query batch (queries are broadcast-
+    small by contract, exactly like the PQ distance tables) ship with
+    the task; each batch emits a PARTIAL per-query top-k — ≤ k·|Q|
+    rows per batch cross the wire, the numpy analogue of the
+    WindowGroupLimit(Partial) the expression plan gets from Catalyst —
+    and a final window over that tiny set picks the global top-k."""
+    row = sq8_stats(corpus, n_dims=n_dims, vec_col=vec_col).collect()[0]
+    mn = np.array(row["mn"], dtype=np.int64)
+    span = np.array(row["span"], dtype=np.int64)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    QV = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]) * QUANT_SCALE
+    QQ = np.where(QV >= 0, np.floor(QV + 0.5), np.ceil(QV - 0.5)).astype(np.int64)
+    safe = np.where(span == 0, 1, span)
+    kk = int(k)
+
+    def part(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * QUANT_SCALE
+            M_ = np.where(V >= 0, np.floor(V + 0.5), np.ceil(V - 0.5)).astype(np.int64)
+            codes = np.where(span == 0, 0, ((M_ - mn) * 255) // safe)
+            deq = 255 * mn + codes * span            # (N, d)
+            S = deq @ QQ.T                            # (N, |Q|)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                nid, s = ids[mask], S[mask, qi]
+                if nid.size == 0:
+                    continue
+                order = np.lexsort((nid, -s))[: min(kk, nid.size)]
+                out_q.append(np.full(order.size, qids[qi], dtype=np.int64))
+                out_n.append(nid[order])
+                out_s.append(s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score_sq8": np.concatenate(out_s),
+                    }
+                )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        part, "query_id long, neighbor_id long, score_sq8 long"
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_sq8"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= kk)
         .select("query_id", "rank", "neighbor_id", "score_sq8")
     )

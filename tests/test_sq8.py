@@ -78,3 +78,12 @@ def test_partitioning_invariance(spark, corpus):
         map(tuple, sq8_topk(qs, corpus.repartition(9), n_dims=D, k=3).collect())
     )
     assert a == b
+
+
+def test_udf_path_parity(spark, corpus):
+    qs = corpus.where(F.col("vec_id") < 4)
+    expr = sorted(map(tuple, sq8_topk(qs, corpus, n_dims=D, k=5).collect()))
+    udf = sorted(
+        map(tuple, sq8_topk(qs, corpus, n_dims=D, k=5, use_udf=True).collect())
+    )
+    assert expr == udf
