@@ -127,6 +127,7 @@ _TAIL = [
     # bigram type-token corpus diversity
     "crawl_hreflang_clusters",
     "crawl_idn_canonicalize",
+    "crawl_meta_refresh",
     "rel_grouping_sets",
     "stream_static_enrich",
     "docs_ngram_diversity",

@@ -3286,7 +3286,56 @@ FROM documents
 """
 
 
+# ------------------- meta-refresh client-side redirects
+def q_meta_refresh(spark, sf):
+    """Meta-refresh redirect extraction (`extraction/metarefresh.py`;
+    Scrapy MetaRefreshMiddleware semantics): a page zoo cycling seven
+    forms — instant redirect, reversed-attribute single-quoted content
+    with an inner double-quoted url, an over-threshold 120 s carousel
+    (must NOT follow; METAREFRESH_MAXDELAY=100), a pure reload with no
+    url, a viewport decoy whose content LOOKS like a refresh clause, a
+    no-meta page, and spaces around ``url =`` with a trailing space to
+    trim. The oracle restates the expected edges from the generation
+    variables."""
+    from crawlers_spark.extraction.metarefresh import meta_refresh_redirects
+
+    d = F.col("doc_id")
+    v = d % 7
+    t = F.concat(F.lit("https://moved.example/p/"), d.cast("string"))
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<html><meta http-equiv="refresh" content="0; url='), t,
+            F.lit('"></html>')))
+        .when(v == 1, F.concat(
+            F.lit("<meta content='5; URL=\""), t, F.lit("\"' http-equiv='refresh'>")))
+        .when(v == 2, F.concat(
+            F.lit('<META HTTP-EQUIV=REFRESH CONTENT="120;url='), t, F.lit('">')))
+        .when(v == 3, F.lit('<meta http-equiv="refresh" content="30">'))
+        .when(v == 4, F.lit('<meta name="viewport" content="1; url=decoy">'))
+        .when(v == 5, F.lit("<body>plain</body>"))
+        .otherwise(F.concat(
+            F.lit("<meta http-equiv='refresh' content='0;url = "), t, F.lit(" '>")))
+    )
+    url = F.concat(
+        F.lit("https://site"), (d % 20).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    pages = load(spark, sf, "documents").select(url.alias("url"), html.alias("html"))
+    return meta_refresh_redirects(pages)
+
+
+SQL_META_REFRESH = """
+SELECT 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'https://moved.example/p/' || CAST(doc_id AS VARCHAR) AS target,
+       CAST(CASE doc_id % 7 WHEN 1 THEN 5 ELSE 0 END AS INT) AS delay
+FROM documents
+WHERE doc_id % 7 IN (0, 1, 6)
+"""
+
+
 QUERIES = {
+    "crawl_meta_refresh": (q_meta_refresh, SQL_META_REFRESH),
     "crawl_idn_canonicalize": (q_idn_canonicalize, SQL_IDN),
     "crawl_hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG),
     "crawl_ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
