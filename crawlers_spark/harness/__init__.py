@@ -128,6 +128,7 @@ _TAIL = [
     "crawl_hreflang_clusters",
     "crawl_idn_canonicalize",
     "crawl_meta_refresh",
+    "crawl_relative_url_resolution",
     "rel_grouping_sets",
     "stream_static_enrich",
     "docs_ngram_diversity",

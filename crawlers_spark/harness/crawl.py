@@ -3334,7 +3334,73 @@ WHERE doc_id % 7 IN (0, 1, 6)
 """
 
 
+# ------------------- RFC 3986 relative-reference resolution
+def q_relative_urls(spark, sf):
+    """Full RFC 3986 reference resolution (`extraction/urlresolve.py`;
+    w3lib/response.urljoin semantics): a 9-variant zoo — absolute,
+    root-relative, path-relative, dot-segment, protocol-relative,
+    query-only, fragment-only, plus ``<base href>`` both absolute
+    (double-quoted) and RELATIVE (unquoted; must resolve against the
+    page URL first, §5.1.1). The engine extracts the base tag and runs
+    the Arrow urljoin; the oracle restates every expected absolute
+    form from the generation variables."""
+    from crawlers_spark.extraction.urlresolve import base_href, resolve_refs
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 9
+    page = F.concat(
+        F.lit("https://site"), (d % 10).cast("string"),
+        F.lit(".example/dir/sub/page"), ds, F.lit(".html"),
+    )
+    ref = (
+        F.when(v == 0, F.concat(F.lit("https://abs.example/a/"), ds))
+        .when(v == 1, F.concat(F.lit("/root/"), ds))
+        .when(v == 2, F.concat(F.lit("x/"), ds))
+        .when(v == 3, F.concat(F.lit("../up/"), ds))
+        .when(v == 4, F.concat(F.lit("//alt.example/z/"), ds))
+        .when(v == 5, F.concat(F.lit("?q="), ds))
+        .when(v == 6, F.concat(F.lit("#f"), ds))
+        .otherwise(F.concat(F.lit("img/"), ds, F.lit(".png")))
+    )
+    html = (
+        F.when(v == 7, F.lit('<html><base href="https://cdn.example/assets/"><body>'))
+        .when(v == 8, F.lit("<html><base href=static/><body>"))
+        .otherwise(F.lit("<html><body>no base</body></html>"))
+    )
+    links = load(spark, sf, "documents").select(
+        d.alias("doc_id"),
+        page.alias("url"),
+        ref.alias("out_url"),
+        base_href(html).alias("base"),
+    )
+    return resolve_refs(links, base_col="base").select("doc_id", "resolved_url")
+
+
+SQL_RELATIVE_URLS = """
+SELECT doc_id,
+       CASE doc_id % 9
+         WHEN 0 THEN 'https://abs.example/a/' || ds
+         WHEN 1 THEN host || '/root/' || ds
+         WHEN 2 THEN host || '/dir/sub/x/' || ds
+         WHEN 3 THEN host || '/dir/up/' || ds
+         WHEN 4 THEN 'https://alt.example/z/' || ds
+         WHEN 5 THEN page || '?q=' || ds
+         WHEN 6 THEN page || '#f' || ds
+         WHEN 7 THEN 'https://cdn.example/assets/img/' || ds || '.png'
+         ELSE host || '/dir/sub/static/img/' || ds || '.png'
+       END AS resolved_url
+FROM (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host,
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example/dir/sub/page'
+           || CAST(doc_id AS VARCHAR) || '.html' AS page
+  FROM documents) b
+"""
+
+
 QUERIES = {
+    "crawl_relative_url_resolution": (q_relative_urls, SQL_RELATIVE_URLS),
     "crawl_meta_refresh": (q_meta_refresh, SQL_META_REFRESH),
     "crawl_idn_canonicalize": (q_idn_canonicalize, SQL_IDN),
     "crawl_hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG),
