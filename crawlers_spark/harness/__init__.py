@@ -129,6 +129,7 @@ _TAIL = [
     "crawl_idn_canonicalize",
     "crawl_meta_refresh",
     "crawl_relative_url_resolution",
+    "crawl_x_robots_tag",
     "rel_grouping_sets",
     "stream_static_enrich",
     "docs_ngram_diversity",

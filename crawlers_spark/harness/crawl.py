@@ -3399,7 +3399,46 @@ FROM (
 """
 
 
+# ------------------- X-Robots-Tag header REP directives
+def q_x_robots_tag(spark, sf):
+    """X-Robots-Tag header parsing (`operators/robots.py
+    x_robots_tag_flags`): raw header blocks cycling eight forms —
+    plain noindex among other headers, mixed-case combined directives,
+    the ``none`` alias, a directive scoped to ANOTHER bot (must not
+    apply), one scoped to OUR agent, multi-line tags with an
+    irrelevant directive, the ``unavailable_after:`` colon-directive
+    trap (a colon that is NOT an agent scope), and no tag at all. The
+    oracle restates the expected flag pairs from the cycle."""
+    from crawlers_spark.operators.robots import x_robots_tag_flags
+
+    d = F.col("doc_id")
+    v = d % 8
+    hdrs = (
+        F.when(v == 0, F.lit("Content-Type: text/html\r\nX-Robots-Tag: noindex\r\n"))
+        .when(v == 1, F.lit("X-Robots-Tag: NOINDEX, NoFollow\r\n"))
+        .when(v == 2, F.lit("X-Robots-Tag: none\r\n"))
+        .when(v == 3, F.lit("X-Robots-Tag: otherbot: noindex\r\n"))
+        .when(v == 4, F.lit("X-Robots-Tag: crawlers-spark: nofollow\r\n"))
+        .when(v == 5, F.lit("X-Robots-Tag: noarchive\r\nX-Robots-Tag: nofollow\r\n"))
+        .when(v == 6, F.lit("X-Robots-Tag: unavailable_after: 25 Jun 2030 15:00:00 PST\r\n"))
+        .otherwise(F.lit("Content-Type: text/plain\r\n"))
+    )
+    flags = x_robots_tag_flags(hdrs)
+    return load(spark, sf, "documents").select(
+        d.alias("doc_id"), flags["noindex"], flags["nofollow"]
+    )
+
+
+SQL_X_ROBOTS_TAG = """
+SELECT doc_id,
+       doc_id % 8 IN (0, 1, 2) AS noindex,
+       doc_id % 8 IN (1, 2, 4, 5) AS nofollow
+FROM documents
+"""
+
+
 QUERIES = {
+    "crawl_x_robots_tag": (q_x_robots_tag, SQL_X_ROBOTS_TAG),
     "crawl_relative_url_resolution": (q_relative_urls, SQL_RELATIVE_URLS),
     "crawl_meta_refresh": (q_meta_refresh, SQL_META_REFRESH),
     "crawl_idn_canonicalize": (q_idn_canonicalize, SQL_IDN),

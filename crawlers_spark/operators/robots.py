@@ -31,7 +31,7 @@ from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 USER_AGENT = "crawlers-spark"
@@ -451,3 +451,51 @@ def robots_status_policy(
     return fetches.select(
         "host", policy.alias("policy"), rules_eff.alias("rules")
     )
+
+
+# ------------------------------------------- X-Robots-Tag (header REP)
+_XRT_LINE_RE = r"(?im)^x-robots-tag:[ \t]*([^\r\n]+)"
+
+
+def x_robots_tag_flags(
+    headers: Column, agent: str = USER_AGENT
+) -> dict[str, Column]:
+    """(noindex, nofollow) from ``X-Robots-Tag`` response headers —
+    the HTTP-level REP channel (public Google/REP docs; the header
+    twin of the robots-meta tag already enforced in the fused
+    extraction pass). Pure Catalyst: extract every X-Robots-Tag line
+    from the raw header block, strip an optional user-agent scope
+    prefix (``X-Robots-Tag: otherbot: noindex`` applies only to
+    otherbot; an unscoped line applies to everyone), then token-match
+    the directives. ``none`` means noindex+nofollow (the documented
+    alias); ``unavailable_after: <date>`` contains a colon but is a
+    DIRECTIVE, not a scope — special-cased exactly as real parsers do.
+
+    Scan-side codegen, no exchange — compose into the fetch lane the
+    same way meta-robots flags are.
+    """
+    lines = F.regexp_extract_all(headers, F.lit(_XRT_LINE_RE), 1)
+    a = agent.lower()
+
+    def effective(line: Column) -> Column:
+        scope = F.lower(F.regexp_extract(line, r"^[ \t]*([A-Za-z0-9_\-]+)[ \t]*:", 1))
+        scoped = (scope != "") & (scope != "unavailable_after")
+        body = F.when(
+            scoped, F.regexp_extract(line, r"^[ \t]*[A-Za-z0-9_\-]+[ \t]*:[ \t]*(.*)$", 1)
+        ).otherwise(line)
+        return F.when(~scoped | (scope == F.lit(a)), F.lower(body))
+
+    bodies = F.filter(
+        F.transform(lines, effective), lambda b: b.isNotNull()
+    )
+
+    def has(token: str) -> Column:
+        return F.exists(
+            bodies, lambda b: b.rlike(rf"(^|[,\s]){token}([,\s]|$)")
+        )
+
+    none = has("none")
+    return {
+        "noindex": (has("noindex") | none).alias("noindex"),
+        "nofollow": (has("nofollow") | none).alias("nofollow"),
+    }
