@@ -130,6 +130,7 @@ _TAIL = [
     "crawl_meta_refresh",
     "crawl_relative_url_resolution",
     "crawl_x_robots_tag",
+    "crawl_link_header",
     "rel_grouping_sets",
     "stream_static_enrich",
     "docs_ngram_diversity",

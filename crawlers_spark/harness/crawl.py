@@ -3437,7 +3437,63 @@ FROM documents
 """
 
 
+# ------------------- RFC 8288 Link header relations
+def q_link_header(spark, sf):
+    """RFC 8288 Link-header extraction (`extraction/linkheader.py`):
+    header blocks cycling six forms — quoted rel=canonical, a relative
+    alternate with hreflang, a two-member line whose second member
+    carries a space-separated rel token LIST (explodes to two rows)
+    and an unquoted hreflang, bare-token rel, next/prev pagination
+    pair, and no Link header. The oracle restates the exploded rows
+    from the cycle."""
+    from crawlers_spark.extraction.linkheader import link_header_rels
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 6
+    hdrs = (
+        F.when(v == 0, F.concat(
+            F.lit("Link: <https://c.example/can/"), ds, F.lit('>; rel="canonical"\r\n')))
+        .when(v == 1, F.concat(
+            F.lit("Link: </fr/"), ds, F.lit('>; rel="alternate"; hreflang="fr"\r\n')))
+        .when(v == 2, F.concat(
+            F.lit("Link: <https://c.example/can/"), ds,
+            F.lit('>; rel="canonical", <https://de.example/'), ds,
+            F.lit('>; rel="alternate nofollow"; hreflang=DE\r\n')))
+        .when(v == 3, F.concat(
+            F.lit("Link: <https://x.example/pre/"), ds, F.lit(">; rel=preload\r\n")))
+        .when(v == 4, F.concat(
+            F.lit("Link: <https://n.example/next/"), ds,
+            F.lit('>; rel="next", <https://p.example/prev/'), ds,
+            F.lit('>; rel="prev"\r\n')))
+        .otherwise(F.lit("Content-Type: text/html\r\n"))
+    )
+    url = F.concat(F.lit("https://h"), (d % 20).cast("string"), F.lit(".example/p/"), ds)
+    pages = load(spark, sf, "documents").select(url.alias("url"), hdrs.alias("headers"))
+    return link_header_rels(pages)
+
+
+SQL_LINK_HEADER = """
+WITH b AS (
+  SELECT doc_id % 6 AS v, CAST(doc_id AS VARCHAR) AS ds,
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT url, target, rel, hreflang FROM (
+  SELECT url, 'https://c.example/can/' || ds AS target, 'canonical' AS rel,
+         CAST(NULL AS VARCHAR) AS hreflang FROM b WHERE v IN (0, 2)
+  UNION ALL SELECT url, '/fr/' || ds, 'alternate', 'fr' FROM b WHERE v = 1
+  UNION ALL SELECT url, 'https://de.example/' || ds, 'alternate', 'de' FROM b WHERE v = 2
+  UNION ALL SELECT url, 'https://de.example/' || ds, 'nofollow', 'de' FROM b WHERE v = 2
+  UNION ALL SELECT url, 'https://x.example/pre/' || ds, 'preload', NULL FROM b WHERE v = 3
+  UNION ALL SELECT url, 'https://n.example/next/' || ds, 'next', NULL FROM b WHERE v = 4
+  UNION ALL SELECT url, 'https://p.example/prev/' || ds, 'prev', NULL FROM b WHERE v = 4
+) t
+"""
+
+
 QUERIES = {
+    "crawl_link_header": (q_link_header, SQL_LINK_HEADER),
     "crawl_x_robots_tag": (q_x_robots_tag, SQL_X_ROBOTS_TAG),
     "crawl_relative_url_resolution": (q_relative_urls, SQL_RELATIVE_URLS),
     "crawl_meta_refresh": (q_meta_refresh, SQL_META_REFRESH),
