@@ -33,7 +33,7 @@ from crawlers_spark.functions.textstats import (
     tokens_ws,
     winnow_fingerprints,
 )
-from crawlers_spark.functions.lm import lm_perplexity_features
+from crawlers_spark.functions.lm import lm_perplexity_features, stupid_backoff_features
 from crawlers_spark.functions.textstats import c4_line_filter, gopher_quality_filter
 from crawlers_spark.functions.ranking import bm25_topk
 from crawlers_spark.harness.common import load
@@ -2228,7 +2228,80 @@ FROM scored
 """
 
 
+# ------------------------- trigram stupid-backoff LM (Brants 2007)
+_SB_ALPHA = 0.4
+_SB_ALPHA2 = _SB_ALPHA * _SB_ALPHA  # 0.16000000000000003 — same bits both engines
+
+
+def q_stupid_backoff(spark, sf):
+    """Trigram stupid-backoff LM scores (`functions/lm.py
+    stupid_backoff_features`): train the count-only Brants-2007 model
+    on the held-in slice (doc_id % 5 != 0), score EVERY doc. The
+    backoff chain (trigram relative frequency → α·bigram →
+    α²·add-one-unigram) is replayed verbatim in DuckDB: identical
+    join shape, identical double-expression tree, one quantized `ln`
+    per position, exact-integer sums.
+    """
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return stupid_backoff_features(
+        d, d.where(F.col("doc_id") % 5 != 0), id_col="doc_id", text_col="text"
+    )
+
+
+SQL_STUPID_BACKOFF = rf"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []
+       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS ws
+  FROM documents),
+tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+tr3 AS (SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+               || ' ' || ws[CAST(i+2 AS INT)] AS tri
+        FROM tr, unnest(range(1, len(ws)-1)) t(i)),
+c3 AS (SELECT tri, count(*) AS c3 FROM tr3 GROUP BY tri),
+tr2 AS (SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS pair
+        FROM tr, unnest(range(1, len(ws))) t(i)),
+c2 AS (SELECT pair, count(*) AS c2 FROM tr2 GROUP BY pair),
+tk AS (SELECT unnest(ws) AS tok FROM tr),
+c1 AS (SELECT tok, count(*) AS c1 FROM tk GROUP BY tok),
+tot AS (SELECT count(*) AS n_tok, count(DISTINCT tok) AS v_size FROM tk),
+sp AS (SELECT doc_id,
+              ws[CAST(i+1 AS INT)] AS w2,
+              ws[CAST(i+2 AS INT)] AS w3,
+              ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS ctx,
+              ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS low,
+              ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+              || ' ' || ws[CAST(i+2 AS INT)] AS tri
+       FROM d, unnest(range(1, len(ws)-1)) t(i)),
+sc AS (SELECT doc_id,
+         CASE WHEN v_size > 0 THEN CAST(floor(ln(
+           CASE
+             WHEN cc3.c3 IS NOT NULL
+               THEN CAST(cc3.c3 AS DOUBLE) / CAST(cctx.c2 AS DOUBLE)
+             WHEN clow.c2 IS NOT NULL
+               THEN CAST({_SB_ALPHA!r} AS DOUBLE)
+                    * (CAST(clow.c2 AS DOUBLE) / CAST(w2c.c1 AS DOUBLE))
+             ELSE CAST({_SB_ALPHA2!r} AS DOUBLE)
+                  * (CAST(coalesce(w3c.c1, 0) + 1 AS DOUBLE)
+                     / CAST(n_tok + v_size AS DOUBLE))
+           END) * 1000 + 0.5) AS BIGINT) END AS lp
+       FROM sp
+       LEFT JOIN c3 cc3 USING (tri)
+       LEFT JOIN c2 cctx ON cctx.pair = sp.ctx
+       LEFT JOIN c2 clow ON clow.pair = sp.low
+       LEFT JOIN c1 w2c ON w2c.tok = sp.w2
+       LEFT JOIN c1 w3c ON w3c.tok = sp.w3
+       CROSS JOIN tot),
+pd AS (SELECT doc_id, count(*) AS n_tri, CAST(sum(lp) AS BIGINT) AS sum_lp
+       FROM sc GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(coalesce(sum_lp, 0) AS BIGINT) AS sum_lp
+FROM (SELECT doc_id FROM documents) base LEFT JOIN pd USING (doc_id)
+"""
+
+
 QUERIES = {
+    "docs_stupid_backoff": (q_stupid_backoff, SQL_STUPID_BACKOFF),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),
