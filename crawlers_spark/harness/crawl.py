@@ -272,6 +272,58 @@ FROM s i JOIN q ON i.surt = q.surt
 """
 
 
+# ------------------------------- O13+ SURT-prefix crawl scoping (Heritrix)
+_SCOPE_SEEDS = [
+    "https://src0.example/",                  # host-root seed → whole host
+    "https://src1.example/doc/1",             # directory seed → /doc/ subtree
+    "https://src2.example/private/doc/7",     # deeper directory seed
+]
+
+
+def q_surt_scope(spark, sf):
+    """Heritrix SurtPrefixedDecideRule (operators/scope.py): seeds
+    imply SURT prefixes (host-root → whole host, deeper path → its
+    directory), and a URL is in scope iff its SURT starts with one.
+    Matched prefixes of one SURT form a chain so longest = lexicographic
+    max — the oracle replays the prefix derivation AND the scope join
+    with `starts_with`, no tie-break ambiguity."""
+    from crawlers_spark.operators.scope import with_surt_scope
+
+    seeds = spark.createDataFrame(
+        [(u,) for u in _SCOPE_SEEDS], "url_canon string"
+    )
+    urls = _frontier(spark, sf).select("doc_id", "url_canon")
+    return with_surt_scope(urls, seeds).select(
+        "doc_id", "url_canon", "surt", "matched_prefix", "in_scope"
+    )
+
+
+_SQL_SCOPE_SEED_VALUES = ", ".join(f"('{u}')" for u in _SCOPE_SEEDS)
+
+SQL_SURT_SCOPE = f"""
+WITH seeds(url) AS (VALUES {_SQL_SCOPE_SEED_VALUES}),
+seed_surt AS (
+  SELECT array_to_string(list_reverse(string_split(
+           lower(regexp_extract(url, '^https?://([^/]*)', 1)), '.')), ',')
+         || ')'
+         || CASE WHEN regexp_replace(url, '^https?://[^/]*', '') = ''
+                 THEN '/' ELSE regexp_replace(url, '^https?://[^/]*', '') END
+           AS s
+  FROM seeds),
+pre AS (
+  SELECT DISTINCT regexp_extract(regexp_replace(s, '\\?.*$', ''), '^(.*/)', 1)
+           AS surt_prefix
+  FROM seed_surt),
+u AS (
+  SELECT doc_id, url_canon, surt FROM ({_SQL_SURTED}) t)
+SELECT u.doc_id, u.url_canon, u.surt,
+       max(p.surt_prefix) AS matched_prefix,
+       max(p.surt_prefix) IS NOT NULL AS in_scope
+FROM u LEFT JOIN pre p ON starts_with(u.surt, p.surt_prefix)
+GROUP BY u.doc_id, u.url_canon, u.surt
+"""
+
+
 # ------------------------------------------------ O4 exact seen anti-join
 def q_seen_antijoin(spark, sf):
     from crawlers_spark.operators.dedup import anti_join_seen
@@ -3553,6 +3605,7 @@ QUERIES = {
     "crawl_recrawl_candidates": (q_recrawl_candidates, SQL_RECRAWL),
     "crawl_warc_read": (q_warc_read, SQL_WARC_READ),
     "crawl_cdx_surt": (q_cdx_surt, SQL_CDX_SURT),
+    "crawl_surt_scope": (q_surt_scope, SQL_SURT_SCOPE),
     "crawl_cdx_lookup": (q_cdx_lookup, SQL_CDX_LOOKUP),
     "crawl_url_rules": (q_url_rules, SQL_URL_RULES),
     "crawl_robots_ttl": (q_robots_ttl, SQL_ROBOTS_TTL),
