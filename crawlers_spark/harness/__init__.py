@@ -124,6 +124,7 @@ _TAIL = [
     # NEW in the eighth round-4 session (never driver-signed):
     "docs_stupid_backoff",
     "crawl_surt_scope",
+    "crawl_cache_freshness",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

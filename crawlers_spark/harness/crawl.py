@@ -416,6 +416,104 @@ WHERE doc_id % 2 = 1 OR first_wave > 5
 """
 
 
+# ---------------- O11+ RFC 9111 cache-freshness revisit scheduling
+def q_cache_control(spark, sf):
+    """RFC 9111 freshness lifetime per page (`operators/recrawl.py
+    cache_freshness`): the HTTP-cache leg of the revisit triad. The
+    deterministic header table (doc_id % 7 variants) exercises every
+    precedence branch — no-store, s-maxage shadowing max-age, plain
+    max-age, Expires−Date with negative clamp, the 10%-of-Last-Modified
+    heuristic incl. the 1-day cap, bare responses, case-folded
+    no-cache — plus the `x-max-age=99` token-boundary trap. Pure
+    integer-seconds arithmetic, replayed verbatim in DuckDB."""
+    from crawlers_spark.operators.recrawl import cache_freshness
+
+    fr = _frontier(spark, sf)
+    v = F.col("doc_id") % 7
+    fetch_ts = F.col("discovered_ts")
+    d = F.col("doc_id")
+    cc = (
+        F.when(v == 0, F.lit("no-store"))
+        .when(v == 1, F.concat(F.lit("public, max-age="), (d % 900).cast("string")))
+        .when(
+            v == 2,
+            F.concat(F.lit("s-maxage="), (d % 600).cast("string"), F.lit(", max-age=60")),
+        )
+        .when(v == 3, F.lit("x-max-age=99"))
+        .when(v == 6, F.lit("No-Cache, public"))
+    )
+    expires = F.when(
+        v == 3,
+        F.timestamp_seconds(F.unix_timestamp(fetch_ts) + (d % 1800) - 300),
+    )
+    lm = F.when(
+        v == 4,
+        F.timestamp_seconds(F.unix_timestamp(fetch_ts) - (d * 7919) % 2000000),
+    )
+    headers = fr.select(
+        "doc_id",
+        fetch_ts.alias("fetch_ts"),
+        cc.alias("cache_control"),
+        expires.alias("expires_ts"),
+        lm.alias("last_modified_ts"),
+    )
+    return cache_freshness(headers).select(
+        "doc_id", "policy", "freshness_s", "fresh_until"
+    )
+
+
+SQL_CACHE_CONTROL = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_EPOCH} + to_seconds(doc_id % 999) AS fetch_ts,
+         CASE doc_id % 7
+           WHEN 0 THEN 'no-store'
+           WHEN 1 THEN 'public, max-age=' || CAST(doc_id % 900 AS VARCHAR)
+           WHEN 2 THEN 's-maxage=' || CAST(doc_id % 600 AS VARCHAR) || ', max-age=60'
+           WHEN 3 THEN 'x-max-age=99'
+           WHEN 6 THEN 'No-Cache, public'
+           END AS cache_control,
+         CASE WHEN doc_id % 7 = 3
+              THEN {_EPOCH} + to_seconds((doc_id % 999) + (doc_id % 1800) - 300)
+              END AS expires_ts,
+         CASE WHEN doc_id % 7 = 4
+              THEN {_EPOCH} + to_seconds((doc_id % 999) - (doc_id * 7919) % 2000000)
+              END AS last_modified_ts
+  FROM documents),
+c AS (
+  SELECT doc_id, fetch_ts, expires_ts, last_modified_ts,
+         lower(coalesce(cache_control, '')) AS cc,
+         CAST(epoch(fetch_ts) AS BIGINT) AS date_s
+  FROM h),
+p AS (
+  SELECT *,
+         CASE
+           WHEN regexp_matches(cc, '(?:^|[,\\s])no-store(?:$|[=,\\s])')
+             OR regexp_matches(cc, '(?:^|[,\\s])no-cache(?:$|[=,\\s])')
+             THEN 'no-cache'
+           WHEN regexp_matches(cc, '(?:^|[,\\s])s-maxage=(\\d+)') THEN 's-maxage'
+           WHEN regexp_matches(cc, '(?:^|[,\\s])max-age=(\\d+)') THEN 'max-age'
+           WHEN expires_ts IS NOT NULL THEN 'expires'
+           WHEN last_modified_ts IS NOT NULL THEN 'heuristic'
+           ELSE 'none' END AS policy
+  FROM c),
+f AS (
+  SELECT *,
+         CASE policy
+           WHEN 'no-cache' THEN CAST(0 AS BIGINT)
+           WHEN 's-maxage' THEN CAST(regexp_extract(cc, '(?:^|[,\\s])s-maxage=(\\d+)', 1) AS BIGINT)
+           WHEN 'max-age' THEN CAST(regexp_extract(cc, '(?:^|[,\\s])max-age=(\\d+)', 1) AS BIGINT)
+           WHEN 'expires' THEN greatest(CAST(epoch(expires_ts) AS BIGINT) - date_s, 0)
+           WHEN 'heuristic' THEN least(
+             CAST(floor(greatest(date_s - CAST(epoch(last_modified_ts) AS BIGINT), 0) * 10 / 100) AS BIGINT),
+             CAST(86400 AS BIGINT))
+           ELSE CAST(0 AS BIGINT) END AS freshness_s
+  FROM p)
+SELECT doc_id, policy, freshness_s, fetch_ts + to_seconds(freshness_s) AS fresh_until
+FROM f
+"""
+
+
 # ------------- O11+ change-rate recrawl scheduling (Cho & Garcia-Molina)
 def q_change_rate(spark, sf):
     """Change-rate-driven revisit scheduling (`operators/recrawl.py
@@ -3567,6 +3665,7 @@ QUERIES = {
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
+    "crawl_cache_freshness": (q_cache_control, SQL_CACHE_CONTROL),
     "crawl_hits_scores": (q_hits, SQL_HITS),
     "crawl_trustrank": (q_trustrank, SQL_TRUSTRANK),
     "crawl_spam_mass": (q_spam_mass, SQL_SPAM_MASS),

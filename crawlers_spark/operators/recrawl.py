@@ -258,3 +258,82 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def cache_freshness(
+    headers: DataFrame,
+    *,
+    date_col: str = "fetch_ts",
+    cc_col: str = "cache_control",
+    expires_col: str = "expires_ts",
+    lm_col: str = "last_modified_ts",
+    heuristic_pct: int = 10,
+    heuristic_cap_s: int = 86400,
+    default_ttl_s: int = 0,
+) -> DataFrame:
+    """RFC 9111 freshness lifetime per fetched page → when the crawler
+    may skip revisiting (the HTTP-cache leg of the revisit triad, next
+    to ``revalidate_candidates``'s ETag leg and
+    ``change_rate_schedule``'s observed-change leg; Scrapy's
+    HttpCacheMiddleware RFC2616 policy computes the identical chain).
+
+    Precedence (RFC 9111 §4.2.1 + §5.2, shared-cache orientation):
+
+      1. ``no-store`` / ``no-cache`` directive → 0 (always revalidate)
+      2. ``s-maxage=N``   (shared caches prefer it over max-age)
+      3. ``max-age=N``
+      4. ``Expires`` − ``Date``   (clamped at 0)
+      5. heuristic (§4.2.2): ``heuristic_pct``% of (``Date`` −
+         ``Last-Modified``), clamped at 0, capped at
+         ``heuristic_cap_s`` (the RFC's "circumspect" note; 10% / 1-day
+         cap are the classic Squid defaults)
+      6. nothing to go on → ``default_ttl_s`` (policy ``none``)
+
+    Directive parsing is token-boundary-aware pure regexp on the
+    lowercased header (``s-maxage`` never shadows ``max-age``), so the
+    whole operator is scan-side codegen — zero exchanges, zero UDFs.
+    All arithmetic is integer seconds on unix timestamps; output adds
+
+      - ``policy      string``  — which branch fired
+      - ``freshness_s bigint``  — lifetime in seconds
+      - ``fresh_until timestamp`` — ``Date`` + lifetime
+    """
+    cc = F.lower(F.coalesce(F.col(cc_col), F.lit("")))
+    tok = lambda t: cc.rlike(rf"(?:^|[,\s]){t}(?:$|[=,\s])")  # noqa: E731
+    # try_cast: regexp_extract yields '' on no match, which ANSI cast
+    # rejects — and the branch guards evaluate num() on every row
+    num = lambda t: F.regexp_extract(cc, rf"(?:^|[,\s]){t}=(\d+)", 1).try_cast("long")  # noqa: E731
+    date_s = F.unix_timestamp(F.col(date_col))
+    exp_ok = F.col(expires_col).isNotNull()
+    exp_s = F.greatest(F.unix_timestamp(F.col(expires_col)) - date_s, F.lit(0))
+    lm_ok = F.col(lm_col).isNotNull()
+    heur = F.least(
+        F.floor(
+            F.greatest(date_s - F.unix_timestamp(F.col(lm_col)), F.lit(0))
+            * heuristic_pct
+            / 100
+        ).cast("long"),
+        F.lit(int(heuristic_cap_s)).cast("long"),
+    )
+    policy = (
+        F.when(tok("no-store") | tok("no-cache"), F.lit("no-cache"))
+        .when(tok("s-maxage") & num("s-maxage").isNotNull(), F.lit("s-maxage"))
+        .when(tok("max-age") & num("max-age").isNotNull(), F.lit("max-age"))
+        .when(exp_ok, F.lit("expires"))
+        .when(lm_ok, F.lit("heuristic"))
+        .otherwise(F.lit("none"))
+    )
+    fresh = (
+        F.when(policy == "no-cache", F.lit(0).cast("long"))
+        .when(policy == "s-maxage", num("s-maxage"))
+        .when(policy == "max-age", num("max-age"))
+        .when(policy == "expires", exp_s.cast("long"))
+        .when(policy == "heuristic", heur)
+        .otherwise(F.lit(int(default_ttl_s)).cast("long"))
+    )
+    return headers.select(
+        "*",
+        policy.alias("policy"),
+        fresh.alias("freshness_s"),
+        F.timestamp_seconds(date_s + fresh).alias("fresh_until"),
+    )
