@@ -125,6 +125,7 @@ _TAIL = [
     "docs_stupid_backoff",
     "crawl_surt_scope",
     "crawl_cache_freshness",
+    "crawl_opengraph",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

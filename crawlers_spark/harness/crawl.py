@@ -3218,6 +3218,70 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# --------------------- Open Graph share-card extraction (ogp.me spec)
+def q_opengraph(spark, sf):
+    """Open Graph metadata cards (extraction/opengraph.py) as a
+    build→parse round trip: the meta-tag zoo (doc_id % 8) covers both
+    quote styles, attribute order, ``name=`` fallback, uppercase tag
+    and attr names, unquoted values, first-wins duplicate og:image,
+    og-free pages, and the ``property="dog:title"`` prefix trap. The
+    oracle restates the expected card from the generation variables.
+    """
+    from crawlers_spark.extraction.opengraph import og_cards
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 8
+    t = F.concat(F.lit("T"), ds)
+    img_a = F.concat(F.lit("https://img.example/"), ds, F.lit("-a.jpg"))
+    img_b = F.concat(F.lit("https://img.example/"), ds, F.lit("-b.jpg"))
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta property="og:title" content="'), t,
+            F.lit('"><meta property="og:type" content="article">')))
+        .when(v == 1, F.concat(
+            F.lit("<meta content='"), t, F.lit("' property='og:title'>")))
+        .when(v == 2, F.concat(
+            F.lit('<meta name="og:title" content="'), t, F.lit('">')))
+        .when(v == 3, F.concat(
+            F.lit('<META DATA-X="1" PROPERTY="OG:TITLE" CONTENT="'), t,
+            F.lit('" />')))
+        .when(v == 4, F.concat(
+            F.lit('<meta property="og:title" content="'), t,
+            F.lit('"><meta property="og:image" content="'), img_a,
+            F.lit('"><meta property="og:image" content="'), img_b, F.lit('">')))
+        .when(v == 5, F.lit('<meta name="description" content="x">'
+                            '<meta property="dog:title" content="bad">'))
+        .when(v == 6, F.concat(F.lit("<meta property=og:title content="), t, F.lit(">")))
+        .otherwise(F.concat(
+            F.lit('<meta property="og:title" content="'), t,
+            F.lit("\"><meta property='og:locale' content='en_US'>"
+                  '<meta property="og:site_name" content="Example">')))
+    )
+    html = F.concat(F.lit("<html><head>"), body, F.lit("</head><body>x</body></html>"))
+    url = F.concat(F.lit("https://og.example/"), ds)
+    cards = og_cards(docs.select(url.alias("url"), html.alias("html")))
+    return cards.select(
+        "url", "og_title", "og_type", "og_image", "og_locale", "og_site_name", "n_og"
+    )
+
+
+SQL_OPENGRAPH = """
+SELECT 'https://og.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 8 <> 5 THEN 'T' || CAST(doc_id AS VARCHAR) END AS og_title,
+       CASE WHEN doc_id % 8 = 0 THEN 'article' END AS og_type,
+       CASE WHEN doc_id % 8 = 4
+            THEN 'https://img.example/' || CAST(doc_id AS VARCHAR) || '-a.jpg'
+            END AS og_image,
+       CASE WHEN doc_id % 8 = 7 THEN 'en_US' END AS og_locale,
+       CASE WHEN doc_id % 8 = 7 THEN 'Example' END AS og_site_name,
+       CAST(CASE doc_id % 8 WHEN 0 THEN 2 WHEN 4 THEN 3 WHEN 5 THEN 0
+            WHEN 7 THEN 3 ELSE 1 END AS BIGINT) AS n_og
+FROM documents
+"""
+
+
 SQL_NEIGHBORHOOD = """
 WITH e0 AS (
   SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS src,
@@ -3662,6 +3726,7 @@ QUERIES = {
     "crawl_sitemap_changefreq": (q_sitemap_changefreq, SQL_SITEMAP_CHANGEFREQ),
     "crawl_robots_status_policy": (q_robots_status_policy, SQL_ROBOTS_STATUS),
     "crawl_jsonld_offers": (q_jsonld_offers, SQL_JSONLD_OFFERS),
+    "crawl_opengraph": (q_opengraph, SQL_OPENGRAPH),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
