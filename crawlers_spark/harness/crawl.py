@@ -3218,6 +3218,68 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# ------------------------- WHATWG MIME sniffing over fetched bytes
+def q_mime_sniff(spark, sf):
+    """WHATWG unknown-Content-Type sniffing (functions/mimesniff.py)
+    as a build→expected round trip: 14 payload variants (doc_id % 14)
+    cover the signature table (png/jpeg/gif/zip/gzip/wave/mp4), the
+    whitespace-skipped html tag rule, xml/pdf prefixes, the UTF-8 BOM,
+    the no-binary-byte text fallback, and a NUL-carrying
+    octet-stream. Payloads are built as binary (unhex ∥ encode)
+    inside the plan; the oracle states the expected MIME per variant.
+    """
+    from crawlers_spark.functions.mimesniff import with_sniffed_mime
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 14
+    enc = lambda c: F.encode(c, "utf-8")  # noqa: E731
+    content = (
+        F.when(v == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), enc(ds)))
+        .when(v == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), enc(ds)))
+        .when(v == 2, F.concat(enc(F.lit("GIF89a")), F.unhex(F.lit("01000100"))))
+        .when(v == 3, enc(F.concat(F.lit("  <!DOCTYPE html><html>doc"), ds)))
+        .when(v == 4, enc(F.concat(F.lit("<HTML><BODY>"), ds)))
+        .when(v == 5, enc(F.concat(F.lit('<?xml version="1.0"?><d>'), ds)))
+        .when(v == 6, enc(F.concat(F.lit("%PDF-1.7 obj "), ds)))
+        .when(v == 7, F.concat(F.unhex(F.lit("504B0304")), enc(ds)))
+        .when(v == 8, F.concat(F.unhex(F.lit("1F8B08")), enc(ds)))
+        .when(v == 9, F.concat(
+            enc(F.lit("RIFF")), F.unhex(F.lit("10000000")),
+            enc(F.concat(F.lit("WAVEfmt "), ds))))
+        .when(v == 10, F.concat(F.unhex(F.lit("00000018")),
+                                enc(F.concat(F.lit("ftypisom"), ds))))
+        .when(v == 11, enc(F.concat(F.lit("plain text doc "), ds)))
+        .when(v == 12, F.concat(enc(F.lit("bin")), F.unhex(F.lit("00")), enc(ds)))
+        .otherwise(F.concat(F.unhex(F.lit("EFBBBF")),
+                            enc(F.concat(F.lit("bom text "), ds))))
+    )
+    pages = docs.select("doc_id", content.alias("content"))
+    return with_sniffed_mime(pages).select("doc_id", "mime")
+
+
+SQL_MIME_SNIFF = """
+SELECT doc_id,
+       CASE doc_id % 14
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'image/gif'
+         WHEN 3 THEN 'text/html'
+         WHEN 4 THEN 'text/html'
+         WHEN 5 THEN 'text/xml'
+         WHEN 6 THEN 'application/pdf'
+         WHEN 7 THEN 'application/zip'
+         WHEN 8 THEN 'application/x-gzip'
+         WHEN 9 THEN 'audio/wave'
+         WHEN 10 THEN 'video/mp4'
+         WHEN 11 THEN 'text/plain'
+         WHEN 12 THEN 'application/octet-stream'
+         ELSE 'text/plain' END AS mime
+FROM documents
+"""
+
+
 # --------------------- Open Graph share-card extraction (ogp.me spec)
 def q_opengraph(spark, sf):
     """Open Graph metadata cards (extraction/opengraph.py) as a
@@ -3727,6 +3789,7 @@ QUERIES = {
     "crawl_robots_status_policy": (q_robots_status_policy, SQL_ROBOTS_STATUS),
     "crawl_jsonld_offers": (q_jsonld_offers, SQL_JSONLD_OFFERS),
     "crawl_opengraph": (q_opengraph, SQL_OPENGRAPH),
+    "crawl_mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
