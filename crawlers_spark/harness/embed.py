@@ -583,7 +583,76 @@ WHERE r_s = 1
 """
 
 
+# ------------------- cluster-balanced data mixing (D4-style, k-means)
+def q_cluster_mix(spark, sf):
+    """Cluster-balanced mixing (`operators/similarity.py
+    cluster_balanced_mix`): k-means the embedding space (1 Lloyd
+    round, the audited trained-quantizer path), cap every cluster's
+    contribution at 40 rows via the md5-threshold sampling contract.
+    Membership-total output — the oracle replays the training round,
+    the argmin assignment, the per-cell rate algebra, and each row's
+    keep decision bit-for-bit.
+    """
+    from crawlers_spark.operators.similarity import cluster_balanced_mix
+
+    e = load(spark, sf, "embeddings")
+    return cluster_balanced_mix(
+        e, n_dims=N_DIMS, target_per_cell=40, n_cells=8, n_iter=1
+    ).select("vec_id", "cell", "n_in_cell", "kept")
+
+
+SQL_CLUSTER_MIX = f"""
+WITH e AS (SELECT vec_id, {_Q} AS v FROM embeddings),
+cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS c
+  FROM e ORDER BY vec_id ASC LIMIT 8),
+d0 AS (
+  SELECT e.vec_id, cents0.cell,
+         sum(cents0.c[CAST(d AS INT)] * cents0.c[CAST(d AS INT)])
+           - 2 * sum(e.v[CAST(d AS INT)] * cents0.c[CAST(d AS INT)]) AS d2
+  FROM e CROSS JOIN cents0 CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY e.vec_id, cents0.cell),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+    FROM d0) WHERE crank = 1),
+upd AS (
+  SELECT a.cell, t.d,
+         CAST(floor(CAST(sum(e.v[CAST(t.d AS INT)]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+  FROM a0 a JOIN e USING (vec_id) CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY a.cell, t.d),
+cents AS (
+  SELECT c0.cell, COALESCE(u.c, c0.c) AS c
+  FROM cents0 c0
+  LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM upd GROUP BY cell) u USING (cell)),
+dists AS (
+  SELECT e.vec_id, cents.cell,
+         sum(cents.c[CAST(d AS INT)] * cents.c[CAST(d AS INT)])
+           - 2 * sum(e.v[CAST(d AS INT)] * cents.c[CAST(d AS INT)]) AS d2
+  FROM e CROSS JOIN cents CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY e.vec_id, cents.cell),
+ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+    FROM dists) WHERE crank = 1),
+counts AS (SELECT cell, COUNT(*) AS n_in_cell FROM ca GROUP BY cell),
+thr AS (
+  SELECT cell, n_in_cell,
+         CASE WHEN n_in_cell <= 40 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(
+                     CAST(40 AS DOUBLE) / CAST(n_in_cell AS DOUBLE)
+                     * 4294967296.0) AS BIGINT))), 8, '0') END AS t
+  FROM counts)
+SELECT ca.vec_id, ca.cell, CAST(thr.n_in_cell AS BIGINT) AS n_in_cell,
+       substr(md5('cluster|' || CAST(ca.vec_id AS VARCHAR)), 1, 8) < thr.t AS kept
+FROM ca JOIN thr USING (cell)
+"""
+
+
 QUERIES = {
+    "embed_cluster_mix": (q_cluster_mix, SQL_CLUSTER_MIX),
     "embed_bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "embed_pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "embed_sq8_topk": (q_sq8_topk, SQL_SQ8_TOPK),

@@ -1188,3 +1188,109 @@ def _sq8_topk_udf(
         .where(F.col("rank") <= kk)
         .select("query_id", "rank", "neighbor_id", "score_sq8")
     )
+
+
+def cluster_balance_rates(
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    target_per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iter: int = 1,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cluster keep thresholds for cluster-balanced data mixing
+    (the D4-style diversification move, Tirumala et al. 2023, public:
+    k-means the embedding space, then cap each cluster's contribution
+    so over-represented content regions — boilerplate-heavy clusters,
+    SEO farms — stop dominating the training mix).
+
+    Assignment reuses the IVF machinery: k-means centroids
+    (:func:`kmeans_centroids`, ``n_iter`` Lloyd rounds, oracle-
+    replayable integer grid) + the scan-side argmin of
+    :func:`ivf_assign` — the corpus never shuffles. Output is one row
+    per cell: ``(cell, n_in_cell, thr)`` where ``thr`` realizes keep
+    rate ``min(1, target_per_cell / n_in_cell)`` under the md5-hash
+    contract of ``operators/sampling.py`` (deterministic, RNG-free,
+    engine-portable — expected post-mix size per cell is
+    ``min(n, target)``).
+
+    Scale shape: training is the audited kmeans path; the rate table
+    is cell-cardinality-sized (broadcast downstream); the threshold
+    algebra is one correctly-rounded double division × 2^32 then
+    floor, bit-identical in DuckDB.
+    """
+    from crawlers_spark.operators.sampling import HEX_SPACE, KEEP_ALL
+
+    cents = centroids
+    if cents is None:
+        cents = kmeans_centroids(
+            corpus, n_dims=n_dims, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, n_iter=n_iter,
+        )
+    vecs = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("_v"))
+    assigned = ivf_assign(vecs, cents, vec_q="_v", n_probe=1)
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_in_cell"))
+    thr = (
+        F.when(F.col("n_in_cell") <= target_per_cell, F.lit(KEEP_ALL))
+        .otherwise(
+            F.lpad(
+                F.lower(F.hex(
+                    F.floor(
+                        F.lit(float(target_per_cell)) / F.col("n_in_cell").cast("double")
+                        * F.lit(float(HEX_SPACE))
+                    ).cast("bigint")
+                )),
+                8,
+                "0",
+            )
+        )
+    )
+    return counts.select(
+        "cell", F.col("n_in_cell").cast("bigint").alias("n_in_cell"), thr.alias("thr")
+    )
+
+
+def cluster_balanced_mix(
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    target_per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iter: int = 1,
+    centroids: DataFrame | None = None,
+    salt: str = "cluster",
+) -> DataFrame:
+    """Annotate every corpus row with its k-means ``cell``,
+    ``n_in_cell``, and the balanced-mix ``kept`` decision
+    (membership-total — filter on ``kept`` to materialize the mix).
+    Same broadcast-join + hash-filter shape as ``temperature_mix``;
+    the corpus still never shuffles (cell is computed scan-side, the
+    rate table is broadcast).
+    """
+    from crawlers_spark.operators.sampling import sample_key
+
+    cents = centroids
+    if cents is None:
+        cents = kmeans_centroids(
+            corpus, n_dims=n_dims, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, n_iter=n_iter,
+        )
+    rates = cluster_balance_rates(
+        corpus, n_dims=n_dims, target_per_cell=target_per_cell, id_col=id_col,
+        vec_col=vec_col, n_cells=n_cells, centroids=cents,
+    )
+    # assignment rides the corpus scan itself (ivf_assign keeps every
+    # input column) — no id self-join, the corpus never shuffles
+    assigned = ivf_assign(
+        corpus.withColumn("_v", quantize(F.col(vec_col))), cents, vec_q="_v", n_probe=1
+    ).drop("_v")
+    return (
+        assigned.join(F.broadcast(rates), "cell")
+        .withColumn("kept", sample_key(F.col(id_col), salt=salt) < F.col("thr"))
+        .drop("thr")
+    )
