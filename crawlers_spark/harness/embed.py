@@ -583,6 +583,31 @@ WHERE r_s = 1
 """
 
 
+# ---------------- Johnson–Lindenstrauss ±1 random projection (Achlioptas)
+def q_random_projection(spark, sf):
+    """JL dimensionality reduction 64→8 (`operators/similarity.py
+    random_projection`): ±1 sign matrix regenerated from md5 nibble
+    parity — the oracle REBUILDS the matrix with DuckDB's own md5
+    rather than trusting shipped literals, then replays the exact
+    integer multiply-add. Exploded (vec_id, dim, value) shape."""
+    from crawlers_spark.operators.similarity import random_projection
+
+    e = load(spark, sf, "embeddings")
+    return random_projection(e, n_dims=N_DIMS, out_dims=8)
+
+
+SQL_RANDOM_PROJECTION = f"""
+WITH e AS (SELECT vec_id, {_Q} AS v FROM embeddings)
+SELECT vec_id, CAST(j AS INT) AS dim,
+       CAST(sum(v[CAST(i + 1 AS INT)] *
+         CASE WHEN substr(md5('jl|jl|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)
+         AS BIGINT) AS value
+FROM e CROSS JOIN range(0, 8) s(j) CROSS JOIN range(0, {N_DIMS}) t(i)
+GROUP BY vec_id, j
+"""
+
+
 # ------------------- cluster-balanced data mixing (D4-style, k-means)
 def q_cluster_mix(spark, sf):
     """Cluster-balanced mixing (`operators/similarity.py
@@ -653,6 +678,7 @@ FROM ca JOIN thr USING (cell)
 
 QUERIES = {
     "embed_cluster_mix": (q_cluster_mix, SQL_CLUSTER_MIX),
+    "embed_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "embed_bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "embed_pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "embed_sq8_topk": (q_sq8_topk, SQL_SQ8_TOPK),

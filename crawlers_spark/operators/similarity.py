@@ -1294,3 +1294,76 @@ def cluster_balanced_mix(
         .withColumn("kept", sample_key(F.col(id_col), salt=salt) < F.col("thr"))
         .drop("thr")
     )
+
+
+def jl_signs(n_dims: int, out_dims: int, *, salt: str = "jl") -> list[list[int]]:
+    """The deterministic ±1 projection matrix (row i = input dim,
+    col j = output dim): sign(i,j) = +1 iff the first hex nibble of
+    ``md5('jl|<salt>|<i>|<j>')`` is even. Any engine with md5 can
+    regenerate it — the DuckDB oracle does, rather than trusting
+    literals shipped from here.
+    """
+    import hashlib
+
+    def sign(i: int, j: int) -> int:
+        h = hashlib.md5(f"jl|{salt}|{i}|{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    return [[sign(i, j) for j in range(out_dims)] for i in range(n_dims)]
+
+
+def random_projection(
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003, "Database-friendly random projections",
+    public: E[⟨Pv,Pw⟩] ∝ ⟨v,w⟩, so cosine/dot rankings survive in
+    expectation with O(log n / ε²) output dims).
+
+    The projection matrix is not stored anywhere — it is
+    *regenerated* from md5 (:func:`jl_signs`), which is what makes
+    the op resumable and engine-portable: the same corpus projects
+    identically on any cluster, any engine, any day. Inputs are
+    quantized to the integer grid first, signs are ±1, so every
+    output component is an exact integer sum — zero float ops.
+
+    Output is the exploded driver-canonicalizable shape
+    ``(id, dim, value)`` (one row per output component — same
+    contract as ``hashing_tf``); re-assemble with ``collect_list``
+    over ``dim`` when an array is wanted.
+
+    Scale shape: pure scan-side arithmetic (n_dims × out_dims
+    multiply-adds per row inside codegen), zero exchanges — the
+    standard pre-step that turns a 10^9×768-dim ANN problem into a
+    10^9×64-dim one before IVF/LSH bucketing.
+    """
+    signs = jl_signs(n_dims, out_dims, salt=salt)
+    v = quantize(F.col(vec_col))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(signs[i][j]) for i in range(n_dims)]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"_p{j}")
+        for j in range(out_dims)
+    ]
+    wide = corpus.select(F.col(id_col), *comps)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).cast("int").alias("dim"), F.col(f"_p{j}").alias("value"))
+            for j in range(out_dims)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.dim").alias("dim"), F.col("p.value").alias("value")
+    )
