@@ -224,3 +224,68 @@ def classify_language_udf(
 
     out_schema = f"{id_col} long, lang_pred string, dist long"
     return docs.select(id_col, text_col).mapInPandas(classify, out_schema)
+
+
+# ---------------------------------------------------------------------
+# Unicode script detection (block-range histograms)
+#
+# The cheap pre-language signal every multilingual crawl pipeline runs
+# before (or instead of) full language-ID: which WRITING SYSTEM is the
+# page in?  Scripts partition the language space (Han → zh/ja, Cyrillic
+# → ru/uk/bg, ...), the counts are a pure per-character property — no
+# training data, no model — and a script mismatch against the declared
+# lang attribute is a classic spam/cloaking signal.  Ranges are the
+# public Unicode block assignments (unicode.org charts).
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    # (script, RE2-and-Java-safe character class)
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("hebrew", "\\x{0590}-\\x{05FF}"),
+    ("devanagari", "\\x{0900}-\\x{097F}"),
+    ("han", "\\x{4E00}-\\x{9FFF}"),
+    ("kana", "\\x{3040}-\\x{30FF}"),
+    ("hangul", "\\x{AC00}-\\x{D7AF}"),
+    ("thai", "\\x{0E00}-\\x{0E7F}"),
+]
+
+
+def with_script_stats(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode script histogram + dominant script.
+
+    Appends one ``n_<script> bigint`` column per entry of
+    :data:`SCRIPT_RANGES`, ``n_script_chars`` (their sum — the
+    denominator; characters outside every listed block, digits,
+    punctuation and whitespace don't vote), ``dominant_script``
+    (first script in table order reaching the maximum count — the
+    deterministic tie-break, ``'none'`` when no script chars at
+    all), and ``dom_permille`` (⌊n_dom·1000/n_script_chars⌋, 0 when
+    empty — the confidence knob, exact integer).
+
+    Pure ``regexp_count`` column expressions — scan-side codegen,
+    zero exchanges, and the identical CASE chain is replayable in
+    RE2-based engines (the ranges avoid Java-only ``\\p{Is...}``
+    classes on purpose).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+    out = docs.select(
+        "*", *[c.alias(f"n_{n}") for n, c in counts.items()]
+    )
+    total = sum((F.col(f"n_{n}") for n, _ in SCRIPT_RANGES[1:]),
+                F.col(f"n_{SCRIPT_RANGES[0][0]}"))
+    out = out.withColumn("n_script_chars", total.cast("long"))
+    mx = F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_RANGES])
+    dom = F.when(F.col("n_script_chars") == 0, F.lit("none"))
+    for name, _ in SCRIPT_RANGES:
+        dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
+    ratio = F.when(F.col("n_script_chars") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(mx * 1000 / F.col("n_script_chars")).cast("long")
+    )
+    return out.withColumn("dominant_script", dom).withColumn("dom_permille", ratio)

@@ -129,6 +129,7 @@ _TAIL = [
     "crawl_mime_sniff",
     "embed_cluster_mix",
     "embed_random_projection",
+    "docs_script_detect",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

@@ -2228,6 +2228,91 @@ FROM scored
 """
 
 
+# ---------------------- Unicode script detection (block histograms)
+_SCRIPT_SAMPLES = {
+    1: " привет мир",       # cyrillic
+    2: " 你好世界",           # han
+    3: " مرحبا بالعالم",     # arabic
+    4: " 안녕하세요",          # hangul
+    5: " γεια σου",          # greek
+    6: " नमस्ते",             # devanagari
+    7: " こんにちは",          # kana
+}
+
+
+def q_script_detect(spark, sf):
+    """Unicode script histograms + dominant script
+    (`functions/langid.py with_script_stats`): each doc gets a
+    per-variant non-Latin sample appended, repeated (doc_id%5)·20+1
+    times — so dominance flips between latin and the injected script
+    across rows and the argmax/tie chain is exercised both ways. The
+    oracle recounts every block range with RE2 and replays the CASE
+    chain and the integer permille."""
+    from crawlers_spark.functions.langid import with_script_stats
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    sample = F.lit("")
+    for k, s in _SCRIPT_SAMPLES.items():
+        sample = F.when(d % 8 == k, F.lit(s)).otherwise(sample)
+    rep = ((d % 5) * 20 + 1).cast("int")
+    t2 = F.concat(F.coalesce(F.col("text"), F.lit("")), F.repeat(sample, rep))
+    out = with_script_stats(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_greek", "n_arabic", "n_hebrew",
+        "n_devanagari", "n_han", "n_kana", "n_hangul", "n_thai",
+        "n_script_chars", "dominant_script", "dom_permille",
+    )
+
+
+_SQL_SCRIPT_RANGES = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("hebrew", "\\x{0590}-\\x{05FF}"),
+    ("devanagari", "\\x{0900}-\\x{097F}"),
+    ("han", "\\x{4E00}-\\x{9FFF}"),
+    ("kana", "\\x{3040}-\\x{30FF}"),
+    ("hangul", "\\x{AC00}-\\x{D7AF}"),
+    ("thai", "\\x{0E00}-\\x{0E7F}"),
+]
+_SQL_SCRIPT_COUNTS = ",\n         ".join(
+    f"CAST(len(regexp_extract_all(t, '[{rng}]')) AS BIGINT) AS n_{name}"
+    for name, rng in _SQL_SCRIPT_RANGES
+)
+_SQL_SCRIPT_SAMPLE_CASE = "CASE doc_id % 8 " + " ".join(
+    f"WHEN {k} THEN '{s}'" for k, s in _SCRIPT_SAMPLES.items()
+) + " ELSE '' END"
+_SQL_SCRIPT_TOTAL = " + ".join(f"n_{name}" for name, _ in _SQL_SCRIPT_RANGES)
+_SQL_SCRIPT_MAX = "greatest(" + ", ".join(f"n_{name}" for name, _ in _SQL_SCRIPT_RANGES) + ")"
+_SQL_SCRIPT_DOM = "CASE WHEN n_script_chars = 0 THEN 'none' " + " ".join(
+    f"WHEN n_{name} = mx THEN '{name}'" for name, _ in _SQL_SCRIPT_RANGES
+) + " END"
+
+SQL_SCRIPT_DETECT = f"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') || repeat({_SQL_SCRIPT_SAMPLE_CASE},
+                                      CAST((doc_id % 5) * 20 + 1 AS INT)) AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         {_SQL_SCRIPT_COUNTS}
+  FROM base),
+tot AS (
+  SELECT *, CAST({_SQL_SCRIPT_TOTAL} AS BIGINT) AS n_script_chars,
+         {_SQL_SCRIPT_MAX} AS mx
+  FROM c)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+       n_devanagari, n_han, n_kana, n_hangul, n_thai, n_script_chars,
+       {_SQL_SCRIPT_DOM} AS dominant_script,
+       CASE WHEN n_script_chars = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(mx * 1000 / n_script_chars) AS BIGINT) END AS dom_permille
+FROM tot
+"""
+
+
 # ------------------------- trigram stupid-backoff LM (Brants 2007)
 _SB_ALPHA = 0.4
 _SB_ALPHA2 = _SB_ALPHA * _SB_ALPHA  # 0.16000000000000003 — same bits both engines
@@ -2302,6 +2387,7 @@ FROM (SELECT doc_id FROM documents) base LEFT JOIN pd USING (doc_id)
 
 QUERIES = {
     "docs_stupid_backoff": (q_stupid_backoff, SQL_STUPID_BACKOFF),
+    "docs_script_detect": (q_script_detect, SQL_SCRIPT_DETECT),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),
