@@ -149,3 +149,62 @@ def inverted_index(
     return postings.join(df_t, "term").select(
         "term", "df", id_col, "tf", "positions"
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df_permille: int = 500,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` tf·idf keywords per document — the classic
+    query-independent term-importance extraction (Salton's tf-idf with
+    the Lucene-form idf shared with :func:`bm25_topk`), the standard
+    crawl-pipeline summarizer/labeler for pages with no metadata.
+
+    ``max_df_permille`` drops corpus-wide boilerplate terms before
+    ranking (df·1000 > threshold·N ⇒ stopword-ish; exact integer
+    compare — no float enters the pruning decision).
+
+    Contract: ``score_micro = floor(tf · idf · 1e6 + 0.5)`` — one
+    ``ln`` per (doc, term), everything else exact (the lm.py risk
+    class); ties break (score DESC, term ASC) for a total order.
+
+    Scale shape: tf = one explode + 2-phase agg (O(distinct
+    (doc,term)) shuffle, map-side combine); df folds the tf table —
+    the corpus is read once; N is a one-row broadcast; idf joins df
+    back onto tf by term (model-sized right side); top-k is a per-doc
+    window — partitioned by doc id, never a global sort.
+    """
+    tok = docs.select(F.col(id_col), F.explode(_lm_tokens(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(id_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") * 1000 <= F.lit(int(max_df_permille)) * F.col("n_docs"))
+        .select(
+            F.col(id_col),
+            F.col("tok").alias("term"),
+            F.floor(F.col("tf").cast("double") * idf * quant + F.lit(0.5))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score_micro")
+    )

@@ -2228,6 +2228,45 @@ FROM scored
 """
 
 
+# ----------------------------- tf-idf keyword extraction (top-k terms)
+def q_tfidf_keywords(spark, sf):
+    """Per-doc tf·idf keywords (`functions/ranking.py tfidf_keywords`):
+    Lucene-form idf (shared with BM25), integer micro-unit scores,
+    df-permille boilerplate pruning (900‰ here — the fixture vocabulary
+    is heavily shared), (score DESC, term ASC) total
+    order. The oracle replays the identical double-expression tree."""
+    from crawlers_spark.functions.ranking import tfidf_keywords
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return tfidf_keywords(d, k=3, max_df_permille=900)
+
+
+SQL_TFIDF_KEYWORDS = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []
+       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS term,
+         CAST(floor(CAST(tf.tf AS DOUBLE)
+                    * ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                    * 1000000 + 0.5) AS BIGINT) AS score_micro
+  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN n
+  WHERE df * 1000 <= 900 * n_docs),
+ranked AS (
+  SELECT doc_id, term, score_micro,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_micro DESC, term ASC) AS INT) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, score_micro FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------- Unicode script detection (block histograms)
 _SCRIPT_SAMPLES = {
     1: " привет мир",       # cyrillic
@@ -2388,6 +2427,7 @@ FROM (SELECT doc_id FROM documents) base LEFT JOIN pd USING (doc_id)
 QUERIES = {
     "docs_stupid_backoff": (q_stupid_backoff, SQL_STUPID_BACKOFF),
     "docs_script_detect": (q_script_detect, SQL_SCRIPT_DETECT),
+    "docs_tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),
