@@ -74,6 +74,9 @@ HEADLINE = [
     "docs_quality_classifier",    # trained perceptron filter (r4 s6)
     "embed_sq8_topk",             # SQ8 scalar-quantized ANN scan (r4 s7)
     "crawl_hreflang_clusters",    # language-alternate reciprocity (r4 s7)
+    "docs_stupid_backoff",        # trigram stupid-backoff LM train+score (r4 s8)
+    "embed_cluster_mix",          # k-means cluster-balanced mixing (r4 s8)
+    "crawl_mime_sniff",           # WHATWG byte sniffing, scan-side (r4 s8)
 ]
 
 

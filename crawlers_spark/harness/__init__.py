@@ -131,6 +131,7 @@ _TAIL = [
     "embed_random_projection",
     "docs_script_detect",
     "docs_tfidf_keywords",
+    "crawl_clean_params",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

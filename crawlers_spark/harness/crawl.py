@@ -3218,6 +3218,120 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# ---------------- Clean-param robots directive (Yandex extension)
+_CLEAN_PARAM_ROBOTS = {
+    0: "User-agent: *\nClean-param: sid&ref /doc/\nClean-param: page",
+    1: "Clean-param: sid",
+    2: "User-agent: *\nDisallow: /private/",
+    3: "Clean-param: q /list/",
+}
+
+
+def q_clean_params(spark, sf):
+    """Yandex Clean-param (operators/robots.py `clean_param_rules` +
+    `apply_clean_params`): robots.txt declares insignificant query
+    params per path prefix; the operator strips them before the
+    seen-set. Four-host robots zoo (multi-param line, whole-host
+    default prefix, no directives, deep prefix) × five query shapes.
+    The oracle re-parses the directives with RE2 and replays the
+    path-prefix join + list filter."""
+    from crawlers_spark.operators.robots import apply_clean_params, clean_param_rules
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("src"), (d % 4).cast("string"), F.lit(".example"))
+    path = (
+        F.when(d % 3 == 0, F.lit("/doc/"))
+        .when(d % 3 == 1, F.lit("/private/doc/"))
+        .otherwise(F.lit("/list/"))
+    )
+    query = (
+        F.when(d % 5 == 1, F.concat(F.lit("?sid=x"), ds))
+        .when(d % 5 == 2, F.concat(F.lit("?sid=1&page=2&q="), ds))
+        .when(d % 5 == 3, F.concat(F.lit("?ref=a&keep="), ds))
+        .when(d % 5 == 4, F.concat(F.lit("?page="), (d % 7).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path, ds, query).alias("url_canon"),
+    )
+    robots = spark.createDataFrame(
+        [(f"src{k}.example", txt) for k, txt in _CLEAN_PARAM_ROBOTS.items()],
+        "host string, robots_txt string",
+    )
+    rules = clean_param_rules(robots)
+    return apply_clean_params(urls, rules).select(
+        "doc_id", "url_canon", "url_cleaned", "n_cleaned"
+    )
+
+
+_SQL_CLEAN_ROBOTS_CASE = "CASE h " + " ".join(
+    "WHEN {k} THEN '{t}'".format(k=k, t=txt.replace("\n", "' || chr(10) || '"))
+    for k, txt in _CLEAN_PARAM_ROBOTS.items()
+) + " END"
+
+SQL_CLEAN_PARAMS = rf"""
+WITH u AS (
+  SELECT doc_id,
+         'src' || CAST(doc_id % 4 AS VARCHAR) || '.example' AS host,
+         'https://src' || CAST(doc_id % 4 AS VARCHAR) || '.example'
+           || CASE doc_id % 3 WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/doc/'
+              ELSE '/list/' END
+           || CAST(doc_id AS VARCHAR)
+           || CASE doc_id % 5
+                WHEN 1 THEN '?sid=x' || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN '?sid=1&page=2&q=' || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN '?ref=a&keep=' || CAST(doc_id AS VARCHAR)
+                WHEN 4 THEN '?page=' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE '' END AS url_canon
+  FROM documents),
+robots AS (
+  SELECT 'src' || CAST(h AS VARCHAR) || '.example' AS host,
+         {_SQL_CLEAN_ROBOTS_CASE} AS robots_txt
+  FROM range(0, 4) r(h)),
+rl AS (
+  SELECT host, trim(l) AS line
+  FROM robots, unnest(regexp_extract_all(robots_txt,
+         '(?im)^[ \t]*clean-param:[ \t]*([^\r\n#]+)', 1)) t(l)),
+rules AS (
+  SELECT DISTINCT host,
+         unnest(string_split(regexp_extract(line, '^(\S+)', 1), '&')) AS param,
+         coalesce(nullif(regexp_extract(line, '^\S+[ \t]+(\S+)', 1), ''), '/')
+           AS path_prefix
+  FROM rl),
+m AS (
+  SELECT u.doc_id, u.url_canon,
+         coalesce(list_sort(list(DISTINCT r.param) FILTER (r.param IS NOT NULL)),
+                  CAST([] AS VARCHAR[])) AS params
+  FROM u LEFT JOIN rules r
+    ON u.host = r.host
+   AND starts_with(regexp_extract(u.url_canon, '^https?://[^/]*(/[^?]*)', 1),
+                   r.path_prefix)
+  GROUP BY u.doc_id, u.url_canon),
+calc AS (
+  SELECT doc_id, url_canon, params,
+         regexp_extract(url_canon, '\?(.*)$', 1) AS q,
+         regexp_replace(url_canon, '\?.*$', '') AS base
+  FROM m),
+k AS (
+  SELECT *,
+         list_filter(string_split(q, '&'),
+                     x -> NOT list_contains(params, regexp_extract(x, '^([^=]*)', 1)))
+           AS kept
+  FROM calc)
+SELECT doc_id, url_canon,
+       CASE WHEN q = '' OR len(params) = 0 THEN url_canon
+            WHEN len(kept) = 0 THEN base
+            ELSE base || '?' || array_to_string(kept, '&') END AS url_cleaned,
+       CAST(CASE WHEN q = '' THEN 0
+                 ELSE len(string_split(q, '&')) - len(kept) END AS BIGINT) AS n_cleaned
+FROM k
+"""
+
+
 # ------------------------- WHATWG MIME sniffing over fetched bytes
 def q_mime_sniff(spark, sf):
     """WHATWG unknown-Content-Type sniffing (functions/mimesniff.py)
@@ -3790,6 +3904,7 @@ QUERIES = {
     "crawl_jsonld_offers": (q_jsonld_offers, SQL_JSONLD_OFFERS),
     "crawl_opengraph": (q_opengraph, SQL_OPENGRAPH),
     "crawl_mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
+    "crawl_clean_params": (q_clean_params, SQL_CLEAN_PARAMS),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

@@ -499,3 +499,104 @@ def x_robots_tag_flags(
         "noindex": (has("noindex") | none).alias("noindex"),
         "nofollow": (has("nofollow") | none).alias("nofollow"),
     }
+
+
+# ---------------------------------------------------------------------
+# Clean-param (Yandex robots.txt extension — public docs):
+#   Clean-param: p1&p2 [path-prefix]
+# declares that the listed query parameters are insignificant
+# (session ids, referrers, sort orders) on URLs whose PATH starts
+# with the prefix (default: the whole host). It is an intersectional
+# directive — applies regardless of user-agent group — and the
+# standard robots-native input to URL canonicalization/DUST: stripping
+# the declared params collapses crawl-equivalent URLs *before* the
+# seen-set, with the site itself as the authority.
+_CLEAN_PARAM_LINE_RE = r"(?im)^[ \t]*clean-param:[ \t]*([^\r\n#]+)"
+
+
+def clean_param_rules(robots: DataFrame) -> DataFrame:
+    """Exploded ``(host, param, path_prefix)`` rules from robots.txt
+    bodies (``robots``: one row per host with ``host``,
+    ``robots_txt``). One output row per (directive line, parameter);
+    a missing path prefix means ``/`` (whole host). Pure regexp
+    line-scan — rule tables are robots-corpus-sized, tiny next to the
+    frontier, and broadcast downstream.
+    """
+    lines = F.regexp_extract_all(
+        F.coalesce(F.col("robots_txt"), F.lit("")), F.lit(_CLEAN_PARAM_LINE_RE), 1
+    )
+    per_line = (
+        robots.select("host", F.explode(lines).alias("_line"))
+        .select(
+            "host",
+            F.regexp_extract(F.trim(F.col("_line")), r"^(\S+)", 1).alias("_params"),
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(F.trim(F.col("_line")), r"^\S+[ \t]+(\S+)", 1),
+                    F.lit(""),
+                ),
+                F.lit("/"),
+            ).alias("path_prefix"),
+        )
+        .where(F.col("_params") != "")
+    )
+    return per_line.select(
+        "host",
+        F.explode(F.split(F.col("_params"), "&")).alias("param"),
+        "path_prefix",
+    ).where(F.col("param") != "").distinct()
+
+
+def apply_clean_params(
+    urls: DataFrame, rules: DataFrame, *, url_col: str = "url_canon"
+) -> DataFrame:
+    """Strip every declared-insignificant query parameter from the
+    URLs it governs. Appends ``url_cleaned`` (the URL with matching
+    params removed — query order otherwise preserved, ``?`` dropped
+    when nothing survives) and ``n_cleaned`` (params removed).
+
+    Shape: broadcast left-join of the frontier against the (tiny)
+    rule table on host + path-prefix match, collect the matched
+    param set per row (hash agg on the URL key), then one
+    higher-order ``filter`` over the split query — the URL table
+    crosses the wire once, in slim (url, params) form.
+    """
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    tagged = urls.withColumn("_path", path)
+    joined = tagged.join(
+        F.broadcast(rules),
+        (tagged["host"] == rules["host"])
+        & F.col("_path").startswith(F.col("path_prefix")),
+        "left",
+    ).drop(rules["host"])
+    keys = [c for c in tagged.columns if c != "_path"]
+    matched = joined.groupBy(*keys).agg(
+        F.array_sort(
+            F.filter(F.collect_set("param"), lambda p: p.isNotNull())
+        ).alias("_params")
+    )
+    query = F.parse_url(F.col(url_col), F.lit("QUERY"))
+    pairs = F.split(query, "&")
+    kept = F.filter(
+        pairs,
+        lambda kv: ~F.array_contains(
+            F.col("_params"), F.regexp_extract(kv, r"^([^=]*)", 1)
+        ),
+    )
+    base = F.regexp_replace(F.col(url_col), r"\?.*$", "")
+    cleaned = F.when(
+        query.isNull() | (F.size(F.col("_params")) == 0),
+        F.col(url_col),
+    ).otherwise(
+        F.when(F.size(kept) == 0, base).otherwise(
+            F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+        )
+    )
+    n_cleaned = F.when(query.isNull(), F.lit(0)).otherwise(
+        F.size(pairs) - F.size(kept)
+    )
+    return matched.select(
+        *keys,
+        cleaned.alias("url_cleaned"),
+        n_cleaned.cast("long").alias("n_cleaned"),
+    )
