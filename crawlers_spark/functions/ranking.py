@@ -208,3 +208,104 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "score_micro")
     )
+
+
+def bm25f_topk(
+    fields: DataFrame,
+    query_terms: list[str],
+    *,
+    field_weights_milli: dict[str, int],
+    id_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Simple BM25F (Robertson/Zaragoza's field-weighted BM25, public:
+    "Simple BM25 extension to multiple weighted fields", CIKM 2004):
+    a page is not one bag of words — title, anchor text, and body
+    carry different evidence weights. Term frequencies and document
+    length are field-weight-combined FIRST, then scored once with the
+    shared saturation curve:
+
+        tf_w(t,d)  = Σ_f w_f · tf(t, d.f)
+        dl_w(d)    = Σ_f w_f · len(d.f)
+        score(d,q) = Σ_t idf(t) · tf_w·(k1+1) /
+                              (tf_w + k1·(1 − b + b·dl_w/avgdl_w))
+
+    (idf = the Lucene form shared with :func:`bm25_topk`; df counts a
+    doc once if ANY field contains the term.)
+
+    Input is the exploded fielded shape ``(id, field, text)`` — the
+    natural join of the extraction lanes (body text, og/JSON-LD
+    titles, the anchor-text index). ``field_weights_milli`` are exact
+    integer millis, so tf_w/dl_w are exact bigints (milli-weighted)
+    and both engines reconstruct identical doubles; unknown fields
+    weigh 0 (dropped). Same quantize-once micro-unit contract and
+    (score DESC, id ASC) total order as BM25.
+
+    Scale shape: identical to BM25 — explode + 2-phase aggs keyed by
+    (doc, term) and (doc), df folds the tf table, N/avgdl broadcast,
+    top-k via orderBy+limit (TakeOrderedAndProject).
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in field_weights_milli.items() for x in kv]
+    )
+    tok = fields.select(
+        F.col(id_col),
+        F.coalesce(wmap[F.col(field_col)], F.lit(0)).cast("long").alias("w"),
+        F.explode(_lm_tokens(text_col)).alias("tok"),
+    ).where(F.col("w") > 0)
+    # milli-weighted doc length over ALL tokens of every weighted field
+    dl = tok.groupBy(id_col).agg(F.sum("w").alias("dl_w"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl_w").alias("total_dl_w")
+    )
+    tf = (
+        tok.where(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.sum("w").alias("tf_w"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    k1 = F.lit(k1_milli).cast("double") / 1000.0
+    b = F.lit(b_milli).cast("double") / 1000.0
+    avgdl = F.col("total_dl_w").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    # tf back to natural units (milli weights × tf / 1000) so the k1
+    # saturation curve keeps its BM25 meaning; the dl/avgdl ratio is
+    # scale-invariant so it stays in exact milli form
+    tfd = F.col("tf_w").cast("double") / 1000.0
+    dld = F.col("dl_w").cast("double")
+    contrib = F.floor(
+        idf * tfd * (k1 + 1.0) / (tfd + k1 * (1.0 - b + b * dld / avgdl)) * quant
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject), THEN rank
+    # the ≤k survivors — same shape as bm25_topk
+    topk = scored.orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k)
+    return topk.select(
+        F.col(id_col),
+        F.col("score_micro"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), F.asc(id_col)))
+        .cast("int")
+        .alias("rank"),
+    )

@@ -132,6 +132,7 @@ _TAIL = [
     "docs_script_detect",
     "docs_tfidf_keywords",
     "crawl_clean_params",
+    "docs_bm25f_topk",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

@@ -2228,6 +2228,88 @@ FROM scored
 """
 
 
+# ------------------- BM25F fielded ranking (title/body/anchor weights)
+_BM25F_TERMS = ["spark", "join", "merge"]
+_BM25F_W = {"body": 1000, "title": 2500, "anchor": 3000}
+
+
+def q_bm25f(spark, sf):
+    """Simple BM25F (`functions/ranking.py bm25f_topk`): body = full
+    text (w=1.0), title = first 40 chars (w=2.5), anchor = a derived
+    anchor-text field that says 'spark jobs …' on every third doc
+    (w=3.0) — so anchor evidence visibly reranks. Field-weighted
+    tf/dl are exact milli-bigints; the oracle replays the identical
+    double tree (tf restored to natural units, dl ratio kept in
+    scale-invariant milli form)."""
+    from crawlers_spark.functions.ranking import bm25f_topk
+
+    d = load(spark, sf, "documents").select("doc_id", "text", "source")
+    body = d.select("doc_id", F.lit("body").alias("field"), F.col("text"))
+    title = d.select(
+        "doc_id", F.lit("title").alias("field"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    anchor = d.select(
+        "doc_id", F.lit("anchor").alias("field"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("spark jobs "), F.col("source")),
+        ).otherwise(F.lit("index")).alias("text"),
+    )
+    fields = body.unionByName(title).unionByName(anchor)
+    return bm25f_topk(
+        fields, _BM25F_TERMS, field_weights_milli=_BM25F_W, k=15
+    )
+
+
+_BM25F_IN = ", ".join(f"'{t}'" for t in sorted(set(_BM25F_TERMS)))
+
+SQL_BM25F = rf"""
+WITH fields AS (
+  SELECT doc_id, 'body' AS field, text FROM documents
+  UNION ALL
+  SELECT doc_id, 'title', substr(text, 1, 40) FROM documents
+  UNION ALL
+  SELECT doc_id, 'anchor',
+         CASE WHEN doc_id % 3 = 0 THEN 'spark jobs ' || source
+              ELSE 'index' END
+  FROM documents),
+fw AS (
+  SELECT doc_id,
+         CASE field WHEN 'body' THEN 1000 WHEN 'title' THEN 2500
+              WHEN 'anchor' THEN 3000 ELSE 0 END AS w,
+         CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []
+              ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+')
+              END AS ws
+  FROM fields),
+tok AS (SELECT doc_id, w, unnest(ws) AS tok FROM fw WHERE w > 0),
+dl AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS dl_w FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl_w) AS total_dl_w FROM dl),
+tf AS (SELECT doc_id, tok, CAST(sum(w) AS BIGINT) AS tf_w FROM tok
+       WHERE tok IN ({_BM25F_IN}) GROUP BY 1, 2),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT doc_id,
+         CAST(floor(
+           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf_w AS DOUBLE) / 1000.0)
+           * (1.2 + 1.0)
+           / ((CAST(tf_w AS DOUBLE) / 1000.0)
+              + 1.2 * ((1.0 - 0.75)
+                       + (0.75 * CAST(dl_w AS DOUBLE))
+                         / (CAST(total_dl_w AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           * 1000000 + 0.5) AS BIGINT) AS c
+  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+scored AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+           FROM sc GROUP BY 1)
+SELECT doc_id, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 15
+"""
+
+
 # ----------------------------- tf-idf keyword extraction (top-k terms)
 def q_tfidf_keywords(spark, sf):
     """Per-doc tf·idf keywords (`functions/ranking.py tfidf_keywords`):
@@ -2428,6 +2510,7 @@ QUERIES = {
     "docs_stupid_backoff": (q_stupid_backoff, SQL_STUPID_BACKOFF),
     "docs_script_detect": (q_script_detect, SQL_SCRIPT_DETECT),
     "docs_tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "docs_bm25f_topk": (q_bm25f, SQL_BM25F),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),
