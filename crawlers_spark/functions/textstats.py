@@ -520,3 +520,48 @@ def gopher_quality_filter(
     for c in rules.values():
         kept = c if kept is None else (kept & c)
     return {**rules, "kept": kept}
+
+
+def readability_features(text: Column) -> dict[str, Column]:
+    """Flesch reading-ease inputs + score (Flesch 1948; the DuBay
+    readability-formula survey is the public reference) — the classic
+    surface-level quality feature set next to the Gopher/C4 filters:
+
+        score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Deterministic approximations (documented, replayable in SQL):
+    sentences = runs of ``[.!?]`` (min 1 — fragment pages still get a
+    score); words = whitespace tokens; syllables = vowel-group runs
+    ``[aeiouy]+`` per lowercased word, min 1 per word (the standard
+    heuristic floor). ``flesch_milli`` quantizes the score ONCE
+    (floor(x·1000 + 0.5)); the inputs are exact integers so the only
+    float ops are two IEEE divisions and the constant arithmetic —
+    identical in both engines, no ``ln`` at all. Pure scan-side
+    column expressions over one tokenization.
+    """
+    t = F.coalesce(text, F.lit(""))
+    ws = tokens_ws(F.lower(t))
+    n_words = F.size(ws).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syll = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)).cast("long"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    flesch = F.when(n_words == 0, F.lit(None).cast("long")).otherwise(
+        F.floor(score * 1000 + F.lit(0.5)).cast("long")
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sent,
+        "n_syllables": n_syll,
+        "flesch_milli": flesch,
+    }

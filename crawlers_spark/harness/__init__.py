@@ -133,6 +133,9 @@ _TAIL = [
     "docs_tfidf_keywords",
     "crawl_clean_params",
     "docs_bm25f_topk",
+    "docs_readability",
+    "crawl_host_directive",
+    "stream_mime_counts",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

@@ -3218,6 +3218,54 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# -------------------- Host directive (Yandex canonical-mirror channel)
+def q_host_directive(spark, sf):
+    """Yandex `Host:` (operators/robots.py `host_directive` +
+    `apply_host_directive`): the site names its own canonical mirror
+    in robots.txt; URLs on declaring hosts get their authority
+    rewritten (scheme + path preserved). Zoo: bare-host value,
+    cased + scheme'd + trailing-slash value (first-wins with a decoy
+    second line), no directive, and a self-canonical host (no-op
+    rewrite). Oracle restates parse + rewrite from the generation
+    variables."""
+    from crawlers_spark.operators.robots import apply_host_directive, host_directive
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("src"), (d % 4).cast("string"), F.lit(".example"))
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/doc/"), ds).alias("url_canon"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("src0.example", "User-agent: *\nHost: www.example\nHost: decoy.example"),
+            ("src1.example", "Host: HTTPS://WWW.Example/"),
+            ("src2.example", "User-agent: *\nDisallow: /x"),
+            ("src3.example", "Host: src3.example"),
+        ],
+        "host string, robots_txt string",
+    )
+    return apply_host_directive(urls, host_directive(robots)).select(
+        "doc_id", "url_canon", "url_canonical_host", "host_rewritten"
+    )
+
+
+SQL_HOST_DIRECTIVE = """
+SELECT doc_id,
+       'https://src' || CAST(doc_id % 4 AS VARCHAR) || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS url_canon,
+       CASE WHEN doc_id % 4 IN (0, 1)
+            THEN 'https://www.example/doc/' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://src' || CAST(doc_id % 4 AS VARCHAR) || '.example/doc/'
+                 || CAST(doc_id AS VARCHAR) END AS url_canonical_host,
+       doc_id % 4 IN (0, 1) AS host_rewritten
+FROM documents
+"""
+
+
 # ---------------- Clean-param robots directive (Yandex extension)
 _CLEAN_PARAM_ROBOTS = {
     0: "User-agent: *\nClean-param: sid&ref /doc/\nClean-param: page",
@@ -3905,6 +3953,7 @@ QUERIES = {
     "crawl_opengraph": (q_opengraph, SQL_OPENGRAPH),
     "crawl_mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "crawl_clean_params": (q_clean_params, SQL_CLEAN_PARAMS),
+    "crawl_host_directive": (q_host_directive, SQL_HOST_DIRECTIVE),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

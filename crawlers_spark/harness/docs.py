@@ -2228,6 +2228,72 @@ FROM scored
 """
 
 
+# --------------------------- Flesch reading-ease readability features
+def q_readability(spark, sf):
+    """Flesch reading ease (`functions/textstats.py
+    readability_features`): exact integer word/sentence/syllable
+    counts (vowel-group heuristic with the min-1 floor) + the score
+    quantized once to millis — no `ln`, just two IEEE divisions the
+    oracle replays verbatim. Sentences are appended per doc_id%4 so
+    the words/sentences ratio varies (the raw fixture has no
+    terminal punctuation)."""
+    from crawlers_spark.functions.textstats import readability_features
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    # plant sentence boundaries: split the text with periods every
+    # doc_id%4+1 "sentences" by appending punctuation runs
+    extra = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(" First. Second! Third?"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" One sentence."))
+        .when(F.col("doc_id") % 4 == 3, F.lit(" Ellipsis... then more!!"))
+        .otherwise(F.lit(""))
+    )
+    t2 = F.concat(F.coalesce(F.col("text"), F.lit("")), extra)
+    feats = readability_features(t2)
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["n_sentences"].alias("n_sentences"),
+        feats["n_syllables"].alias("n_syllables"),
+        feats["flesch_milli"].alias("flesch_milli"),
+    )
+
+
+SQL_READABILITY = r"""
+WITH b AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE doc_id % 4
+           WHEN 1 THEN ' First. Second! Third?'
+           WHEN 2 THEN ' One sentence.'
+           WHEN 3 THEN ' Ellipsis... then more!!'
+           ELSE '' END AS t
+  FROM documents),
+d AS (
+  SELECT doc_id, t,
+         CASE WHEN trim(lower(t)) = '' THEN []
+              ELSE string_split_regex(trim(lower(t)), '\s+') END AS ws
+  FROM b),
+c AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_sum(list_transform(ws,
+                w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)
+              AS BIGINT) AS n_syllables
+  FROM d)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE CAST(floor((CAST(206.835 AS DOUBLE)
+                             - CAST(1.015 AS DOUBLE)
+                               * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                             - CAST(84.6 AS DOUBLE)
+                               * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                            * 1000 + 0.5) AS BIGINT) END AS flesch_milli
+FROM c
+"""
+
+
 # ------------------- BM25F fielded ranking (title/body/anchor weights)
 _BM25F_TERMS = ["spark", "join", "merge"]
 _BM25F_W = {"body": 1000, "title": 2500, "anchor": 3000}
@@ -2511,6 +2577,7 @@ QUERIES = {
     "docs_script_detect": (q_script_detect, SQL_SCRIPT_DETECT),
     "docs_tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "docs_bm25f_topk": (q_bm25f, SQL_BM25F),
+    "docs_readability": (q_readability, SQL_READABILITY),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),

@@ -346,7 +346,75 @@ GROUP BY 1, 2
 """
 
 
+# ---------------- streaming MIME classification (sniff on the stream)
+def q_mime_counts(spark, sf):
+    """Per-window fetched-payload MIME mix — the live crawl-health
+    dashboard query: binary payloads are built ON THE STREAM from
+    event_id (the 14-variant WHATWG zoo of `crawl_mime_sniff`),
+    sniffed scan-side inside the micro-batch (zero extra state), and
+    counted per 6h tumbling window. Exercises a binary column +
+    whole-stage expression chain under Structured Streaming; oracle =
+    the batch expectation by variant."""
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.functions.mimesniff import sniff_mime
+
+    ev = _stream_events(spark, sf)
+    d = F.col("event_id")
+    ds = d.cast("string")
+    v = d % 14
+    enc = lambda c: F.encode(c, "utf-8")  # noqa: E731
+    content = (
+        F.when(v == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), enc(ds)))
+        .when(v == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), enc(ds)))
+        .when(v == 2, F.concat(enc(F.lit("GIF89a")), F.unhex(F.lit("01000100"))))
+        .when(v == 3, enc(F.concat(F.lit("  <!DOCTYPE html><html>doc"), ds)))
+        .when(v == 4, enc(F.concat(F.lit("<HTML><BODY>"), ds)))
+        .when(v == 5, enc(F.concat(F.lit('<?xml version="1.0"?><d>'), ds)))
+        .when(v == 6, enc(F.concat(F.lit("%PDF-1.7 obj "), ds)))
+        .when(v == 7, F.concat(F.unhex(F.lit("504B0304")), enc(ds)))
+        .when(v == 8, F.concat(F.unhex(F.lit("1F8B08")), enc(ds)))
+        .when(v == 9, F.concat(
+            enc(F.lit("RIFF")), F.unhex(F.lit("10000000")),
+            enc(F.concat(F.lit("WAVEfmt "), ds))))
+        .when(v == 10, F.concat(F.unhex(F.lit("00000018")),
+                                enc(F.concat(F.lit("ftypisom"), ds))))
+        .when(v == 11, enc(F.concat(F.lit("plain text doc "), ds)))
+        .when(v == 12, F.concat(enc(F.lit("bin")), F.unhex(F.lit("00")), enc(ds)))
+        .otherwise(F.concat(F.unhex(F.lit("EFBBBF")),
+                            enc(F.concat(F.lit("bom text "), ds))))
+    )
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("content", content)
+        .withColumn("mime", sniff_mime("content"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "mime")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_to_table(agg, "complete").select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"), "mime", "n"
+    )
+
+
+SQL_STREAM_MIME = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       CASE event_id % 14
+         WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'image/gif' WHEN 3 THEN 'text/html'
+         WHEN 4 THEN 'text/html' WHEN 5 THEN 'text/xml'
+         WHEN 6 THEN 'application/pdf' WHEN 7 THEN 'application/zip'
+         WHEN 8 THEN 'application/x-gzip' WHEN 9 THEN 'audio/wave'
+         WHEN 10 THEN 'video/mp4' WHEN 11 THEN 'text/plain'
+         WHEN 12 THEN 'application/octet-stream' ELSE 'text/plain' END AS mime,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "stream_mime_counts": (q_mime_counts, SQL_STREAM_MIME),
     "stream_static_enrich": (q_static_enrich, SQL_STREAM_STATIC_ENRICH),
     "stream_sliding_counts": (q_sliding_counts, SQL_STREAM_SLIDING),
     "stream_hourly_windows": (q_hourly_windows, SQL_STREAM_HOURLY),

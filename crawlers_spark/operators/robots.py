@@ -600,3 +600,59 @@ def apply_clean_params(
         cleaned.alias("url_cleaned"),
         n_cleaned.cast("long").alias("n_cleaned"),
     )
+
+
+# ---------------------------------------------------------------------
+# Host directive (Yandex robots.txt extension, public docs): the site
+# itself names its canonical mirror — `Host: example.com` — the
+# robots-native complement to operators/mirrors.py's content-overlap
+# detection and the <link rel=canonical>/Link-header channels. First
+# directive wins (the documented Yandex rule); the value may carry a
+# scheme/slash which we strip to the bare registrable host.
+_HOST_LINE_RE = r"(?im)^[ \t]*host:[ \t]*([^\r\n#]+)"
+
+
+def host_directive(robots: DataFrame) -> DataFrame:
+    """(host, canonical_host) from robots bodies — rows only for
+    hosts that declare one. First match wins (``regexp_extract``
+    returns the first occurrence); value lowercased, scheme / path /
+    port stripped."""
+    raw = F.regexp_extract(
+        F.coalesce(F.col("robots_txt"), F.lit("")), _HOST_LINE_RE, 1
+    )
+    canon = F.regexp_extract(
+        F.lower(F.trim(raw)), r"^(?:https?://)?([^/:#?\s]+)", 1
+    )
+    return (
+        robots.select("host", canon.alias("canonical_host"))
+        .where(F.col("canonical_host") != "")
+        .distinct()
+    )
+
+
+def apply_host_directive(
+    urls: DataFrame, directives: DataFrame, *, url_col: str = "url_canon"
+) -> DataFrame:
+    """Rewrite each URL's authority to its robots-declared canonical
+    mirror (scheme and path/query preserved). Appends
+    ``url_canonical_host`` and ``host_rewritten``; hosts without a
+    directive (or already canonical) pass through unchanged.
+    Broadcast join on host — the frontier never shuffles.
+    """
+    d = directives.select(
+        F.col("host").alias("__h"), F.col("canonical_host").alias("__c")
+    )
+    joined = urls.join(
+        F.broadcast(d), urls["host"] == F.col("__h"), "left"
+    )
+    rewrite = F.col("__c").isNotNull() & (F.col("__c") != F.col("host"))
+    new_url = F.concat(
+        F.regexp_extract(F.col(url_col), r"^(https?://)", 1),
+        F.col("__c"),
+        F.regexp_replace(F.col(url_col), r"^https?://[^/]*", ""),
+    )
+    return joined.select(
+        *urls.columns,
+        F.when(rewrite, new_url).otherwise(F.col(url_col)).alias("url_canonical_host"),
+        rewrite.alias("host_rewritten"),
+    )
