@@ -227,6 +227,13 @@ class CrawlConfig:
     # predicate change on the link-admission filter — the broadcast
     # join shape is identical either way.
     offsite_subdomains: bool = False
+    # Heritrix SurtPrefixedDecideRule admission (operators/scope.py):
+    # a DISCOVERED link must match a seed-implied SURT prefix — a
+    # host-root seed admits its whole host, a deeper seed admits only
+    # its directory subtree. Seeds are exempt (parity with the other
+    # admission lanes); prefixes derive once from the canonicalized
+    # seed list (tiny, broadcast) and the frontier never shuffles.
+    surt_scope: bool = False
     # Mercator content-seen test (operators/dedup.py
     # `content_seen_winners`): outlinks of a page whose content digest
     # was already seen (earlier wave, or a lower-url_canon page in the
@@ -320,6 +327,17 @@ class CrawlEngine:
         self._p_budget = politeness_budget_table(
             self.politeness, self.cfg.wave_interval_s
         ).persist()
+        # canonicalized seed URLs for SURT-prefix scoping (tiny; built
+        # once, reused by every wave's admission filter)
+        if self.cfg.surt_scope:
+            _seed_urls = spark.createDataFrame(
+                [(sd["url"],) for sd in seeds], "url string"
+            )
+            self._scope_seeds = (
+                with_canonical_url(_seed_urls).select("url_canon").persist()
+            )
+        else:
+            self._scope_seeds = None
         # offsite map (O13): source -> allowed host, broadcast-sized
         self.allowed_hosts = spark.createDataFrame(
             [(s["source"], s["allowed_host"]) for s in seeds],
@@ -766,6 +784,10 @@ class CrawlEngine:
             discovered = apply_url_rules(
                 discovered, allow=cfg.url_allow, deny=cfg.url_deny
             )
+        if cfg.surt_scope:
+            from crawlers_spark.operators.scope import surt_scope_filter
+
+            discovered = surt_scope_filter(discovered, self._scope_seeds)
         if cfg.domain_blocklist:
             from crawlers_spark.functions.urlfilter import (
                 BLOCKLIST_LITERAL_MAX,
