@@ -136,6 +136,9 @@ _TAIL = [
     "docs_readability",
     "crawl_host_directive",
     "stream_mime_counts",
+    "rel_exists_mixed",
+    "rel_scalar_subquery_above_avg",
+    "rel_ntile_quartiles",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

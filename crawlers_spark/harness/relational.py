@@ -668,7 +668,90 @@ FROM ranked WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
 """
 
 
+# --- correlated subqueries (Catalyst RewritePredicateSubquery) --------
+def q_exists_mixed(spark, sf):
+    """EXISTS + NOT EXISTS in ONE query through spark.sql — Catalyst
+    rewrites the pair into a semi- and an anti-join on the same
+    customer scan; previously the surface only exercised each rewrite
+    through the DataFrame API separately."""
+    load(spark, sf, "customer").createOrReplaceTempView("v_customer_ex")
+    load(spark, sf, "orders").createOrReplaceTempView("v_orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer_ex c
+        WHERE EXISTS (SELECT 1 FROM v_orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM v_orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '5-LOW')
+        """
+    )
+
+
+SQL_EXISTS_MIXED = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderpriority = '5-LOW')
+"""
+
+
+def q_scalar_subquery_above_avg(spark, sf):
+    """Scalar subqueries (RewriteCorrelatedScalarSubquery family):
+    parts priced above the corpus average, with the average compare
+    cross-multiplied into exact DECIMAL arithmetic (price·N > Σprice)
+    so no float division enters the predicate."""
+    load(spark, sf, "part").createOrReplaceTempView("v_part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice FROM v_part_sq
+        WHERE CAST(p_retailprice AS DECIMAL(18,4))
+              * (SELECT COUNT(*) FROM v_part_sq)
+              > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,4))) FROM v_part_sq)
+        """
+    )
+
+
+SQL_SCALAR_SUBQ = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE CAST(p_retailprice AS DECIMAL(18,4)) * (SELECT COUNT(*) FROM part)
+      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,4))) FROM part)
+"""
+
+
+# --- ntile distribution buckets ---------------------------------------
+def q_ntile_quartiles(spark, sf):
+    """ntile(4) price quartiles per order priority — the remaining
+    untested window frame function; order ends in the unique key so
+    bucket assignment is total."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+SQL_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT)
+         AS quartile
+FROM orders
+"""
+
+
 QUERIES = {
+    "rel_exists_mixed": (q_exists_mixed, SQL_EXISTS_MIXED),
+    "rel_scalar_subquery_above_avg": (q_scalar_subquery_above_avg, SQL_SCALAR_SUBQ),
+    "rel_ntile_quartiles": (q_ntile_quartiles, SQL_NTILE),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "rel_pivot_status_priority": (q_pivot_status_priority, SQL_PIVOT),
     "rel_median_price_per_priority": (q_median_price_per_priority, SQL_MEDIAN),
