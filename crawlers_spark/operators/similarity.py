@@ -1320,6 +1320,7 @@ def random_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "jl",
+    use_udf: bool = False,
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
     matrix (Achlioptas 2003, "Database-friendly random projections",
@@ -1343,6 +1344,11 @@ def random_projection(
     standard pre-step that turns a 10^9×768-dim ANN problem into a
     10^9×64-dim one before IVF/LSH bucketing.
     """
+    if use_udf:
+        return _random_projection_udf(
+            corpus, n_dims=n_dims, out_dims=out_dims, id_col=id_col,
+            vec_col=vec_col, salt=salt,
+        )
     signs = jl_signs(n_dims, out_dims, salt=salt)
     v = quantize(F.col(vec_col))
     comps = [
@@ -1367,3 +1373,35 @@ def random_projection(
     return wide.select(F.col(id_col), F.explode(pairs).alias("p")).select(
         id_col, F.col("p.dim").alias("dim"), F.col("p.value").alias("value")
     )
+
+
+def _random_projection_udf(
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    out_dims: int,
+    id_col: str,
+    vec_col: str,
+    salt: str,
+) -> DataFrame:
+    """Arrow int64-matmul variant of :func:`random_projection` —
+    value-identical by construction (same md5 sign matrix, same
+    HALF_UP quantization as ``rhp_bucket_udf``, exact int64 sums) but
+    one numpy matmul per batch instead of n_dims×out_dims interpreted
+    HOF lambdas per row (the PQ-encode/SQ8 treatment; parity-tested).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(jl_signs(n_dims, out_dims, salt=salt), dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64) * QUANT_SCALE
+        M = np.where(V >= 0, np.floor(V + 0.5), np.ceil(V - 0.5)).astype(np.int64)
+        P = M @ S
+        return pd.Series(list(P))
+
+    wide = corpus.select(F.col(id_col), _proj(F.col(vec_col)).alias("_p"))
+    return wide.select(
+        F.col(id_col), F.posexplode(F.col("_p")).alias("dim", "value")
+    ).select(id_col, F.col("dim").cast("int").alias("dim"), "value")

@@ -79,3 +79,18 @@ def test_partitioning_invariance(spark):
         map(tuple, random_projection(d, n_dims=N_DIMS, out_dims=OUT_DIMS).collect())
     )
     assert run(df) == run(df.repartition(5))
+
+
+def test_udf_path_value_identical_and_faster_shape(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-2, 2) for _ in range(N_DIMS)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = sorted(map(tuple, random_projection(df, n_dims=N_DIMS, out_dims=OUT_DIMS).collect()))
+    udf = sorted(map(tuple, random_projection(
+        df, n_dims=N_DIMS, out_dims=OUT_DIMS, use_udf=True
+    ).collect()))
+    assert expr == udf
