@@ -1926,6 +1926,17 @@ class CrawlEngine:
             "extracted_text", "wave",
         )
 
+    def export_corpus(self, out_dir, **kw) -> dict:
+        """Training-corpus export over this crawl's extracted pages
+        (plans/corpus.py): exact dedup → Gopher gate → lang-ID →
+        near-dup canonical selection → PII scrub → token-balanced
+        shards, written shard-partitioned to ``out_dir``. Returns the
+        stage funnel. Deterministic — a re-export of the same
+        committed state is row-identical."""
+        from crawlers_spark.plans.corpus import export_training_corpus
+
+        return export_training_corpus(self.offers(), out_dir, **kw)
+
     def wave_log(self) -> DataFrame:
         return self._read_wave_out("page").select(
             "wave", "host", "url_canon", F.col("host_rank").cast("int").alias("host_rank")
