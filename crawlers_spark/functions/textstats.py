@@ -565,3 +565,57 @@ def readability_features(text: Column) -> dict[str, Column]:
         "n_syllables": n_syll,
         "flesch_milli": flesch,
     }
+
+
+CODE_KEYWORD_RE = (
+    r"\b(?:def|class|import|return|function|const|var|void|int|"
+    r"public|static|lambda|struct|enum|typedef)\b"
+)
+
+
+def code_detection_features(text: Column) -> dict[str, Column]:
+    """Code-vs-prose detection — the standard LLM-corpus routing
+    signal (code gets its own pipeline; code mislabeled as prose
+    poisons quality stats, prose mislabeled as code dodges the
+    dedup/quality gates). Pure surface heuristics in the
+    StarCoder/CodeParrot preprocessing tradition (public), all
+    scan-side regexp counts with cross-multiplied INTEGER rules:
+
+      - ``n_lines``      — newline count + 1 (0 for blank docs)
+      - ``n_indent``     — lines starting with a tab or ≥4 spaces
+      - ``n_braces``     — ``{`` ``}`` occurrences
+      - ``n_semi_eol``   — lines ending with ``;``
+      - ``n_keywords``   — word-bounded programming keywords
+
+    ``code_score`` (0–7): 2·[indent ≥ 20% of lines] + 2·[braces ≥ 2%
+    of chars] + 1·[semicolon EOLs ≥ 20% of lines] + 2·[≥3 keyword
+    hits]; ``is_code`` ⇔ score ≥ 3 (at least two independent signal
+    families). No division anywhere — every threshold is an exact
+    integer cross-multiplication, bit-replayable in RE2 engines.
+    """
+    t = F.coalesce(text, F.lit(""))
+    blank = F.trim(t) == ""
+    n_lines = F.when(blank, F.lit(0)).otherwise(
+        F.regexp_count(t, F.lit(r"\n")) + 1
+    ).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_indent = F.regexp_count(t, F.lit(r"(?m)^(?:\t| {4})")).cast("long")
+    n_braces = F.regexp_count(t, F.lit(r"[{}]")).cast("long")
+    n_semi = F.regexp_count(t, F.lit(r"(?m);[ \t]*$")).cast("long")
+    n_kw = F.regexp_count(F.lower(t), F.lit(CODE_KEYWORD_RE)).cast("long")
+    score = (
+        F.when(n_indent * 5 >= n_lines, F.lit(2)).otherwise(F.lit(0))
+        + F.when(n_braces * 50 >= n_chars, F.lit(2)).otherwise(F.lit(0))
+        + F.when(n_semi * 5 >= n_lines, F.lit(1)).otherwise(F.lit(0))
+        + F.when(n_kw >= 3, F.lit(2)).otherwise(F.lit(0))
+    )
+    score = F.when(n_lines == 0, F.lit(0)).otherwise(score).cast("long")
+    return {
+        "n_lines": n_lines,
+        "n_indent": n_indent,
+        "n_braces": n_braces,
+        "n_semi_eol": n_semi,
+        "n_keywords": n_kw,
+        "code_score": score,
+        "is_code": (score >= 3).alias("is_code"),
+    }

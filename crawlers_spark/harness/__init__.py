@@ -139,6 +139,8 @@ _TAIL = [
     "rel_exists_mixed",
     "rel_scalar_subquery_above_avg",
     "rel_ntile_quartiles",
+    "crawl_request_rate",
+    "docs_code_detect",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

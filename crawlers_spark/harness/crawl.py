@@ -995,6 +995,55 @@ FROM ({_SQL_URLS}) u
 """
 
 
+# -------------------- O6+ Request-rate robots extension → politeness
+def q_request_rate(spark, sf):
+    """Request-rate robots directive (operators/robots.py
+    `politeness_from_robots_full`, stdlib urllib.robotparser
+    semantics): the effective delay is the STRICTER of Crawl-delay
+    and seconds/requests. Variants: both channels (rate wins), rate
+    only (non-integer quotient), delay only, neither, and an
+    agent-specific group shadowing the `*` group's harsher rate.
+    The oracle replays parse + max-merge from the generation
+    variables."""
+    from crawlers_spark.operators.robots import politeness_from_robots_full
+
+    fr = _frontier(spark, sf)
+    hosts = fr.select("host").distinct()
+    n = F.regexp_extract("host", r"(\d+)", 1).cast("int")
+    rules = (
+        F.when(n % 5 == 0,
+               F.lit("User-agent: *\nCrawl-delay: 2\nRequest-rate: 1/5\n"))
+        .when(n % 5 == 1, F.lit("User-agent: *\nRequest-rate: 3/10\n"))
+        .when(n % 5 == 2,
+              F.concat(F.lit("User-agent: *\nCrawl-delay: "),
+                       (1 + n % 4).cast("string"), F.lit("\n")))
+        .when(n % 5 == 3, F.lit("User-agent: *\nDisallow:\n"))
+        .otherwise(F.lit("User-agent: crawlers-spark\nRequest-rate: 2/1\n\n"
+                         "User-agent: *\nRequest-rate: 1/30\n"))
+    )
+    robots = hosts.withColumn("rules", rules)
+    return politeness_from_robots_full(robots).select(
+        "host", "crawl_delay_s", "rate_req", "rate_s", "delay_s"
+    )
+
+
+SQL_REQUEST_RATE = f"""
+SELECT DISTINCT host,
+       CASE WHEN src_n % 5 = 0 THEN CAST(2 AS DOUBLE)
+            WHEN src_n % 5 = 2 THEN CAST(1 + src_n % 4 AS DOUBLE)
+            END AS crawl_delay_s,
+       CASE src_n % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 4 THEN 2 END AS rate_req,
+       CASE src_n % 5 WHEN 0 THEN 5 WHEN 1 THEN 10 WHEN 4 THEN 1 END AS rate_s,
+       CASE src_n % 5
+         WHEN 0 THEN greatest(CAST(2 AS DOUBLE), CAST(5 AS DOUBLE) / CAST(1 AS DOUBLE))
+         WHEN 1 THEN greatest(0.5, CAST(10 AS DOUBLE) / CAST(3 AS DOUBLE))
+         WHEN 2 THEN greatest(CAST(1 + src_n % 4 AS DOUBLE), 0.5)
+         WHEN 3 THEN 0.5
+         ELSE greatest(0.5, CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE)) END AS delay_s
+FROM ({_SQL_URLS}) u
+"""
+
+
 # ----------------------------------------- O6+ AIMD adaptive politeness
 def q_adaptive_politeness(spark, sf):
     """Mercator-style AIMD back-off from observed fetch outcomes: a
@@ -3954,6 +4003,7 @@ QUERIES = {
     "crawl_mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "crawl_clean_params": (q_clean_params, SQL_CLEAN_PARAMS),
     "crawl_host_directive": (q_host_directive, SQL_HOST_DIRECTIVE),
+    "crawl_request_rate": (q_request_rate, SQL_REQUEST_RATE),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

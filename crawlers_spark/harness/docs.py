@@ -2228,6 +2228,82 @@ FROM scored
 """
 
 
+# ----------------------------- code-vs-prose detection (corpus routing)
+_CODE_SAMPLES = {
+    1: "\ndef handle(x):\n    return x + 1\n    import os\n    class Y:\n        pass",
+    2: "\nfunction f(a) {\n  const b = a;\n  var c = b;\n  return c;\n}",
+    3: "\nplain prose tail with ordinary sentences and no symbols at all",
+}
+
+
+def q_code_detect(spark, sf):
+    """Code-vs-prose routing (`functions/textstats.py
+    code_detection_features`): integer cross-multiplied surface rules
+    (indent / brace density / semicolon EOLs / keyword hits). Python-
+    and JS-shaped blocks are appended per doc_id%4 (repeated so the
+    code signals dominate the prose prefix); the oracle recounts
+    every regexp with RE2 and replays the scoring."""
+    from crawlers_spark.functions.textstats import code_detection_features
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    v = F.col("doc_id") % 4
+    sample = F.lit("")
+    for k, smp in _CODE_SAMPLES.items():
+        sample = F.when(v == k, F.lit(smp)).otherwise(sample)
+    rep = ((F.col("doc_id") % 3) * 6 + 6).cast("int")
+    t2 = F.concat(F.coalesce(F.col("text"), F.lit("")), F.repeat(sample, rep))
+    feats = code_detection_features(t2)
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in feats.items()],
+    )
+
+
+_SQL_CODE_SAMPLE_CASE = "CASE doc_id % 4 " + " ".join(
+    "WHEN {k} THEN '{t}'".format(
+        k=k, t=s.replace("\n", "' || chr(10) || '")
+    )
+    for k, s in _CODE_SAMPLES.items()
+) + " ELSE '' END"
+
+SQL_CODE_DETECT = rf"""
+WITH b AS (
+  SELECT doc_id,
+         coalesce(text, '') || repeat({_SQL_CODE_SAMPLE_CASE},
+                                      CAST((doc_id % 3) * 6 + 6 AS INT)) AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CASE WHEN trim(t) = '' THEN 0
+              ELSE len(regexp_extract_all(t, '\n')) + 1 END AS n_lines,
+         length(t) AS n_chars,
+         len(regexp_extract_all(t, '(?m)^(?:\t| {{4}})')) AS n_indent,
+         len(regexp_extract_all(t, '[{{}}]')) AS n_braces,
+         len(regexp_extract_all(t, '(?m);[ \t]*$')) AS n_semi_eol,
+         len(regexp_extract_all(lower(t),
+           '\b(?:def|class|import|return|function|const|var|void|int|public|static|lambda|struct|enum|typedef)\b'))
+           AS n_keywords
+  FROM b),
+s AS (
+  SELECT doc_id, n_lines, n_indent, n_braces, n_semi_eol, n_keywords,
+         CASE WHEN n_lines = 0 THEN 0 ELSE
+           (CASE WHEN n_indent * 5 >= n_lines THEN 2 ELSE 0 END)
+           + (CASE WHEN n_braces * 50 >= n_chars THEN 2 ELSE 0 END)
+           + (CASE WHEN n_semi_eol * 5 >= n_lines THEN 1 ELSE 0 END)
+           + (CASE WHEN n_keywords >= 3 THEN 2 ELSE 0 END) END AS code_score
+  FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_indent AS BIGINT) AS n_indent,
+       CAST(n_braces AS BIGINT) AS n_braces,
+       CAST(n_semi_eol AS BIGINT) AS n_semi_eol,
+       CAST(n_keywords AS BIGINT) AS n_keywords,
+       CAST(code_score AS BIGINT) AS code_score,
+       code_score >= 3 AS is_code
+FROM s
+"""
+
+
 # --------------------------- Flesch reading-ease readability features
 def q_readability(spark, sf):
     """Flesch reading ease (`functions/textstats.py
@@ -2578,6 +2654,7 @@ QUERIES = {
     "docs_tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "docs_bm25f_topk": (q_bm25f, SQL_BM25F),
     "docs_readability": (q_readability, SQL_READABILITY),
+    "docs_code_detect": (q_code_detect, SQL_CODE_DETECT),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),

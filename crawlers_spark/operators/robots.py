@@ -656,3 +656,64 @@ def apply_host_directive(
         F.when(rewrite, new_url).otherwise(F.col(url_col)).alias("url_canonical_host"),
         rewrite.alias("host_rewritten"),
     )
+
+
+def politeness_from_robots_full(
+    robots: DataFrame,
+    *,
+    default_delay_s: float = 0.5,
+    default_max_per_wave: int = 200,
+) -> DataFrame:
+    """:func:`politeness_from_robots` extended with the ``Request-rate``
+    robots extension (the pre-RFC politeness channel stdlib
+    ``urllib.robotparser`` still implements: ``Request-rate: n/s`` =
+    at most n requests per s seconds, agent-group-scoped exactly like
+    ``Crawl-delay``). The effective per-host delay is the STRICTER of
+    the two channels:
+
+        delay = max(crawl_delay | default, seconds/requests | default)
+
+    Output adds the parsed evidence columns (``crawl_delay_s``,
+    ``rate_req``, ``rate_s`` — null when the directive is absent) so
+    downstream audits and the oracle can countersign the merge, plus
+    the usual (``delay_s``, ``max_per_wave``). Same host-cardinality
+    ``mapInPandas`` shape as the base operator; broadcasts downstream.
+    """
+    import numpy as np
+
+    def derive(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            cds, reqs, secs, effs = [], [], [], []
+            for rules in pdf["rules"]:
+                rp = urllib.robotparser.RobotFileParser()
+                rp.parse((rules or "").splitlines())
+                cd = rp.crawl_delay(USER_AGENT)
+                rr = rp.request_rate(USER_AGENT)
+                cds.append(float(cd) if cd is not None else None)
+                reqs.append(int(rr.requests) if rr is not None else None)
+                secs.append(int(rr.seconds) if rr is not None else None)
+                eff_cd = float(cd) if cd is not None else default_delay_s
+                eff_rr = (
+                    float(rr.seconds) / float(rr.requests)
+                    if rr is not None
+                    else default_delay_s
+                )
+                effs.append(max(eff_cd, eff_rr))
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "crawl_delay_s": pd.array(cds, dtype="Float64"),
+                    "rate_req": pd.array(reqs, dtype="Int64"),
+                    "rate_s": pd.array(secs, dtype="Int64"),
+                    "delay_s": np.array(effs, dtype=np.float64),
+                    "max_per_wave": np.full(len(pdf), default_max_per_wave, dtype=np.int32),
+                }
+            )
+
+    return robots.select("host", "rules").mapInPandas(
+        derive,
+        "host string, crawl_delay_s double, rate_req bigint, rate_s bigint, "
+        "delay_s double, max_per_wave int",
+    )
