@@ -619,3 +619,119 @@ def code_detection_features(text: Column) -> dict[str, Column]:
         "code_score": score,
         "is_code": (score >= 3).alias("is_code"),
     }
+
+
+def chunk_text(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 1000,
+    overlap: int = 200,
+) -> DataFrame:
+    """Deterministic sliding-window chunking — the embedding-index /
+    RAG preparation step (fixed-size character windows with overlap,
+    the LangChain/llama-index convention, public): chunk i covers
+    ``[i·stride, i·stride + chunk_chars)`` with
+    ``stride = chunk_chars − overlap``; the last window is the first
+    one reaching the end of the document (shorter tail windows are
+    not emitted — every character is still covered because of the
+    overlap).
+
+    Pure integer arithmetic + ``substring`` over one ``explode`` of a
+    per-row ``sequence`` — scan-side, no shuffle at all; the chunk
+    table feeds ``random_projection``/IVF/PQ downstream. Output:
+    ``(id, chunk_idx, start, text_chunk, n_chunks)`` with 1-based
+    ``start`` (the SQL substring convention both engines share).
+    Blank/null docs emit no rows (chunk consumers want content).
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    # number of windows: 1 + ceil(max(n - chunk_chars, 0) / stride),
+    # as exact integer arithmetic: (x + stride - 1) div stride
+    extra = F.greatest(n - chunk_chars, F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((extra + stride - 1) / stride)).cast("int")
+    out = (
+        docs.where(F.trim(t) != "")
+        .select(
+            F.col(id_col),
+            n_chunks.alias("n_chunks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride + 1).cast("long").alias("start"),
+            F.substring(
+                F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_chars
+            ).alias("text_chunk"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+        )
+    )
+    return out
+
+
+def paragraph_lang_mix(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level language mixing — the code-switch / template
+    audit multilingual pipelines run before whole-document language
+    labels are trusted (a page whose boilerplate is English but whose
+    body is French gets a misleading doc-level label; CCNet splits by
+    paragraph for exactly this reason, public).
+
+    Paragraphs = blank-line-separated blocks; each is labeled with the
+    same stop-word ``lang_id`` used at document level, then rolled up:
+
+      - ``n_pars          bigint`` — non-empty paragraphs
+      - ``dominant_lang   string`` — modal paragraph language (ties →
+        smallest code; ``'none'`` for paragraph-less docs)
+      - ``n_dominant      bigint`` — paragraphs in the modal language
+      - ``mix_permille    bigint`` — ⌊(n_pars − n_dominant)·1000 /
+        n_pars⌋, 0 when empty — the mixing score, exact integer
+
+    Scale shape: one paragraph explode (scan-side) + per-paragraph
+    labeling in the same projection + two hash aggs keyed by doc —
+    shuffle O(paragraph-language pairs), membership-total output.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pars = F.filter(
+        F.transform(F.split(t, r"\n{2,}"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    per_par = docs.select(F.col(id_col), F.explode(pars).alias("par")).select(
+        id_col, lang_id(F.col("par")).alias("par_lang")
+    )
+    counts = per_par.groupBy(id_col, "par_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counts.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("n")).alias("negn"), F.col("par_lang").alias("l"))).alias("b"),
+        F.sum("n").alias("n_pars"),
+    )
+    rolled = best.select(
+        id_col,
+        F.col("n_pars").cast("long").alias("n_pars"),
+        F.col("b.l").alias("dominant_lang"),
+        (-F.col("b.negn")).cast("long").alias("n_dominant"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rolled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_pars", F.lit(0)).cast("long").alias("n_pars"),
+            F.coalesce("dominant_lang", F.lit("none")).alias("dominant_lang"),
+            F.coalesce("n_dominant", F.lit(0)).cast("long").alias("n_dominant"),
+            F.coalesce(
+                F.floor(
+                    (F.col("n_pars") - F.col("n_dominant")) * 1000 / F.col("n_pars")
+                ),
+                F.lit(0),
+            ).cast("long").alias("mix_permille"),
+        )
+    )

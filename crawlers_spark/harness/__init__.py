@@ -141,6 +141,8 @@ _TAIL = [
     "rel_ntile_quartiles",
     "crawl_request_rate",
     "docs_code_detect",
+    "docs_chunking",
+    "docs_paragraph_mix",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

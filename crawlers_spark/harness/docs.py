@@ -2228,6 +2228,108 @@ FROM scored
 """
 
 
+# ---------------- paragraph-level language mixing (code-switch audit)
+_MIX_PARS = {
+    1: "\n\nle chat et la maison sont dans le jardin avec les amis",
+    2: "\n\nder hund und die katze sind mit dem kind\n\n"
+       "das haus und der garten mit den eltern",
+    3: "\n\nel perro y la casa de los amigos con las flores",
+}
+
+
+def q_paragraph_mix(spark, sf):
+    """Paragraph language mixing (`functions/textstats.py
+    paragraph_lang_mix`): per-paragraph stop-word lang-ID → modal
+    rollup + integer permille mixing score. Non-English paragraphs
+    are appended per doc_id%4 (one French, two German, one Spanish)
+    so dominance and the tie order are exercised; the oracle replays
+    split → per-paragraph hits → modal rollup with the same stop-word
+    tables."""
+    from crawlers_spark.functions.textstats import paragraph_lang_mix
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    v = F.col("doc_id") % 4
+    extra = F.lit("")
+    for k, p in _MIX_PARS.items():
+        extra = F.when(v == k, F.lit(p)).otherwise(extra)
+    t2 = F.concat(F.coalesce(F.col("text"), F.lit("")), extra)
+    return paragraph_lang_mix(d.select("doc_id", t2.alias("text")))
+
+
+_SQL_MIX_CASE = "CASE doc_id % 4 " + " ".join(
+    "WHEN {k} THEN '{t}'".format(k=k, t=p.replace("\n", "' || chr(10) || '"))
+    for k, p in _MIX_PARS.items()
+) + " ELSE '' END"
+
+SQL_PARAGRAPH_MIX = rf"""
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') || {_SQL_MIX_CASE} AS t FROM documents),
+pars AS (
+  SELECT doc_id, i, trim(ps[CAST(i AS INT)]) AS par
+  FROM (SELECT doc_id, string_split_regex(t, '\n{{2,}}') AS ps FROM b) x,
+       unnest(range(1, len(ps) + 1)) r(i)
+  WHERE trim(ps[CAST(i AS INT)]) <> ''),
+tok AS (
+  SELECT doc_id, i, lower(unnest(string_split_regex(par, '\s+'))) AS w
+  FROM pars),
+hits AS (
+  SELECT doc_id, i, l.lang,
+         sum(CASE WHEN list_contains(l.sw, w) THEN 1 ELSE 0 END) AS h
+  FROM tok CROSS JOIN (VALUES {_SQL_LANG_LISTS}) l(lang, sw)
+  GROUP BY doc_id, i, l.lang),
+par_lang AS (
+  SELECT doc_id, i, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pl
+  FROM (SELECT doc_id, i, lang, h,
+               row_number() OVER (PARTITION BY doc_id, i
+                                  ORDER BY h DESC, lang ASC) AS rn
+        FROM hits) WHERE rn = 1),
+counts AS (SELECT doc_id, pl, COUNT(*) AS n FROM par_lang GROUP BY 1, 2),
+rolled AS (
+  SELECT doc_id,
+         first(pl ORDER BY n DESC, pl ASC) AS dominant_lang,
+         first(n ORDER BY n DESC, pl ASC) AS n_dominant,
+         sum(n) AS n_pars
+  FROM counts GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(n_pars, 0) AS BIGINT) AS n_pars,
+       coalesce(dominant_lang, 'none') AS dominant_lang,
+       CAST(coalesce(n_dominant, 0) AS BIGINT) AS n_dominant,
+       CAST(coalesce(floor((n_pars - n_dominant) * 1000 / n_pars), 0) AS BIGINT)
+         AS mix_permille
+FROM (SELECT doc_id FROM documents) d LEFT JOIN rolled USING (doc_id)
+"""
+
+
+# ------------------- sliding-window chunking (embedding/RAG prep)
+def q_chunking(spark, sf):
+    """Deterministic overlap chunking (`functions/textstats.py
+    chunk_text`, 180-char windows / 40 overlap): pure integer window
+    arithmetic + substring, replayed verbatim — chunk grid, 1-based
+    starts, tail-coverage rule and all."""
+    from crawlers_spark.functions.textstats import chunk_text
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return chunk_text(d, chunk_chars=180, overlap=40)
+
+
+SQL_CHUNKING = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+  WHERE trim(coalesce(text, '')) <> ''),
+g AS (
+  SELECT doc_id, t,
+         CAST(1 + floor((greatest(length(t) - 180, 0) + 139) / 140) AS INT)
+           AS n_chunks
+  FROM d)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 140 + 1 AS BIGINT) AS start,
+       substr(t, CAST(i * 140 + 1 AS INT), 180) AS text_chunk,
+       CAST(n_chunks AS BIGINT) AS n_chunks
+FROM g, unnest(range(0, n_chunks)) r(i)
+"""
+
+
 # ----------------------------- code-vs-prose detection (corpus routing)
 _CODE_SAMPLES = {
     1: "\ndef handle(x):\n    return x + 1\n    import os\n    class Y:\n        pass",
@@ -2655,6 +2757,8 @@ QUERIES = {
     "docs_bm25f_topk": (q_bm25f, SQL_BM25F),
     "docs_readability": (q_readability, SQL_READABILITY),
     "docs_code_detect": (q_code_detect, SQL_CODE_DETECT),
+    "docs_chunking": (q_chunking, SQL_CHUNKING),
+    "docs_paragraph_mix": (q_paragraph_mix, SQL_PARAGRAPH_MIX),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),
