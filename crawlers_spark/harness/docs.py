@@ -2228,6 +2228,66 @@ FROM scored
 """
 
 
+# -------------- domain-disjoint train/holdout split (leakage-safe)
+def q_domain_split(spark, sf):
+    """Leakage-safe eval split (`operators/sampling.py
+    domain_disjoint_split`): the split key is the registrable domain,
+    so subdomains (www./jobs.) of one site — and their shared
+    templates/near-dups — land on ONE side. Host zoo: 3 subdomain
+    depths × 12 sites × {com, co.uk (listed public suffix)};
+    30%-of-domains holdout. The oracle replays the PSL-lite site key,
+    the md5 threshold, and the membership decision."""
+    from crawlers_spark.operators.sampling import domain_disjoint_split
+
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 3 == 0, "").when(d % 3 == 1, "www.").otherwise("jobs.")
+    )
+    tld = F.when(d % 2 == 0, "com").otherwise("co.uk")
+    host = F.concat(sub, F.lit("brand"), (d % 12).cast("string"), F.lit("."), tld)
+    docs = load(spark, sf, "documents").select("doc_id", host.alias("host"))
+    return domain_disjoint_split(docs, holdout_permille=300).select(
+        "doc_id", "host", "site", "split"
+    )
+
+
+def _domain_split_sql() -> str:
+    from crawlers_spark.functions.domains import PSL_LITE
+    from crawlers_spark.operators.sampling import rate_threshold
+
+    suffixes = ", ".join(f"'{s}'" for s in PSL_LITE)
+    thr = rate_threshold(300 / 1000.0)
+    return rf"""
+WITH h AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN ''
+               WHEN doc_id % 3 = 1 THEN 'www.' ELSE 'jobs.' END)
+         || 'brand' || CAST(doc_id % 12 AS VARCHAR) || '.'
+         || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'co.uk' END) AS host
+  FROM documents),
+p AS (
+  SELECT doc_id, host, string_split(host, '.') AS parts,
+         len(string_split(host, '.')) AS n
+  FROM h),
+s AS (
+  SELECT doc_id, host,
+         CASE WHEN n <= 1 THEN host
+              WHEN (parts[n - 1] || '.' || parts[n]) IN ({suffixes}) AND n >= 3
+                THEN parts[n - 2] || '.' || parts[n - 1] || '.' || parts[n]
+              WHEN (parts[n - 1] || '.' || parts[n]) IN ({suffixes})
+                THEN host
+              ELSE parts[n - 1] || '.' || parts[n] END AS site
+  FROM p)
+SELECT doc_id, host, site,
+       CASE WHEN substr(md5('split|' || site), 1, 8) < '{thr}'
+            THEN 'holdout' ELSE 'train' END AS split
+FROM s
+"""
+
+
+SQL_DOMAIN_SPLIT = _domain_split_sql()
+
+
 # ---------------- paragraph-level language mixing (code-switch audit)
 _MIX_PARS = {
     1: "\n\nle chat et la maison sont dans le jardin avec les amis",
@@ -2759,6 +2819,7 @@ QUERIES = {
     "docs_code_detect": (q_code_detect, SQL_CODE_DETECT),
     "docs_chunking": (q_chunking, SQL_CHUNKING),
     "docs_paragraph_mix": (q_paragraph_mix, SQL_PARAGRAPH_MIX),
+    "docs_domain_split": (q_domain_split, SQL_DOMAIN_SPLIT),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),

@@ -277,3 +277,43 @@ def temperature_mix(
         .where(sample_key(F.col(id_col), salt=salt) < F.col("thr"))
         .drop("__lang", "thr")
     )
+
+
+def domain_disjoint_split(
+    docs: DataFrame,
+    *,
+    host_col: str = "host",
+    holdout_permille: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/holdout split: the split key is the
+    REGISTRABLE DOMAIN (eTLD+1), not the document — so every page of
+    a site, its mirrors' near-duplicates, and its boilerplate land on
+    the SAME side. Splitting web corpora per-document leaks templates
+    and near-dups across the boundary and inflates eval numbers —
+    the standard fix (documented in the Pile/C4 dedup literature,
+    public) is a domain-disjoint assignment, which this realizes with
+    the repo's md5-threshold contract: deterministic, resumable, no
+    RNG, any engine replays it.
+
+    ``holdout_permille`` of DOMAINS (not documents) go to the holdout
+    side. Appends ``site`` (the split key) and ``split``
+    ('train' | 'holdout'). Map-only — the threshold compare rides the
+    scan; null hosts fall to 'train' with ``site`` null (no domain
+    evidence, no holdout membership).
+    """
+    from crawlers_spark.functions.domains import registrable_domain
+
+    if not 0 <= holdout_permille <= 1000:
+        raise ValueError("holdout_permille must be in [0, 1000]")
+    site_raw = registrable_domain(F.lower(F.col(host_col)))
+    # null/blank hosts have no domain evidence: null site, train side
+    site = F.when(
+        F.col(host_col).isNotNull() & (site_raw != ""), site_raw
+    )
+    thr = rate_threshold(holdout_permille / 1000.0)
+    key = sample_key(site, salt=salt)
+    split = F.when(
+        site.isNotNull() & (key < F.lit(thr)), F.lit("holdout")
+    ).otherwise(F.lit("train"))
+    return docs.select("*", site.alias("site"), split.alias("split"))
