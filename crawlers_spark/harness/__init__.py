@@ -144,6 +144,7 @@ _TAIL = [
     "docs_chunking",
     "docs_paragraph_mix",
     "docs_domain_split",
+    "crawl_page_titles",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

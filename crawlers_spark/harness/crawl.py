@@ -3267,6 +3267,63 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# ------------------ generic page-title precedence (title > og > h1)
+def q_page_titles(spark, sf):
+    """Selector-free title recovery (extraction/titles.py): channel
+    precedence <title> > og:title > first <h1>, permissive parsing
+    (attribute soup, case, inner tags stripped from h1, whitespace
+    collapse), blank channels fall through. Build→expected round trip
+    over an 8-variant zoo."""
+    from crawlers_spark.extraction.titles import page_titles
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 8
+    t = F.concat(F.lit("T"), ds)
+    body = (
+        F.when(v == 0, F.concat(F.lit("<title>"), t, F.lit("</title>")))
+        .when(v == 1, F.concat(
+            F.lit('<TITLE class="x">  '), t, F.lit("  </TITLE>")))  # case+ws
+        .when(v == 2, F.concat(
+            F.lit('<meta property="og:title" content="OG-'), t, F.lit('">')))
+        .when(v == 3, F.concat(
+            F.lit("<h1><span>H-"), t, F.lit("</span></h1>")))       # inner tag
+        .when(v == 4, F.concat(                                     # title wins over og+h1
+            F.lit("<title>"), t,
+            F.lit('</title><meta property="og:title" content="og-no">'
+                  "<h1>h1-no</h1>")))
+        .when(v == 5, F.concat(                                     # blank title → og wins
+            F.lit('<title>  </title><meta property="og:title" content="OG-'),
+            t, F.lit('"><h1>h1-no</h1>')))
+        .when(v == 6, F.lit("<p>nothing titled here</p>"))
+        .otherwise(F.concat(
+            F.lit("<h1  data-x=1>\nH-"), t, F.lit("\n</h1><h1>second-no</h1>")))
+    )
+    html = F.concat(F.lit("<html><head>"), body, F.lit("</head><body>x</body></html>"))
+    url = F.concat(F.lit("https://t.example/"), ds)
+    return page_titles(docs.select(url.alias("url"), html.alias("html")))
+
+
+SQL_PAGE_TITLES = """
+SELECT 'https://t.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE doc_id % 8
+         WHEN 0 THEN 'T' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN 'T' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN 'OG-T' || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN 'H-T' || CAST(doc_id AS VARCHAR)
+         WHEN 4 THEN 'T' || CAST(doc_id AS VARCHAR)
+         WHEN 5 THEN 'OG-T' || CAST(doc_id AS VARCHAR)
+         WHEN 6 THEN NULL
+         ELSE 'H-T' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE doc_id % 8
+         WHEN 0 THEN 'title' WHEN 1 THEN 'title' WHEN 2 THEN 'og'
+         WHEN 3 THEN 'h1' WHEN 4 THEN 'title' WHEN 5 THEN 'og'
+         WHEN 6 THEN 'none' ELSE 'h1' END AS title_source
+FROM documents
+"""
+
+
 # -------------------- Host directive (Yandex canonical-mirror channel)
 def q_host_directive(spark, sf):
     """Yandex `Host:` (operators/robots.py `host_directive` +
@@ -4004,6 +4061,7 @@ QUERIES = {
     "crawl_clean_params": (q_clean_params, SQL_CLEAN_PARAMS),
     "crawl_host_directive": (q_host_directive, SQL_HOST_DIRECTIVE),
     "crawl_request_rate": (q_request_rate, SQL_REQUEST_RATE),
+    "crawl_page_titles": (q_page_titles, SQL_PAGE_TITLES),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),
