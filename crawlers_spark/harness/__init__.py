@@ -145,6 +145,7 @@ _TAIL = [
     "docs_paragraph_mix",
     "docs_domain_split",
     "crawl_page_titles",
+    "crawl_jsonfeed_seeds",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

@@ -3267,6 +3267,64 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# --------------------- JSON Feed discovery (third feed dialect)
+def q_jsonfeed_seeds(spark, sf):
+    """JSON Feed parsing (extraction/feeds.py `parse_jsonfeeds`,
+    jsonfeed.org v1.1): Catalyst from_json, items[].url permalinks
+    (external_url deliberately ignored), raw RFC 3339 published
+    strings in the shared FEED_SCHEMA shape. Build→parse round trip:
+    versioned feeds, a v1 variant, items missing url (skipped),
+    missing date (null), a non-feed JSON decoy and malformed JSON
+    (both yield no rows)."""
+    from crawlers_spark.extraction.feeds import parse_jsonfeeds
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 5
+    host = F.concat(F.lit("feed"), (d % 7).cast("string"), F.lit(".example"))
+    item = F.concat(
+        F.lit('{"id": "i'), ds,
+        F.lit('", "url": "https://feed.example/p/'), ds,
+        F.lit('", "title": "Post '), ds,
+        F.lit('", "date_published": "2024-01-0'), (d % 9 + 1).cast("string"),
+        F.lit('T12:00:00Z"}'),
+    )
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('{"version": "https://jsonfeed.org/version/1.1", '
+                  '"title": "F", "items": ['), item, F.lit("]}")))
+        .when(v == 1, F.concat(
+            F.lit('{"version": "https://jsonfeed.org/version/1", '
+                  '"title": "F", "items": ['), item,
+            F.lit(', {"id": "noid", "external_url": "https://x.example/out"}]}')))
+        .when(v == 2, F.concat(
+            F.lit('{"version": "https://jsonfeed.org/version/1.1", "items": '
+                  '[{"id": "d", "url": "https://feed.example/nodate/'), ds,
+            F.lit('"}]}')))
+        .when(v == 3, F.lit('{"title": "not a feed", "entries": []}'))
+        .otherwise(F.lit("{malformed json"))
+    )
+    feeds = docs.select(host.alias("host"), body.alias("body"))
+    return parse_jsonfeeds(feeds)
+
+
+SQL_JSONFEED = """
+SELECT 'feed' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+       CASE WHEN doc_id % 5 IN (0, 1)
+            THEN 'https://feed.example/p/' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://feed.example/nodate/' || CAST(doc_id AS VARCHAR)
+            END AS loc,
+       CASE WHEN doc_id % 5 IN (0, 1)
+            THEN '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T12:00:00Z'
+            END AS published,
+       CASE WHEN doc_id % 5 IN (0, 1)
+            THEN 'Post ' || CAST(doc_id AS VARCHAR) END AS title
+FROM documents
+WHERE doc_id % 5 IN (0, 1, 2)
+"""
+
+
 # ------------------ generic page-title precedence (title > og > h1)
 def q_page_titles(spark, sf):
     """Selector-free title recovery (extraction/titles.py): channel
@@ -4062,6 +4120,7 @@ QUERIES = {
     "crawl_host_directive": (q_host_directive, SQL_HOST_DIRECTIVE),
     "crawl_request_rate": (q_request_rate, SQL_REQUEST_RATE),
     "crawl_page_titles": (q_page_titles, SQL_PAGE_TITLES),
+    "crawl_jsonfeed_seeds": (q_jsonfeed_seeds, SQL_JSONFEED),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

@@ -77,3 +77,41 @@ def test_updated_before_published_does_not_shadow():
     assert parse_feed_xml(xml) == [
         ("https://a.example/job/9", "2024-01-01T00:00:00Z", None)
     ]
+
+
+# --------------------------------------------------------- JSON Feed
+def test_jsonfeed_parsing(spark):
+    from crawlers_spark.extraction.feeds import parse_jsonfeeds
+
+    feeds = spark.createDataFrame(
+        [
+            ("h1", '{"version": "https://jsonfeed.org/version/1.1", "items": ['
+                   '{"id": "1", "url": "https://h1/p/1", "title": "A", '
+                   '"date_published": "2024-02-03T04:05:06Z"},'
+                   '{"id": "2", "external_url": "https://elsewhere/x"},'
+                   '{"id": "3", "url": "https://h1/p/3"}]}'),
+            ("h2", '{"version": "https://jsonfeed.org/version/1", "items": []}'),
+            ("h3", '{"title": "not a feed"}'),
+            ("h4", "{malformed"),
+            ("h5", None),
+        ],
+        "host string, body string",
+    )
+    rows = sorted(map(tuple, parse_jsonfeeds(feeds).collect()))
+    assert rows == [
+        ("h1", "https://h1/p/1", "2024-02-03T04:05:06Z", "A"),
+        ("h1", "https://h1/p/3", None, None),
+    ]
+
+
+def test_jsonfeed_schema_unions_with_xml_dialects(spark):
+    from crawlers_spark.extraction.feeds import FEED_SCHEMA, parse_jsonfeeds
+
+    feeds = spark.createDataFrame(
+        [("h1", '{"version": "https://jsonfeed.org/version/1.1", "items": '
+                '[{"url": "https://h1/p"}]}')],
+        "host string, body string",
+    )
+    out = parse_jsonfeeds(feeds)
+    want = [c.split(" ")[0] for c in FEED_SCHEMA.split(", ")]
+    assert out.columns == want
