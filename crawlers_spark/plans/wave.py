@@ -1926,6 +1926,46 @@ class CrawlEngine:
             "extracted_text", "wave",
         )
 
+    def host_report(self) -> DataFrame:
+        """CrawlDb-style per-host status rollup (the Nutch `readdb
+        -stats` analog, public semantics): one row per host with
+        fetched / offer / robots-denied / retry-exhausted / tombstoned
+        / revalidated counts and the first/last fetch wave — the
+        operational dashboard a continuous crawl publishes. One scan
+        of the kind-partitioned wave_out leaves + one host-keyed hash
+        agg; hosts derive from url_canon (tagged key rows carry typed
+        nulls for every column but the key)."""
+        # kind is the hive PARTITION dir — the direct leaf reads don't
+        # recover it as a column, so read per kind and tag explicitly
+        host = F.lower(F.parse_url(F.col("url_canon"), F.lit("HOST")))
+        kinds = ("page", "offer", "denied", "exhausted", "tombstone", "revalidated")
+        parts = [
+            self._read_wave_out(k).select(
+                host.alias("host"), F.lit(k).alias("kind"), "wave"
+            )
+            for k in kinds
+        ]
+        wo = parts[0]
+        for p_ in parts[1:]:
+            wo = wo.unionByName(p_)
+
+        def n_of(kind: str):
+            return F.count(F.when(F.col("kind") == kind, 1)).alias(f"n_{kind}")
+
+        return (
+            wo.groupBy("host")
+            .agg(
+                n_of("page"),
+                n_of("offer"),
+                n_of("denied"),
+                n_of("exhausted"),
+                n_of("tombstone"),
+                n_of("revalidated"),
+                F.min(F.when(F.col("kind") == "page", F.col("wave"))).alias("first_wave"),
+                F.max(F.when(F.col("kind") == "page", F.col("wave"))).alias("last_wave"),
+            )
+        )
+
     def export_corpus(self, out_dir, **kw) -> dict:
         """Training-corpus export over this crawl's extracted pages
         (plans/corpus.py): exact dedup → Gopher gate → lang-ID →
