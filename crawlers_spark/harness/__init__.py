@@ -146,6 +146,7 @@ _TAIL = [
     "docs_domain_split",
     "crawl_page_titles",
     "crawl_jsonfeed_seeds",
+    "embed_jl_rerank_topk",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

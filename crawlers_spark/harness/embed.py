@@ -583,6 +583,67 @@ WHERE r_s = 1
 """
 
 
+# ------------- two-stage retrieval: JL candidates + exact rerank
+def q_jl_rerank(spark, sf):
+    """Coarse-then-fine ANN (`operators/similarity.py
+    jl_rerank_topk`): 16-dim JL candidate scan (top-40 per query) →
+    exact full-dim cosine rerank of just those pairs. The oracle
+    rebuilds the md5 sign matrix, replays BOTH stages' double trees
+    and both deterministic tie orders."""
+    from crawlers_spark.operators.similarity import jl_rerank_topk
+
+    e = load(spark, sf, "embeddings")
+    return jl_rerank_topk(
+        e.where(F.col("vec_id") < 10), e, n_dims=N_DIMS,
+        out_dims=16, candidates=40, k=5,
+    )
+
+
+SQL_JL_RERANK = f"""
+WITH e AS (SELECT vec_id, {_Q} AS v FROM embeddings),
+red AS (
+  SELECT vec_id, list(val ORDER BY j) AS r FROM (
+    SELECT vec_id, j,
+           CAST(sum(v[CAST(i + 1 AS INT)] *
+             CASE WHEN substr(md5('jl|jl|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1)
+                       IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)
+             AS BIGINT) AS val
+    FROM e CROSS JOIN range(0, 16) s(j) CROSS JOIN range(0, {N_DIMS}) t(i)
+    GROUP BY vec_id, j) z
+  GROUP BY vec_id),
+s1 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.r[CAST(d AS INT)] * c.r[CAST(d AS INT)]) AS DOUBLE)
+           / sqrt(CAST(sum(q.r[CAST(d AS INT)] * q.r[CAST(d AS INT)]) AS DOUBLE))
+           / sqrt(CAST(sum(c.r[CAST(d AS INT)] * c.r[CAST(d AS INT)]) AS DOUBLE))
+           AS red_sim
+  FROM red q CROSS JOIN red c CROSS JOIN range(1, 17) t(d)
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY red_sim DESC, neighbor_id ASC) AS crank
+    FROM s1) WHERE crank <= 40),
+sims AS (
+  SELECT p.query_id, p.neighbor_id,
+         CAST(sum(a.v[CAST(d AS INT)] * b.v[CAST(d AS INT)]) AS DOUBLE)
+           / sqrt(CAST(sum(a.v[CAST(d AS INT)] * a.v[CAST(d AS INT)]) AS DOUBLE))
+           / sqrt(CAST(sum(b.v[CAST(d AS INT)] * b.v[CAST(d AS INT)]) AS DOUBLE)) AS sim
+  FROM cand p JOIN e a ON a.vec_id = p.query_id JOIN e b ON b.vec_id = p.neighbor_id
+  CROSS JOIN range(1, {N_DIMS + 1}) t(d)
+  GROUP BY p.query_id, p.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM sims)
+SELECT query_id, rank, neighbor_id, {_ROUND6.format('sim')} AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------- Johnson–Lindenstrauss ±1 random projection (Achlioptas)
 def q_random_projection(spark, sf):
     """JL dimensionality reduction 64→8 (`operators/similarity.py
@@ -679,6 +740,7 @@ FROM ca JOIN thr USING (cell)
 QUERIES = {
     "embed_cluster_mix": (q_cluster_mix, SQL_CLUSTER_MIX),
     "embed_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "embed_jl_rerank_topk": (q_jl_rerank, SQL_JL_RERANK),
     "embed_bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "embed_pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "embed_sq8_topk": (q_sq8_topk, SQL_SQ8_TOPK),

@@ -1405,3 +1405,99 @@ def _random_projection_udf(
     return wide.select(
         F.col(id_col), F.posexplode(F.col("_p")).alias("dim", "value")
     ).select(id_col, F.col("dim").cast("int").alias("dim"), "value")
+
+
+def _jl_project_array(vec_q: Column, *, n_dims: int, out_dims: int, salt: str) -> Column:
+    """Projected vector as ONE array<long> column (the internal form
+    :func:`random_projection` explodes for the driver contract)."""
+    signs = jl_signs(n_dims, out_dims, salt=salt)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec_q,
+                    F.array(*[F.lit(signs[i][j]) for i in range(n_dims)]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dims)
+        ]
+    )
+
+
+def jl_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 16,
+    candidates: int = 40,
+    k: int = 5,
+    salt: str = "jl",
+) -> DataFrame:
+    """Two-stage retrieval: JL-reduced candidate generation + exact
+    rerank — the classic coarse-then-fine ANN pattern (distinct from
+    the bucketed families: IVF/LSH prune by PARTITION, this prunes by
+    CHEAP DISTANCE; FAISS's refine/rerank wrapper and the standard
+    dual-encoder retrieve-then-rerank shape, public).
+
+    Stage 1 scores every corpus vector against the broadcast query
+    batch in ``out_dims`` dimensions (a 16-dim dot is ~n_dims/16 of
+    the full cost; with the Achlioptas guarantee the top-``candidates``
+    reduced list almost surely contains the true top-``k``), keeping
+    ≤ ``candidates`` per query via a per-query window. Stage 2 joins
+    ONLY those pairs back to full vectors and reranks with the exact
+    audited :func:`cosine`. The corpus never shuffles in stage 1
+    (broadcast queries + scan-side dot + WindowGroupLimit); stage 2
+    is candidate-sized.
+
+    Recall < 1 by construction (that's the trade); output is the
+    standard ``(query_id, rank, neighbor_id, cosine_sim)`` contract.
+    """
+    qv = quantize(F.col(vec_col))
+    red = _jl_project_array(qv, n_dims=n_dims, out_dims=out_dims, salt=salt)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qv.alias("c_vec"), red.alias("c_red")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("q_vec"), red.alias("q_red")
+    )
+    stage1 = (
+        c.crossJoin(F.broadcast(q.select("query_id", "q_red")))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "c_vec",
+            cosine(F.col("q_red"), F.col("c_red")).alias("red_sim"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("red_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        stage1.withColumn("crank", F.row_number().over(w1))
+        .where(F.col("crank") <= candidates)
+        .select("query_id", "neighbor_id", "c_vec")
+    )
+    rer = cand.join(
+        F.broadcast(q.select("query_id", "q_vec")), "query_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id", round6(F.col("cosine_sim")).alias("cosine_sim")
+        )
+    )

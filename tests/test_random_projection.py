@@ -94,3 +94,26 @@ def test_udf_path_value_identical_and_faster_shape(spark):
         df, n_dims=N_DIMS, out_dims=OUT_DIMS, use_udf=True
     ).collect()))
     assert expr == udf
+
+
+def test_jl_rerank_matches_exact_topk_on_separated_data(spark):
+    """With enough candidates the two-stage result must EQUAL the
+    brute-force top-k (the reduced stage only prunes)."""
+    import random
+
+    from crawlers_spark.operators.similarity import cosine_topk, jl_rerank_topk
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 3")
+    exact = sorted(map(tuple, cosine_topk(q, df, k=3).collect()))
+    two = sorted(
+        map(
+            tuple,
+            jl_rerank_topk(
+                q, df, n_dims=16, out_dims=8, candidates=59, k=3
+            ).collect(),
+        )
+    )
+    assert two == exact
