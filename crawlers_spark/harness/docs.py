@@ -2228,6 +2228,52 @@ FROM scored
 """
 
 
+# -------------------- Heaps/Zipf corpus vocabulary health stats
+def q_heaps_zipf(spark, sf):
+    """Corpus-level vocabulary health (the Heaps'-law / Zipf's-law
+    audit every corpus build logs, public): token and type totals,
+    integer-permille type/token ratio, hapax share (types seen once —
+    the Heaps frontier), and the top-ranked token's frequency share
+    (the Zipf head). A generated corpus that collapses (template
+    spam) shows in exactly these numbers. One explode + one
+    token-keyed agg (map-side combined) + a one-row rollup; the
+    only driver-sized object is the single stats row."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    tok = d.select(F.explode(tokens_ws(F.lower(F.coalesce(F.col("text"), F.lit(""))))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.max("n").cast("long").alias("top_freq"),
+    ).select(
+        "n_tokens", "n_types", "n_hapax", "top_freq",
+        F.floor(F.col("n_types") * 1000 / F.col("n_tokens")).cast("long").alias("ttr_permille"),
+        F.floor(F.col("n_hapax") * 1000 / F.col("n_types")).cast("long").alias("hapax_permille"),
+        F.floor(F.col("top_freq") * 1000 / F.col("n_tokens")).cast("long").alias("top_share_permille"),
+    )
+
+
+SQL_HEAPS_ZIPF = r"""
+WITH tok AS (
+  SELECT lower(unnest(CASE WHEN trim(coalesce(text, '')) = '' THEN []
+           ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END)) AS t
+  FROM documents),
+c AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(max(n) AS BIGINT) AS top_freq
+  FROM c)
+SELECT n_tokens, n_types, n_hapax, top_freq,
+       CAST(floor(n_types * 1000 / n_tokens) AS BIGINT) AS ttr_permille,
+       CAST(floor(n_hapax * 1000 / n_types) AS BIGINT) AS hapax_permille,
+       CAST(floor(top_freq * 1000 / n_tokens) AS BIGINT) AS top_share_permille
+FROM s
+"""
+
+
 # -------------- domain-disjoint train/holdout split (leakage-safe)
 def q_domain_split(spark, sf):
     """Leakage-safe eval split (`operators/sampling.py
@@ -2820,6 +2866,7 @@ QUERIES = {
     "docs_chunking": (q_chunking, SQL_CHUNKING),
     "docs_paragraph_mix": (q_paragraph_mix, SQL_PARAGRAPH_MIX),
     "docs_domain_split": (q_domain_split, SQL_DOMAIN_SPLIT),
+    "docs_heaps_zipf": (q_heaps_zipf, SQL_HEAPS_ZIPF),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),

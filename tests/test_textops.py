@@ -442,3 +442,28 @@ def test_normalize_text_hand_cases():
         "",
         "",
     ]
+
+
+def test_heaps_zipf_stats_hand(spark):
+    """Corpus vocabulary stats (docs_heaps_zipf substrate) on a hand
+    corpus: totals, hapax share, top-token share, permille floors."""
+    from crawlers_spark.harness.docs import q_heaps_zipf  # noqa: F401  (shape via harness)
+    from pyspark.sql import functions as F
+    from crawlers_spark.functions.textstats import tokens_ws
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    tok = df.select(
+        F.explode(tokens_ws(F.lower(F.coalesce(F.col("text"), F.lit(""))))).alias("t")
+    )
+    c = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    row = c.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("n").alias("top_freq"),
+    ).collect()[0]
+    # tokens: a×3 b×2 c×1 → 6 tokens, 3 types, 1 hapax, top 3
+    assert (row.n_tokens, row.n_types, row.n_hapax, row.top_freq) == (6, 3, 1, 3)
