@@ -77,6 +77,8 @@ HEADLINE = [
     "docs_stupid_backoff",        # trigram stupid-backoff LM train+score (r4 s8)
     "embed_cluster_mix",          # k-means cluster-balanced mixing (r4 s8)
     "crawl_mime_sniff",           # WHATWG byte sniffing, scan-side (r4 s8)
+    "docs_bm25f_topk",            # BM25F fielded ranking (r4 s8)
+    "embed_jl_rerank_topk",       # two-stage JL retrieve-then-rerank (r4 s8)
 ]
 
 
