@@ -148,6 +148,7 @@ _TAIL = [
     "crawl_jsonfeed_seeds",
     "embed_jl_rerank_topk",
     "docs_heaps_zipf",
+    "crawl_ccindex",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

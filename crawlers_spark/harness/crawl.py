@@ -3267,6 +3267,64 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# -------------- cc-index capture catalog (CC columnar-index family)
+def q_ccindex(spark, sf):
+    """cc-index capture rows (sources/cdx.py `ccindex_rows`): SURT +
+    host/domain keys + WHATWG-sniffed MIME + length + the
+    md5-of-hex digest contract over a 6-variant binary payload zoo.
+    The oracle rebuilds the BLOBs (from_hex ∥ encode), recomputes
+    every column with DuckDB's own hex/md5/octet_length, and replays
+    the surt/domain string ops."""
+    from crawlers_spark.sources.cdx import ccindex_rows
+
+    fr = _frontier(spark, sf)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    v = d % 6
+    enc = lambda c: F.encode(c, "utf-8")  # noqa: E731
+    content = (
+        F.when(v == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), enc(ds)))
+        .when(v == 1, enc(F.concat(F.lit("  <!DOCTYPE html><html>doc"), ds)))
+        .when(v == 2, enc(F.concat(F.lit("%PDF-1.7 obj "), ds)))
+        .when(v == 3, F.concat(F.unhex(F.lit("504B0304")), enc(ds)))
+        .when(v == 4, F.concat(
+            enc(F.lit("RIFF")), F.unhex(F.lit("10000000")),
+            enc(F.concat(F.lit("WAVEfmt "), ds))))
+        .otherwise(enc(F.concat(F.lit("plain text doc "), ds)))
+    )
+    pages = fr.select(
+        "url_canon", content.alias("content"),
+        F.col("discovered_ts").alias("warc_ts"),
+    )
+    return ccindex_rows(pages)
+
+
+SQL_CCINDEX = f"""
+WITH s AS ({_SQL_SURTED}),
+b AS (
+  SELECT s.doc_id, s.url_canon, s.surt, s.warc_ts, u.host,
+         CASE s.doc_id % 6
+           WHEN 0 THEN from_hex('89504E470D0A1A0A') || encode(CAST(s.doc_id AS VARCHAR))
+           WHEN 1 THEN encode('  <!DOCTYPE html><html>doc' || CAST(s.doc_id AS VARCHAR))
+           WHEN 2 THEN encode('%PDF-1.7 obj ' || CAST(s.doc_id AS VARCHAR))
+           WHEN 3 THEN from_hex('504B0304') || encode(CAST(s.doc_id AS VARCHAR))
+           WHEN 4 THEN encode('RIFF') || from_hex('10000000')
+                       || encode('WAVEfmt ' || CAST(s.doc_id AS VARCHAR))
+           ELSE encode('plain text doc ' || CAST(s.doc_id AS VARCHAR)) END AS blob
+  FROM s JOIN ({_SQL_URLS}) u USING (doc_id))
+SELECT surt, url_canon AS url, host,
+       host AS registrable_domain,
+       CASE doc_id % 6
+         WHEN 0 THEN 'image/png' WHEN 1 THEN 'text/html'
+         WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'application/zip'
+         WHEN 4 THEN 'audio/wave' ELSE 'text/plain' END AS mime,
+       CAST(octet_length(blob) AS BIGINT) AS length,
+       md5(hex(blob)) AS digest,
+       warc_ts
+FROM b
+"""
+
+
 # --------------------- JSON Feed discovery (third feed dialect)
 def q_jsonfeed_seeds(spark, sf):
     """JSON Feed parsing (extraction/feeds.py `parse_jsonfeeds`,
@@ -4121,6 +4179,7 @@ QUERIES = {
     "crawl_request_rate": (q_request_rate, SQL_REQUEST_RATE),
     "crawl_page_titles": (q_page_titles, SQL_PAGE_TITLES),
     "crawl_jsonfeed_seeds": (q_jsonfeed_seeds, SQL_JSONFEED),
+    "crawl_ccindex": (q_ccindex, SQL_CCINDEX),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

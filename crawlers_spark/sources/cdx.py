@@ -100,3 +100,44 @@ def domain_captures(index: DataFrame, domain: str, *, include_subdomains: bool =
         c = F.col("surt").startswith(p)
         cond = c if cond is None else (cond | c)
     return index.where(cond)
+
+
+def ccindex_rows(
+    pages: DataFrame,
+    url_col: str = "url_canon",
+    content_col: str = "content",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Common Crawl columnar-index-style capture rows (the public
+    cc-index table schema family: one row per capture with URL keys,
+    host/registrable-domain rollup keys, detected MIME, length and
+    content digest) — the queryable per-capture catalog that sits
+    beside the WARC/CDX containers and answers "what did we crawl"
+    without touching payloads twice.
+
+    Columns: ``surt``, ``url``, ``host``, ``registrable_domain``,
+    ``mime`` (WHATWG-sniffed from the bytes — servers lie, the index
+    records what the payload IS), ``length`` (bytes), ``digest``
+    (md5 of the payload's hex encoding — an engine-portable digest
+    contract: DuckDB's md5 is VARCHAR-only, hex() is identical in
+    both engines), ``warc_ts``.
+
+    Everything is scan-side (surt/host/domain string ops, the sniff
+    chain, length/digest) — ZERO exchanges; write with
+    :func:`write_cdx`'s range-partitioned layout for a
+    binary-searchable on-disk index.
+    """
+    from crawlers_spark.functions.domains import registrable_domain
+    from crawlers_spark.functions.mimesniff import sniff_mime
+
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    return pages.select(
+        surt_key(url_col).alias("surt"),
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        registrable_domain(host).alias("registrable_domain"),
+        sniff_mime(content_col).alias("mime"),
+        F.length(F.col(content_col)).cast("long").alias("length"),
+        F.md5(F.hex(F.col(content_col))).alias("digest"),
+        F.col(ts_col).alias("warc_ts"),
+    )

@@ -322,3 +322,32 @@ def test_cdx_lookup_and_domain_pruning(spark, tmp_path):
     assert sorted(r.url for r in only.collect()) == [
         "https://a.example/x", "https://a.example/x",
     ]
+
+
+def test_ccindex_rows(spark):
+    """cc-index capture catalog (sources/cdx.py ccindex_rows): SURT,
+    domain rollup incl. a PSL suffix, sniffed mime, length, and the
+    md5-of-hex digest contract."""
+    import hashlib
+    from datetime import datetime
+
+    from crawlers_spark.sources.cdx import ccindex_rows
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("https://www.shop.co.uk/a?x=1", b"\x89PNG\r\n\x1a\npix", ts),
+        ("https://sub.example.com/b", b"<html><body>hi</body>", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_canon string, content binary, warc_ts timestamp"
+    )
+    out = {r.url: r for r in ccindex_rows(df).collect()}
+    a = out["https://www.shop.co.uk/a?x=1"]
+    assert a.surt == "uk,co,shop,www)/a?x=1"
+    assert a.host == "www.shop.co.uk"
+    assert a.registrable_domain == "shop.co.uk"   # listed public suffix
+    assert a.mime == "image/png"
+    assert a.length == len(rows[0][1])
+    assert a.digest == hashlib.md5(rows[0][1].hex().upper().encode()).hexdigest()
+    b = out["https://sub.example.com/b"]
+    assert (b.registrable_domain, b.mime) == ("example.com", "text/html")
