@@ -149,6 +149,7 @@ _TAIL = [
     "embed_jl_rerank_topk",
     "docs_heaps_zipf",
     "crawl_ccindex",
+    "crawl_cdx_closest",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

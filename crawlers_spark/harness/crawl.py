@@ -3267,6 +3267,57 @@ FROM b WHERE doc_id % 13 = 0
 """
 
 
+# ---------------- CDX closest-timestamp lookup (Wayback semantics)
+def q_cdx_closest(spark, sf):
+    """CDX `closest=<ts>` lookup (sources/cdx.py `cdx_closest`): each
+    URL gets 3 captures an hour apart; queries (doc_id%7=0) target
+    discovered_ts + (doc_id%4)·2000 s, so the winning snapshot varies
+    and the equidistant tie (target exactly between two captures at
+    doc_id%4=0? no — at offset 1800 s... exercised via the %4=2 lane
+    landing 4000 s after capture 1 and 3200 s before capture 2).
+    Exact integer microseconds; oracle replays the window order."""
+    from crawlers_spark.sources.cdx import cdx_closest, surt_key
+
+    fr = _frontier(spark, sf)
+    snap = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    index = fr.select("url_canon", "discovered_ts", snap).select(
+        surt_key().alias("surt"),
+        F.col("url_canon").alias("url"),
+        F.timestamp_seconds(
+            F.unix_timestamp("discovered_ts") + F.col("k") * 3600
+        ).alias("warc_ts"),
+    )
+    qs = fr.where(F.col("doc_id") % 7 == 0).select(
+        "url_canon",
+        F.timestamp_seconds(
+            F.unix_timestamp("discovered_ts") + (F.col("doc_id") % 4) * 2000
+        ).alias("target_ts"),
+    )
+    return cdx_closest(index, qs, ts_col="target_ts")
+
+
+SQL_CDX_CLOSEST = f"""
+WITH s AS ({_SQL_SURTED}),
+idx AS (
+  SELECT surt, url_canon AS url, warc_ts + to_seconds(k * 3600) AS warc_ts
+  FROM s, unnest([0, 1, 2]) t(k)),
+q AS (
+  SELECT surt, url_canon AS query_url,
+         warc_ts + to_seconds((doc_id % 4) * 2000) AS target_ts
+  FROM s WHERE doc_id % 7 = 0),
+j AS (
+  SELECT q.query_url, q.target_ts, i.url, i.warc_ts,
+         abs(epoch_us(i.warc_ts) - epoch_us(q.target_ts)) AS diff_us,
+         row_number() OVER (
+           PARTITION BY q.query_url, q.target_ts
+           ORDER BY abs(epoch_us(i.warc_ts) - epoch_us(q.target_ts)) ASC,
+                    i.warc_ts ASC, i.url ASC) AS rn
+  FROM idx i JOIN q USING (surt))
+SELECT query_url, target_ts, url, warc_ts, CAST(diff_us AS BIGINT) AS diff_us
+FROM j WHERE rn = 1
+"""
+
+
 # -------------- cc-index capture catalog (CC columnar-index family)
 def q_ccindex(spark, sf):
     """cc-index capture rows (sources/cdx.py `ccindex_rows`): SURT +
@@ -4180,6 +4231,7 @@ QUERIES = {
     "crawl_page_titles": (q_page_titles, SQL_PAGE_TITLES),
     "crawl_jsonfeed_seeds": (q_jsonfeed_seeds, SQL_JSONFEED),
     "crawl_ccindex": (q_ccindex, SQL_CCINDEX),
+    "crawl_cdx_closest": (q_cdx_closest, SQL_CDX_CLOSEST),
     "crawl_canonical_aliases": (q_canonical_aliases, SQL_CANONICAL_ALIASES),
     "crawl_harmonic_centrality": (q_harmonic, SQL_HARMONIC),
     "crawl_change_rate_schedule": (q_change_rate, SQL_CHANGE_RATE),

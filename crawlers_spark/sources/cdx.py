@@ -19,7 +19,7 @@ own index shards) rely on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -140,4 +140,43 @@ def ccindex_rows(
         F.length(F.col(content_col)).cast("long").alias("length"),
         F.md5(F.hex(F.col(content_col))).alias("digest"),
         F.col(ts_col).alias("warc_ts"),
+    )
+
+
+def cdx_closest(
+    index: DataFrame,
+    queries: DataFrame,
+    url_col: str = "url_canon",
+    ts_col: str = "target_ts",
+) -> DataFrame:
+    """CDX server ``matchType=exact&closest=<ts>`` lookup (the
+    Wayback-style API, public): for each ``(url, target_ts)`` query,
+    the capture of that URL whose ``warc_ts`` is nearest in time —
+    ties (equidistant before/after) break to the EARLIER capture,
+    then by capture url, a total order.
+
+    Same broadcast shape as :func:`cdx_lookup` (the query batch is
+    small; the index never shuffles — the SURT equi-join reaches the
+    range-partitioned shards as a pushed predicate), plus one
+    per-query window over the handful of matched captures. The time
+    algebra is exact integer microseconds.
+    """
+    q = queries.select(
+        surt_key(url_col).alias("surt"),
+        F.col(url_col).alias("query_url"),
+        F.col(ts_col).alias("target_ts"),
+    )
+    j = index.join(F.broadcast(q), "surt")
+    diff = F.abs(
+        F.unix_micros(F.col("warc_ts")) - F.unix_micros(F.col("target_ts"))
+    )
+    w = Window.partitionBy("query_url", "target_ts").orderBy(
+        diff.asc(), F.col("warc_ts").asc(), F.col("url").asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_url", "target_ts", "url", "warc_ts", diff.alias("diff_us")
+        )
     )

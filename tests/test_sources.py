@@ -351,3 +351,39 @@ def test_ccindex_rows(spark):
     assert a.digest == hashlib.md5(rows[0][1].hex().upper().encode()).hexdigest()
     b = out["https://sub.example.com/b"]
     assert (b.registrable_domain, b.mime) == ("example.com", "text/html")
+
+
+def test_cdx_closest(spark):
+    """Wayback closest-timestamp semantics: nearest capture wins,
+    equidistant ties break to the EARLIER capture."""
+    from datetime import datetime
+
+    from crawlers_spark.sources.cdx import cdx_closest
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    idx = spark.createDataFrame(
+        [
+            ("com,a)/x", "https://a.com/x", t(0)),
+            ("com,a)/x", "https://a.com/x", t(20)),
+            ("com,a)/x", "https://a.com/x", t(40)),
+            ("com,b)/y", "https://b.com/y", t(10)),
+        ],
+        "surt string, url string, warc_ts timestamp",
+    )
+    qs = spark.createDataFrame(
+        [
+            ("https://a.com/x", t(23)),   # nearest: 20
+            ("https://a.com/x", t(30)),   # equidistant 20/40 → earlier (20)
+            ("https://a.com/x", t(39)),   # nearest: 40
+            ("https://b.com/y", t(0)),    # single capture
+        ],
+        "url_canon string, target_ts timestamp",
+    )
+    out = {
+        (r.query_url, r.target_ts.second): (r.warc_ts.second, r.diff_us)
+        for r in cdx_closest(idx, qs).collect()
+    }
+    assert out[("https://a.com/x", 23)] == (20, 3_000_000)
+    assert out[("https://a.com/x", 30)] == (20, 10_000_000)
+    assert out[("https://a.com/x", 39)] == (40, 1_000_000)
+    assert out[("https://b.com/y", 0)] == (10, 10_000_000)
