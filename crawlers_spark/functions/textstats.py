@@ -735,3 +735,75 @@ def paragraph_lang_mix(
             ).cast("long").alias("mix_permille"),
         )
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+    top_k: int = 20,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990,
+    public — the classic corpus-linguistics pair score and the
+    word2vec-era co-occurrence substrate):
+
+        pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )
+                 = ln( c_ab · T_tok² / (T_pair · c_a · c_b) )
+
+    over unordered token pairs within ``window`` positions of each
+    other (pair key = (min, max) so left/right occurrences pool).
+    ``min_count`` prunes rare pairs (PMI's well-known rare-pair
+    explosion); output is the global top-``top_k`` by
+    (pmi_micro DESC, w1 ASC, w2 ASC) — quantized ONCE to integer
+    micro-nats (the lm.py single-``ln`` risk class; the ratio is an
+    exact-integer-cast double chain).
+
+    Scale shape: one posexplode + one doc-keyed self-join with the
+    position band (shuffle O(tokens), band join bounded by
+    window·tokens pairs); pair/unigram counts are 2-phase aggs with
+    map-side combine; totals broadcast; top-k is
+    TakeOrderedAndProject.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(tokens_ws(F.lower(F.coalesce(F.col(text_col), F.lit(""))))).alias(
+            "_p", "_w"
+        ),
+    )
+    t1 = toks.select(F.col("_d"), F.col("_p").alias("p1"), F.col("_w").alias("w1"))
+    t2 = toks.select(F.col("_d"), F.col("_p").alias("p2"), F.col("_w").alias("w2"))
+    pairs = (
+        t1.join(t2, "_d")
+        .where((F.col("p2") > F.col("p1")) & (F.col("p2") <= F.col("p1") + window))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+    )
+    cp = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cw = toks.groupBy(F.col("_w").alias("w")).agg(F.count(F.lit(1)).alias("c_w"))
+    totals = cp.agg(F.sum("c_ab").alias("t_pair")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("t_tok"))
+    )
+    ratio = (
+        F.col("c_ab").cast("double")
+        * F.col("t_tok").cast("double")
+        * F.col("t_tok").cast("double")
+        / F.col("t_pair").cast("double")
+        / F.col("c_a").cast("double")
+        / F.col("c_b").cast("double")
+    )
+    scored = (
+        cp.where(F.col("c_ab") >= min_count)
+        .join(cw.select(F.col("w").alias("a"), F.col("c_w").alias("c_a")), "a")
+        .join(cw.select(F.col("w").alias("b"), F.col("c_w").alias("c_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a", "b", F.col("c_ab").cast("long").alias("c_ab"),
+            F.floor(F.log(ratio) * quant + F.lit(0.5)).cast("long").alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), F.asc("a"), F.asc("b")).limit(top_k)

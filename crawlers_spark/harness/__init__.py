@@ -150,6 +150,7 @@ _TAIL = [
     "docs_heaps_zipf",
     "crawl_ccindex",
     "crawl_cdx_closest",
+    "docs_pmi_collocations",
     # NEW in the seventh round-4 session (never driver-signed):
     # hreflang language-alternate clusters (reciprocity-validated),
     # explicit GROUPING SETS, the stream-static enrichment join, and

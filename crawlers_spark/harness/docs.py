@@ -2228,6 +2228,53 @@ FROM scored
 """
 
 
+# ------------------ PMI collocations (Church & Hanks co-occurrence)
+def q_pmi(spark, sf):
+    """PMI collocation mining (`functions/textstats.py
+    pmi_cooccurrence`, window 2, min_count 3, top 25): unordered
+    windowed pairs, integer micro-nat quantize-once, global
+    TakeOrderedAndProject. The oracle replays the position band join,
+    the pooled pair key, and the identical double ratio chain."""
+    from crawlers_spark.functions.textstats import pmi_cooccurrence
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return pmi_cooccurrence(d, window=2, min_count=3, top_k=25)
+
+
+SQL_PMI = r"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []
+       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS ws
+  FROM documents),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, ws[CAST(i AS INT)] AS w
+  FROM d, unnest(range(1, len(ws) + 1)) t(i)),
+pairs AS (
+  SELECT least(a.w, b.w) AS a, greatest(a.w, b.w) AS b
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+cp AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b),
+cw AS (SELECT w, COUNT(*) AS c_w FROM tok GROUP BY w),
+tot AS (
+  SELECT (SELECT SUM(c_ab) FROM cp) AS t_pair,
+         (SELECT COUNT(*) FROM tok) AS t_tok),
+scored AS (
+  SELECT cp.a, cp.b, CAST(c_ab AS BIGINT) AS c_ab,
+         CAST(floor(ln(
+           CAST(c_ab AS DOUBLE) * CAST(t_tok AS DOUBLE) * CAST(t_tok AS DOUBLE)
+           / CAST(t_pair AS DOUBLE) / CAST(ca.c_w AS DOUBLE) / CAST(cb.c_w AS DOUBLE))
+           * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+  FROM cp
+  JOIN cw ca ON ca.w = cp.a
+  JOIN cw cb ON cb.w = cp.b
+  CROSS JOIN tot
+  WHERE c_ab >= 3)
+SELECT a, b, c_ab, pmi_micro FROM scored
+ORDER BY pmi_micro DESC, a ASC, b ASC
+LIMIT 25
+"""
+
+
 # -------------------- Heaps/Zipf corpus vocabulary health stats
 def q_heaps_zipf(spark, sf):
     """Corpus-level vocabulary health (the Heaps'-law / Zipf's-law
@@ -2867,6 +2914,7 @@ QUERIES = {
     "docs_paragraph_mix": (q_paragraph_mix, SQL_PARAGRAPH_MIX),
     "docs_domain_split": (q_domain_split, SQL_DOMAIN_SPLIT),
     "docs_heaps_zipf": (q_heaps_zipf, SQL_HEAPS_ZIPF),
+    "docs_pmi_collocations": (q_pmi, SQL_PMI),
     "docs_containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "docs_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "docs_host_boilerplate": (q_host_boilerplate, SQL_HOST_BOILERPLATE),

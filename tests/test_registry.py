@@ -10,7 +10,7 @@ from crawlers_spark import harness
 # queries()/oracle_sql() front-load anything new or modified this round
 # and rotate ONLY last-round-driver-green, since-untouched queries past
 # position 50 (rotation policy in crawlers_spark/harness/__init__.py).
-N_QUERIES = 187
+N_QUERIES = 188
 DRIVER_CAP = 50
 
 

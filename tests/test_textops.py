@@ -467,3 +467,35 @@ def test_heaps_zipf_stats_hand(spark):
     ).collect()[0]
     # tokens: a×3 b×2 c×1 → 6 tokens, 3 types, 1 hapax, top 3
     assert (row.n_tokens, row.n_types, row.n_hapax, row.top_freq) == (6, 3, 1, 3)
+
+
+def test_pmi_cooccurrence_hand(spark):
+    """PMI collocations: hand math.log replay on a tiny corpus where
+    one pair always co-occurs and another is independent-ish."""
+    import math
+
+    from crawlers_spark.functions.textstats import pmi_cooccurrence
+
+    docs = [
+        (1, "san francisco is big"),
+        (2, "san francisco is far"),
+        (3, "big far big far"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.a, r.b): (r.c_ab, r.pmi_micro)
+        for r in pmi_cooccurrence(df, window=2, min_count=2, top_k=10).collect()
+    }
+    # tokens: 12 total; window-2 pairs per doc: 4-token doc → (1,2),(1,3),(2,3),(2,4),(3,4) = 5; 3 docs → 15 pairs
+    t_tok, t_pair = 12, 15
+    cw = {"san": 2, "francisco": 2, "is": 2, "big": 3, "far": 3}
+
+    def pmi(cab, a, b):
+        return math.floor(
+            math.log(cab * t_tok * t_tok / t_pair / cw[a] / cw[b]) * 1_000_000 + 0.5
+        )
+
+    assert out[("francisco", "san")] == (2, pmi(2, "francisco", "san"))
+    assert ("big", "far") in out
+    # the perfectly-coupled rare pair outranks the loose frequent one
+    assert out[("francisco", "san")][1] > out[("big", "far")][1]
