@@ -312,6 +312,28 @@ def test_passage_dedup_matches_python_reference(spark):
     assert got == expect
 
 
+def test_passage_dedup_single_tokenize(spark):
+    """Plan guard (r4 VERDICT "What's wrong" #1, milder form): the
+    chunk split must be a plain per-row projection — not re-inlined
+    inside the chunk-hash transform() lambda (per-chunk re-split) nor
+    into an inferred `size(...) > 0` Filter below the explode. See
+    test_substring_dedup.py::test_single_tokenize_in_plan for the
+    structural defenses."""
+    from crawlers_spark.operators.textdedup import passage_dedup_stats
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    plan = (
+        passage_dedup_stats(df, chunk_words=3)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    split_lines = [ln for ln in plan.split("\n") if "split(" in ln]
+    assert 1 <= len(split_lines) <= 2, plan  # one per self-join branch
+    for ln in split_lines:
+        assert "lambdafunction" not in ln, ln
+        assert not ln.strip().lstrip(":+- ").startswith("Filter"), ln
+        assert ln.count("split(") == 1, ln
+
+
 def test_scrub_pii_hand_cases(spark):
     from crawlers_spark.functions.textstats import scrub_pii
     from pyspark.sql import functions as F
