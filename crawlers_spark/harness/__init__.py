@@ -53,75 +53,18 @@ _MODULES = [relational, crawl, docs, embed, media, stream]
 # The full set still runs in pytest (tests/test_driver_shape.py) and
 # scripts/check_oracle.py regardless of position.
 _FRONT = [
-    # NEW this round: conditional revisit (ETag/304), generic
-    # main-content extraction, deterministic stratified sampling
-    # (data mixing), count-min-sketch heavy hitters, CCNet-style
-    # bigram-LM perplexity bucketing, Okapi BM25 ranking, change-rate
-    # recrawl scheduling, HITS hubs/authorities, registrable-domain
-    # (PSL-lite) politeness slots, the C4 line-level filter, and the
-    # Gopher quality filter
-    "crawl_revalidate_semantics",
-    "docs_main_content",
-    "docs_stratified_sample",
-    "docs_countmin_heavyhitters",
-    "docs_lm_perplexity",
-    "docs_bm25_topk",
-    "crawl_change_rate_schedule",
-    "crawl_hits_scores",
-    "crawl_registrable_domain",
-    "docs_c4_line_filter",
-    "docs_gopher_quality",
-    "crawl_domain_budget_topk",
-    "crawl_feed_seeds",
-    # NEW this session (round-4 extension window)
-    "crawl_trustrank",
-    "crawl_antitrust_rank",
-    "crawl_host_communities",
-    "embed_pq_topk",
-    "crawl_retry_after_holds",
-    "crawl_spam_mass",
-    "crawl_opic_step",
-    "crawl_cdx_lookup",
-    "embed_pq_kmeans_topk",
-    "crawl_related_pages",
-    "crawl_url_blocklist",
-    "crawl_host_graph",
-    "docs_dsir_weights",
-    "crawl_soft404",
-    "docs_substring_dedup",
-    "docs_token_budget_mix",
-    "crawl_neighborhood_function",
-    "crawl_canonical_aliases",
-    "docs_incremental_dedup",
-    "crawl_harmonic_centrality",
-    "docs_host_quality",
-    "docs_shard_assignment",
-    # NEW this session (round-4 fourth window)
-    "crawl_scc_bowtie",
-    "crawl_dust_params",
-    "crawl_focused_priorities",
-    "docs_line_dedup",
-    "docs_langid_profiles",
-    "crawl_mirror_hosts",
-    "docs_temperature_mix",
-    "crawl_snapshot_diff",
-    "crawl_sitemap_changefreq",
-    # NEW this round (fifth-session additions, never driver-signed):
-    # with exactly 50 never-countersigned queries this round, the whole
-    # window goes to them — a query with NO external signature ever
-    # outranks a modified query that still has r2/r3 history plus the
-    # strict local replica + golden tests (the 4 modified ones lead the
-    # round-5 tail below)
-    "docs_inverted_index",
-    "stream_dedup_within_watermark",
-    "crawl_robots_status_policy",
-    "crawl_jsonld_offers",
-    "docs_paragraph_bloom",
-    "embed_bitext_mine",
-]
-_TAIL = [
-    # ---- ROUND-5 WINDOW LEADERS ----
-    # NEW in the eighth round-4 session (never driver-signed):
+    # ---- ROUND-5 CONSOLIDATION WINDOW (r4 VERDICT "What's missing"
+    # #1): round 4 added ~95 queries against a 50-row driver window, so
+    # 45 registry queries had NEVER been externally countersigned and
+    # 43 more were r2-stale. This round FREEZES the registry (no new
+    # queries) and spends the whole window on trust repair: all 45
+    # never-signed queries, plus the five highest-priority
+    # modified/stale ones. Every other query is green in the strict
+    # local replica (scripts/check_oracle.py, 188/188 at sf0.01) and
+    # pytest-pinned regardless of position.
+    #
+    # 45 never-driver-signed queries (r4 sessions 6-8), in their r4
+    # registry order:
     "docs_stupid_backoff",
     "crawl_surt_scope",
     "crawl_cache_freshness",
@@ -151,10 +94,6 @@ _TAIL = [
     "crawl_ccindex",
     "crawl_cdx_closest",
     "docs_pmi_collocations",
-    # NEW in the seventh round-4 session (never driver-signed):
-    # hreflang language-alternate clusters (reciprocity-validated),
-    # explicit GROUPING SETS, the stream-static enrichment join, and
-    # bigram type-token corpus diversity
     "crawl_hreflang_clusters",
     "crawl_idn_canonicalize",
     "crawl_meta_refresh",
@@ -165,204 +104,97 @@ _TAIL = [
     "stream_static_enrich",
     "docs_ngram_diversity",
     "embed_sq8_topk",
-    # NEW in the sixth round-4 session (never driver-signed; a
-    # never-signed query outranks the modified ones below): the
-    # trained-perceptron quality classifier, IP-granularity politeness,
-    # per-host boilerplate removal, asymmetric containment pairs, and
-    # sliding-window streaming counts
     "docs_quality_classifier",
     "crawl_ip_politeness",
     "docs_host_boilerplate",
     "docs_containment_pairs",
     "stream_sliding_counts",
     "docs_dedup_keep_best",
-    # MODIFIED this round, displaced from the r4 window by the 50
-    # never-signed new queries: RFC 9309 empty-matched-group fix (+ a
-    # 5th oracle rule family), PII counts on the progressively scrubbed
-    # string, and the scale-adaptive-bucketing signature change in
-    # operators/similarity.py (semdedup_prune / embedding_near_dup_pairs).
-    # Each is strict-local-oracle green post-modification and carries an
-    # r2/r3 driver signature for the prior semantics; they MUST front
-    # round 5's window.
+    # 5 promoted modified/stale queries:
+    # - docs_substring_dedup / docs_passage_dedup: plan RESTRUCTURED
+    #   this round (O(n²) tokenizer re-inline fix, r4 VERDICT "What's
+    #   wrong" #1) — results byte-identical, but modified code must
+    #   never ride the tail past external re-verification;
+    # - crawl_canonicalize_urls: r2 signature + semantics extended by
+    #   the r4 IDN change — r4 VERDICT: "MUST lead round 5's window";
+    # - rel_json_event_props: oldest surviving r2 signature in the
+    #   JSON-functions family — same VERDICT mandate;
+    # - embed_near_dup_pairs: r2 signature AND touched by r4's
+    #   scale-adaptive-bucketing signature change in
+    #   operators/similarity.py.
+    "docs_substring_dedup",
+    "docs_passage_dedup",
+    "crawl_canonicalize_urls",
+    "rel_json_event_props",
+    "embed_near_dup_pairs",
+]
+_TAIL = [
+    # ---- tail leaders: modified since their last driver signature,
+    # displaced from the window ONLY by never-signed queries (a query
+    # with NO external signature ever outranks one with r2/r3 history
+    # + the strict local replica + dedicated pytest suites). Next
+    # round's window starts here.
+    # r4-modified, r3-signed prior semantics (RFC 9309 empty-group fix
+    # + robots-meta matching; PII counts on the progressively scrubbed
+    # string; scale-adaptive bucketing):
     "crawl_robots_rfc9309",
     "docs_pii_scrub",
     "embed_semdedup_prune",
     "embed_dedup_clusters",
-    "embed_near_dup_pairs",  # r2-signed AND touched by the similarity signature change
-    # r2-countersigned, untouched since — oldest remaining signature
+    # r5-modified, r4-signed prior plan: the constant-key partition fix
+    # for the deliberately-bounded ≤k-row / ≤4096-row windows (r4
+    # VERDICT "What's wrong" #3) — value-identical, plan-audited, and
+    # strict-local-oracle green post-modification:
+    "docs_bm25_topk",
+    "docs_token_budget_mix",
+    "docs_shard_assignment",
+    # r2-countersigned, untouched since — oldest signatures first so
+    # the staleness debt drains in registry order over coming rounds.
+    # Each operator family keeps an in-window countersignature via the
+    # never-signed queries above (same plan shapes: see the r4
+    # family-by-family notes in git history at tag r4, pruned here for
+    # the consolidated ordering).
     "rel_anti_join_customers_no_orders",
-    # rel_region_revenue's broadcast-join-agg family stays in-window
-    # via rel_pricing_summary + rel_anti_join_customers_no_orders —
-    # displaced by crawl_scc_bowtie
     "rel_region_revenue",
-    # docs_minhash_lsh_pairs' banded-LSH family stays in-window via
-    # docs_incremental_dedup (same band keys) + embed_near_dup_pairs —
-    # displaced by crawl_dust_params
     "docs_minhash_lsh_pairs",
-    # embed_ivf_topk's IVF family stays in-window via embed_pq_topk +
-    # embed_pq_kmeans_topk (same cell-assignment / no-corpus-shuffle
-    # contract, plan-asserted in tests) — displaced by
-    # crawl_focused_priorities
     "embed_ivf_topk",
-    # docs_exact_dedup's digest-groupBy family stays in-window via
-    # docs_incremental_dedup (same digest keys) — displaced by
-    # docs_line_dedup
     "docs_exact_dedup",
-    # docs_lang_id's language family stays in-window via
-    # docs_langid_profiles (the trained Cavnar–Trenkle classifier over
-    # the same table) — displaced by it
     "docs_lang_id",
-    # rel_pricing_summary's filtered-scan 2-phase-agg family stays
-    # in-window via rel_anti_join_customers_no_orders +
-    # rel_json_event_props (same pushdown/agg shapes) and is a bench.py
-    # headline measured every round — displaced by crawl_mirror_hosts
     "rel_pricing_summary",
-    # crawl_frontier_topk_per_host's salted two-phase top-k family
-    # stays in-window via crawl_domain_budget_topk (the same two-phase
-    # exact top-k at domain granularity) and is a bench.py headline —
-    # displaced by docs_temperature_mix
     "crawl_frontier_topk_per_host",
-    # crawl_canonicalize_urls' canonicalization family stays in-window
-    # via crawl_registrable_domain + every crawl query that keys on
-    # url_canon, plus the RFC 3986 property suite and e2e byte parity
-    # — displaced by crawl_snapshot_diff. Its own driver row stays r2:
-    # MUST lead round 5's window.
-    "crawl_canonicalize_urls",
-    # rel_json_event_props' JSON-functions family is pytest-covered via
-    # the WAT sink's canonical-JSON envelope round trip (test_wat) —
-    # displaced by crawl_sitemap_changefreq. Driver row stays r2: MUST
-    # lead round 5's window alongside crawl_canonicalize_urls.
-    "rel_json_event_props",
-    # displaced by this session's new queries (one-for-one; each
-    # family keeps an in-window countersignature, noted per entry):
-    # rel_distinct_users_per_type's distinct family stays in-window via
-    # docs_exact_dedup (hash-groupBy distinct) — displaced by the
-    # TrustRank pair
     "rel_distinct_users_per_type",
-    # rel_salted_part_revenue_top20's salted-skew family stays
-    # in-window via crawl_frontier_topk_per_host (salted two-phase
-    # top-k) + crawl_domain_budget_topk — displaced by the TrustRank
-    # pair
     "rel_salted_part_revenue_top20",
-    # crawl_politeness_from_robots' robots→politeness family stays
-    # countersigned via crawl_robots_rfc9309 (in-window) + the
-    # crawl_adaptive_politeness/crawl_retry_after_holds politeness rows
-    # and the e2e politeness invariant — displaced by crawl_related_pages
     "crawl_politeness_from_robots",
-    # crawl_sitemap_seeds' sitemap family stays countersigned via
-    # crawl_robots_sitemaps (r3) + crawl_feed_seeds (r4-window) and the
-    # recrawl e2e lanes — displaced by embed_pq_kmeans_topk
     "crawl_sitemap_seeds",
-    # docs_dedup_clusters' connected-components family stays in-window
-    # via embed_dedup_clusters (same pointer-doubling CC over near-dup
-    # pairs) — displaced by crawl_cdx_lookup
     "docs_dedup_clusters",
-    # docs_bigram_stats' tokenizer/corpus-stats family stays in-window
-    # via docs_lm_perplexity (same tokenizer feeding the bigram LM) and
-    # r3-signed docs_bpe_round1_pair_counts — displaced by crawl_opic_step
     "docs_bigram_stats",
-    # embed_cosine_topk's exact-ANN family stays in-window via
-    # embed_pq_topk + embed_ivf_topk + embed_near_dup_pairs (all share
-    # the quantized-cosine contract) — displaced by crawl_spam_mass
     "embed_cosine_topk",
-    # stream_hourly_windows' streaming family stays countersigned via
-    # r3-signed stream_session_windows + stream_stream_join — displaced
-    # by crawl_retry_after_holds
     "stream_hourly_windows",
-    # multi_decode_media's multimodal family stays countersigned via
-    # r3-signed multi_decode_real + multi_embed_media — displaced by
-    # embed_pq_topk
     "multi_decode_media",
-    # crawl_warc_read's WARC family stays countersigned via r3-signed
-    # crawl_cdx_surt plus the byte-exact WARC/WET/WAT round-trip pytest
-    # lanes (tests/test_sources.py) — displaced by crawl_host_communities
     "crawl_warc_read",
-    # docs_quality's quality family stays in-window via
-    # docs_gopher_quality + docs_c4_line_filter (and quality_ok is a
-    # component of docs_curation_pipeline's pytest replica)
     "docs_quality",
-    # docs_token_counts' tokenization family stays in-window via
-    # docs_bigram_stats (same tokenizer) and r3-signed
-    # docs_token_counts_bpe_trained
     "docs_token_counts",
-    # docs_repetition_ratios' Gopher-repetition family stays in-window
-    # via docs_gopher_quality (the other half of Rae et al. App. A)
     "docs_repetition_ratios",
-    # embed_lsh_topk's RHP-LSH family stays in-window via
-    # embed_near_dup_pairs (same hyperplane buckets) + embed_cosine_topk
-    # and the expr≡udf parity suite in tests
     "embed_lsh_topk",
-    # rel_shipping_priority's filtered-join-agg family stays in-window
-    # via rel_pricing_summary and rel_region_revenue
     "rel_shipping_priority",
-    # rel_asof_click_before_purchase's range/as-of family stays
-    # in-window via r3-signed rel_range_join_30d + rel_sessionize_events
     "rel_asof_click_before_purchase",
-    # multi_resize_plan's multimodal family stays countersigned via
-    # r3-signed multi_embed_media/multi_decode_real (multi_decode_media
-    # itself now also rides the tail, displaced by embed_pq_topk)
     "multi_resize_plan",
-    # crawl_offsite_filter's host-admission family stays in-window via
-    # crawl_registrable_domain + crawl_url_blocklist (same broadcast
-    # admission shape) and is e2e-pinned every run by
-    # test_crawl_e2e full_coverage + test_offsite_subdomains
     "crawl_offsite_filter",
-    # docs_simhash_near_pairs' near-dup pair family stays in-window via
-    # docs_minhash_lsh_pairs + docs_incremental_dedup (same band keys)
-    # and the expr≡udf simhash parity suite in tests
     "docs_simhash_near_pairs",
-    # crawl_outlink_udtf's explode family keeps an r3 driver signature
-    # via crawl_outlink_explode (identical extraction, non-UDTF
-    # surface) and is golden-pinned in test_extraction_golden
     "crawl_outlink_udtf",
-    # stream_stateful_user_totals' streaming family stays in-window via
-    # stream_hourly_windows; its applyInPandasWithState lane is
-    # additionally pinned by test_streaming_continuous every run
     "stream_stateful_user_totals",
-    # crawl_seen_antijoin's anti-join dedup family stays in-window via
-    # rel_anti_join_customers_no_orders (identical plan shape) and is
-    # e2e-pinned every run by test_crawl_e2e no_duplicate_fetches
     "crawl_seen_antijoin",
-    # r2-signed, untouched, deferred to round 5 to make room for this
-    # round's THIRTEEN new queries (never-countersigned beats
-    # one-more-round-stale; each deferral's operator family keeps an
-    # in-window countersignature, noted per entry).
-    # multi_frame_sample: family in-window via multi_decode_media /
-    # multi_resize_plan (+ r3-signed multi_embed_media /
-    # multi_decode_real); docs_simhash: exercised in-window by
-    # docs_simhash_near_pairs plus the expr≡udf pytest parity suite
     "multi_frame_sample",
     "docs_simhash",
-    # stream_distinct_users_per_type's families stay in-window via
-    # stream_hourly_windows (streaming agg) and
-    # rel_distinct_users_per_type (the identical distinct shape)
     "stream_distinct_users_per_type",
-    # embed_ivf_kmeans_topk's family stays in-window via embed_ivf_topk
-    # (same IVF plan) and the Lloyd-replay parity suite in
-    # tests/test_similarity_multimodal.py
     "embed_ivf_kmeans_topk",
-    # docs_ngram_jaccard's pair-candidate family stays in-window via
-    # docs_minhash_lsh_pairs and docs_simhash_near_pairs
     "docs_ngram_jaccard",
-    # crawl_retry_policy's lane is additionally e2e-pinned every run by
-    # test_crawl_e2e's lineage_totals + kill-and-resume assertions
     "crawl_retry_policy",
-    # crawl_lineage_rollup's lane is likewise e2e-pinned every run by
-    # test_crawl_e2e's lineage_totals invariant
     "crawl_lineage_rollup",
-    # docs_curation_pipeline composes quality/lang/near-dup/canonical —
-    # every component op is individually countersigned in-window
     "docs_curation_pipeline",
-    # crawl_politeness_budget's gate is e2e-pinned every run by
-    # test_crawl_e2e's politeness_invariant; its broadcast-state sibling
-    # crawl_politeness_from_robots stays in-window
     "crawl_politeness_budget",
-    # docs_winnow_fingerprints' fingerprint-dedup family stays in-window
-    # via docs_minhash_lsh_pairs and docs_simhash_near_pairs; the op is
-    # hand-pinned in test_textops
     "docs_winnow_fingerprints",
-    # r3 driver rows (CORRECTNESS_r03.json): all green, untouched this
-    # round — re-enter the window next round
+    # r3-countersigned, untouched since:
     "docs_hashing_tf",
     "multi_embed_media",
     "multi_decode_real",
@@ -387,7 +219,6 @@ _TAIL = [
     "crawl_robots_ttl",
     "docs_sequence_packing",
     "docs_text_normalize",
-    "docs_passage_dedup",
     "rel_pivot_status_priority",
     "rel_median_price_per_priority",
     "stream_session_windows",
@@ -409,6 +240,54 @@ _TAIL = [
     "crawl_bloom_dedup_exactness",
     "crawl_robots_gate",
     "crawl_outlink_explode",
+    # r4-countersigned (CORRECTNESS_r04.json), untouched since —
+    # freshest signatures, last in line:
+    "crawl_revalidate_semantics",
+    "docs_main_content",
+    "docs_stratified_sample",
+    "docs_countmin_heavyhitters",
+    "docs_lm_perplexity",
+    "crawl_change_rate_schedule",
+    "crawl_hits_scores",
+    "crawl_registrable_domain",
+    "docs_c4_line_filter",
+    "docs_gopher_quality",
+    "crawl_domain_budget_topk",
+    "crawl_feed_seeds",
+    "crawl_trustrank",
+    "crawl_antitrust_rank",
+    "crawl_host_communities",
+    "embed_pq_topk",
+    "crawl_retry_after_holds",
+    "crawl_spam_mass",
+    "crawl_opic_step",
+    "crawl_cdx_lookup",
+    "embed_pq_kmeans_topk",
+    "crawl_related_pages",
+    "crawl_url_blocklist",
+    "crawl_host_graph",
+    "docs_dsir_weights",
+    "crawl_soft404",
+    "crawl_neighborhood_function",
+    "crawl_canonical_aliases",
+    "docs_incremental_dedup",
+    "crawl_harmonic_centrality",
+    "docs_host_quality",
+    "crawl_scc_bowtie",
+    "crawl_dust_params",
+    "crawl_focused_priorities",
+    "docs_line_dedup",
+    "docs_langid_profiles",
+    "crawl_mirror_hosts",
+    "docs_temperature_mix",
+    "crawl_snapshot_diff",
+    "crawl_sitemap_changefreq",
+    "docs_inverted_index",
+    "stream_dedup_within_watermark",
+    "crawl_robots_status_policy",
+    "crawl_jsonld_offers",
+    "docs_paragraph_bloom",
+    "embed_bitext_mine",
 ]
 
 
