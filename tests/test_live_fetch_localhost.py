@@ -99,3 +99,54 @@ def test_live_fetch_real_transport_over_loopback(spark, http_base):
     # the O12 split over REAL statuses: everything non-200 is retryable
     retryable = fetched.where(F.col("status") != 200)
     assert retryable.count() == 8  # 5 × 404 + 3 × refused
+
+
+def test_live_fetch_requests_overlap(spark):
+    """The transport must actually OVERLAP requests inside a batch
+    (r4 VERDICT "What's missing" #3): at real-web latency a serial
+    loop turns a 1,000-URL task into ~100 s of dead waiting. A
+    dedicated slow server counts in-flight requests under a lock;
+    16 URLs × 300 ms through one 8-worker transport must reach ≥4
+    simultaneous requests (serial execution never exceeds 1) and
+    finish in well under the 4.8 s serial floor."""
+    import time
+
+    state = {"inflight": 0, "max_inflight": 0}
+    lock = threading.Lock()
+
+    class _Slow(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            with lock:
+                state["inflight"] += 1
+                state["max_inflight"] = max(state["max_inflight"], state["inflight"])
+            time.sleep(0.3)
+            body = _body_for(self.path)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            with lock:
+                state["inflight"] -= 1
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Slow)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        rows = [(f"{base}/slow/{i}", "s", 0) for i in range(16)]
+        cand = spark.createDataFrame(
+            rows, "url string, src_source string, retry int"
+        ).coalesce(1)  # ONE task → one transport instance does all 16
+        t0 = time.perf_counter()
+        got = live_fetch(
+            cand, urllib_transport(timeout_s=5.0, max_workers=8), chunk_size=16
+        ).collect()
+        wall = time.perf_counter() - t0
+        assert len(got) == 16 and all(r.status == 200 for r in got)
+        assert state["max_inflight"] >= 4, state
+        assert wall < 4.8, f"batch took {wall:.1f}s — requests look serial"
+    finally:
+        srv.shutdown()
+        srv.server_close()
