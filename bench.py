@@ -110,6 +110,38 @@ def _bench_queries(spark) -> dict[str, float]:
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
     times["docs_minhash_lsh_xxhash64"] = round(time.perf_counter() - t0, 3)
+
+    # Production Arrow fast paths for the ANN compression family (r4
+    # VERDICT "What's wrong" #2): the registry queries deliberately run
+    # the SQL-replayable expression paths so DuckDB can countersign
+    # them; a cluster would run the parity-tested `use_udf=True` Arrow
+    # paths. Bench BOTH (as already done for MinHash above) so BENCH
+    # tracks what production costs and fast-path regressions are
+    # visible. Same inputs/params as the oracle queries.
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.harness.common import load
+    from crawlers_spark.harness.embed import N_DIMS
+    from crawlers_spark.operators.similarity import (
+        ivf_topk, pq_topk, random_projection, sq8_topk,
+    )
+
+    e = load(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    arrow_paths = {
+        "embed_sq8_topk_arrow": lambda: sq8_topk(
+            q, e, n_dims=N_DIMS, k=5, use_udf=True),
+        "embed_pq_topk_arrow": lambda: pq_topk(
+            q, e, n_dims=N_DIMS, m=8, ks=16, k=5, use_udf=True),
+        "embed_ivf_topk_arrow": lambda: ivf_topk(
+            q, e, k=5, n_cells=8, n_probe=2, use_udf=True),
+        "embed_random_projection_arrow": lambda: random_projection(
+            e, n_dims=N_DIMS, out_dims=8, use_udf=True),
+    }
+    for name, build in arrow_paths.items():
+        t0 = time.perf_counter()
+        build().write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
     return times
 
 
