@@ -19,7 +19,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-QUERIES = ["contamination", "passage_dedup", "packing", "lm_perplexity", "pq_adc"]
+QUERIES = [
+    "contamination", "passage_dedup", "exact_substr", "packing",
+    "lm_perplexity", "pq_adc",
+]
 
 
 def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
@@ -65,6 +68,17 @@ def run_once(cores: int, sf_dir: str, mult: int) -> dict[str, float]:
             "overwrite"
         ).save()
         out["passage_dedup"] = time.monotonic() - t
+        # ExactSubstr span removal (r5 fix: single-tokenize plan) — the
+        # replicated corpus makes EVERY window a duplicate, so this leg
+        # stresses the worst case: full hash fan-out + maximal island
+        # merging on every document
+        from crawlers_spark.operators.textdedup import exact_substring_dedup
+
+        t = time.monotonic()
+        exact_substring_dedup(corpus, k=50).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["exact_substr"] = time.monotonic() - t
         t = time.monotonic()
         pack_sequences(corpus, budget=512, n_shards=cores * 4).write.format(
             "noop"
