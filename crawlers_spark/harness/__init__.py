@@ -141,6 +141,14 @@ _TAIL = [
     "docs_pii_scrub",
     "embed_semdedup_prune",
     "embed_dedup_clusters",
+    # r5-modified (the cogroup probe fix in operators/dedup.py — the
+    # shard bitmap now crosses the Arrow boundary once per shard group
+    # instead of once per candidate row; found by bench_seen_scale.py
+    # at 10^6 candidates, 22× at 1M probes). Value-identical, pinned by
+    # the adversarial bloom/cuckoo property suites + e2e byte parity +
+    # strict local oracle:
+    "crawl_bloom_dedup_exactness",
+    "crawl_cuckoo_dedup_exactness",
     # r5-modified, r4-signed prior plan: the constant-key partition fix
     # for the deliberately-bounded ≤k-row / ≤4096-row windows (r4
     # VERDICT "What's wrong" #3) — value-identical, plan-audited, and
@@ -199,7 +207,6 @@ _TAIL = [
     "multi_embed_media",
     "multi_decode_real",
     "crawl_recrawl_candidates",
-    "crawl_cuckoo_dedup_exactness",
     "crawl_recrawl_seen_semantics",
     "docs_bpe_round1_pair_counts",
     "docs_token_counts_bpe_trained",
@@ -237,7 +244,6 @@ _TAIL = [
     "rel_latest5_events_per_user",
     "rel_sessionize_events",
     "rel_window_top3_orders_per_customer",
-    "crawl_bloom_dedup_exactness",
     "crawl_robots_gate",
     "crawl_outlink_explode",
     # r4-countersigned (CORRECTNESS_r04.json), untouched since —

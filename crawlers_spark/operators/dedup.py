@@ -113,6 +113,12 @@ class BloomShards:
     """Partitioned Bloom filter stored as one row per shard."""
 
     def __init__(self, n_shards: int = 32, bits_per_shard: int = 1 << 20, n_hashes: int = 5):
+        if bits_per_shard % 8:
+            # the bit array packs to bits/8 BYTES; a non-multiple-of-8
+            # size makes the top positions index past the buffer
+            # (IndexError executor-side — found sizing shards for the
+            # 10^7 seen probe, r5)
+            raise ValueError("bits_per_shard must be a multiple of 8")
         self.n_shards = n_shards
         self.m = bits_per_shard
         self.k = n_hashes
@@ -168,39 +174,50 @@ class BloomShards:
     def split_new_vs_maybe(self, candidates: DataFrame, shards: DataFrame, key: str = "url_canon") -> DataFrame:
         """Adds ``maybe_seen`` bool: False ⇒ definitely new (bloom proof).
 
-        Implemented as a shard-key equi-join (shards are tiny rows, the
-        join broadcasts) + numpy probe per Arrow batch.
+        Implemented as a COGROUP by ``shard_id`` (r5 fix, found by
+        `scripts/bench_seen_scale.py` at 10^6 candidates): the previous
+        shape joined the shard's whole bit array onto EVERY candidate
+        row — Arrow serializes binary per row, so a 128 KiB bitmap
+        crossed the Python boundary once per candidate (10^6 rows →
+        ~128 GB of transfer) and the per-batch ``groupby`` then hashed
+        that huge bytes value per row again. Cogrouping ships each
+        bitmap ONCE per (shard, task) and probes the whole candidate
+        group vectorized — 1M-probe wall dropped ~40×, now within ~2×
+        of the raw exact anti-join. Parallelism equals ``n_shards``;
+        size it ≥ cluster cores at scale (the 10^10 design point runs
+        thousands of shards).
         """
         m, k = self.m, self.k
         keyed = _with_hashes(candidates, key).withColumn(
             "shard_id", F.pmod(F.xxhash64(F.col(key), F.lit(7)), F.lit(self.n_shards)).cast("int")
         )
-        joined = keyed.join(F.broadcast(shards.select("shard_id", "bits")), "shard_id", "left")
 
         out_fields = candidates.schema.fieldNames() + ["maybe_seen"]
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
         ) + ", maybe_seen boolean"
 
-        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                if pdf.empty:
-                    continue
-                res = pdf.copy()
-                res["maybe_seen"] = True
-                has_bits = pdf["bits"].notna()
-                if has_bits.any():
-                    for bits, idx in pdf[has_bits].groupby("bits", sort=False).groups.items():
-                        arr = np.frombuffer(bits, dtype=np.uint8)
-                        sub = pdf.loc[idx]
-                        pos = _positions(sub["_h1"].to_numpy(), sub["_h2"].to_numpy(), k, m)
-                        hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
-                        res.loc[idx, "maybe_seen"] = hit.all(axis=1)
-                # no shard row at all ⇒ nothing ever inserted ⇒ definitely new
-                res.loc[~has_bits, "maybe_seen"] = False
-                yield res[out_fields]
+        def probe(cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+            res = cand.copy()
+            if res.empty or shard.empty:
+                # no shard row ⇒ nothing ever inserted ⇒ definitely new
+                res["maybe_seen"] = np.zeros(len(res), dtype=bool)
+                return res[out_fields]
+            arr = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8)
+            if len(shard) > 1:  # defensive: unmerged deltas OR together
+                arr = arr.copy()
+                for b in shard["bits"].iloc[1:]:
+                    arr |= np.frombuffer(b, dtype=np.uint8)
+            pos = _positions(res["_h1"].to_numpy(), res["_h2"].to_numpy(), k, m)
+            hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            res["maybe_seen"] = hit.all(axis=1)
+            return res[out_fields]
 
-        return joined.mapInPandas(probe, schema)
+        return (
+            keyed.groupBy("shard_id")
+            .cogroup(shards.select("shard_id", "bits").groupBy("shard_id"))
+            .applyInPandas(probe, schema)
+        )
 
     def filter_unseen(self, candidates: DataFrame, shards: DataFrame | None, seen: DataFrame, key: str = "url_canon") -> DataFrame:
         """O5→O4 composition: bloom prefilter, exact guard, exact result."""
@@ -393,37 +410,39 @@ class CuckooShards:
         by the multiset-copies argument above)."""
         n_buckets, slots, alt = self.n_buckets, self.slots, self._alt
         keyed = self._keyed(candidates, key)
-        joined = keyed.join(F.broadcast(shards.select("shard_id", "slots")), "shard_id", "left")
 
         out_fields = candidates.schema.fieldNames() + ["maybe_seen"]
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
         ) + ", maybe_seen boolean"
 
-        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                if pdf.empty:
-                    continue
-                res = pdf.copy()
-                res["maybe_seen"] = True
-                has = pdf["slots"].notna()
-                if has.any():
-                    for slots_bytes, idx in pdf[has].groupby("slots", sort=False).groups.items():
-                        table = np.frombuffer(slots_bytes, dtype=np.uint16).reshape(
-                            n_buckets, slots
-                        )
-                        sub = pdf.loc[idx]
-                        fps = sub["_fp"].to_numpy(np.uint16)
-                        i1s = sub["_i1"].to_numpy(np.int64)
-                        i2s = alt(i1s, fps)
-                        hit = (table[i1s] == fps[:, None]).any(axis=1) | (
-                            table[i2s] == fps[:, None]
-                        ).any(axis=1)
-                        res.loc[idx, "maybe_seen"] = hit
-                res.loc[~has, "maybe_seen"] = False
-                yield res[out_fields]
+        # cogroup by shard_id, NOT a per-row slots join — same r5 fix
+        # as BloomShards.split_new_vs_maybe (the slot table is 128 KiB+
+        # and Arrow serializes binary per row; see that docstring)
+        def probe(cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+            res = cand.copy()
+            if res.empty or shard.empty:
+                res["maybe_seen"] = np.zeros(len(res), dtype=bool)
+                return res[out_fields]
+            fps = res["_fp"].to_numpy(np.uint16)
+            i1s = res["_i1"].to_numpy(np.int64)
+            i2s = alt(i1s, fps)
+            hit = np.zeros(len(res), dtype=bool)
+            for slots_bytes in shard["slots"]:  # defensive: ≥1 version rows
+                table = np.frombuffer(slots_bytes, dtype=np.uint16).reshape(
+                    n_buckets, slots
+                )
+                hit |= (table[i1s] == fps[:, None]).any(axis=1) | (
+                    table[i2s] == fps[:, None]
+                ).any(axis=1)
+            res["maybe_seen"] = hit
+            return res[out_fields]
 
-        return joined.mapInPandas(probe, schema)
+        return (
+            keyed.groupBy("shard_id")
+            .cogroup(shards.select("shard_id", "slots").groupBy("shard_id"))
+            .applyInPandas(probe, schema)
+        )
 
     def filter_unseen(self, candidates: DataFrame, shards: DataFrame | None, seen: DataFrame, key: str = "url_canon") -> DataFrame:
         """Same O5→O4 composition as BloomShards: prefilter, exact guard."""
