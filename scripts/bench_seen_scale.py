@@ -16,7 +16,10 @@ pipeline stages end-to-end:
   3. ``bloom_dedup``   — O5→O4: partitioned Bloom-shard prefilter with
      the exact anti-join guard on the maybe-seen residue
      (`BloomShards.filter_unseen` — exactness ASSERTED against #2's
-     count every leg, not assumed).
+     count every leg, not assumed);
+  4. ``frontier_topk`` — O2/O17: adaptive hot-host detection + salted
+     two-phase per-host top-k over the whole canonical wave (the
+     grammar plants a ~1.1%-of-corpus hot host against a ~1k-row mean).
 
 Everything is generated from ``spark.range`` — no fixture files, no
 driver-resident state; both sides live as DataFrames exactly as a
@@ -37,7 +40,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-STAGES = ["canonicalize", "exact_dedup", "bloom_dedup"]
+STAGES = ["canonicalize", "exact_dedup", "bloom_dedup", "frontier_topk"]
 
 
 def _urls(spark, n: int, offset: int, raw: bool):
@@ -125,7 +128,35 @@ def run_once(cores: int, n: int) -> dict[str, float]:
         out["bloom_dedup"] = time.monotonic() - t
 
         assert bloom_new == exact_new, (bloom_new, exact_new)
+
+        # O2: salted per-host top-k over the whole canonical wave with
+        # ADAPTIVE hot-host detection — the grammar's host_id formula
+        # concentrates ~1.1% of all URLs on host 0 (a genuinely hot
+        # job board vs a ~1k-row mean), which is exactly the skew the
+        # two-phase salt machinery exists for
+        from pyspark.sql import functions as F
+
+        from crawlers_spark.operators.frontier import (
+            detect_hot_hosts, select_wave_topk, with_salt,
+        )
+
+        fr = canon_p.select(
+            "url_canon",
+            F.regexp_extract("url_canon", r"http://([^/]+)/", 1).alias("host"),
+            F.pmod(F.xxhash64("url_canon", F.lit("pr")), F.lit(100))
+            .cast("int").alias("priority"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.pmod(F.xxhash64("url_canon"), F.lit(86400))
+            ).alias("discovered_ts"),
+            F.lit(16).alias("budget_k"),
+        )
+        t = time.monotonic()
+        hot = detect_hot_hosts(fr, threshold=4096)
+        n_sel = select_wave_topk(with_salt(fr, hot)).count()
+        out["frontier_topk"] = time.monotonic() - t
+
         out["_n_seen"], out["_n_wave"], out["_n_new"] = n_seen, n_wave, exact_new
+        out["_n_selected"] = n_sel
         for df in (seen, wave, canon_p, shards):
             df.unpersist()
         return out
@@ -143,7 +174,7 @@ def main() -> None:
         legs[4 * cores].append(run_once(4 * cores, n))
     best = {c: {s: min(r[s] for r in rs) for s in STAGES} for c, rs in legs.items()}
     eff = {s: round(best[cores][s] / best[4 * cores][s] / 4.0, 3) for s in STAGES}
-    meta = {k: int(legs[cores][0][k]) for k in ("_n_seen", "_n_wave", "_n_new")}
+    meta = {k: int(legs[cores][0][k]) for k in ("_n_seen", "_n_wave", "_n_new", "_n_selected")}
     print(json.dumps({
         "n_urls": n, "cores": [cores, 4 * cores], "best_s": best,
         "urls_per_sec": {
