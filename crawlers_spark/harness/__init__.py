@@ -35,20 +35,21 @@ from crawlers_spark.harness import crawl, docs, embed, media, relational, stream
 _MODULES = [relational, crawl, docs, embed, media, stream]
 
 # Registry ORDER is part of the driver contract: the external gate
-# records exactly the first 50 registry entries (CORRECTNESS_r01/r02/r03
-# all cut there). Rotation policy (r2 ADVICE + r3 VERDICT item 1):
+# records exactly the first 50 registry entries (every CORRECTNESS_r0N
+# cut there). Rotation policy (r2 ADVICE + r3 VERDICT item 1, amended
+# by r4 VERDICT "What's missing" #1 for round 5):
 #
-# 1. anything NEW or MODIFIED this round (query body, oracle SQL, the
-#    operator it calls, or a fixture/golden it reads) goes in the
-#    first-50 window — modified queries must NEVER ride the tail past
-#    external re-verification;
-# 2. the previous round's tail rotates back INTO the window so every
-#    query regains a fresh driver row within ~2 rounds — this round the
-#    ENTIRE r2-countersigned tail (43 queries) re-enters the window,
-#    clearing r3 VERDICT's staleness item: after r4 every query has an
-#    r3-or-r4 driver signature;
-# 3. only queries DRIVER-GREEN in CORRECTNESS_r03.json and untouched
-#    since rotate to the tail.
+# 1. a query with NO external signature EVER outranks everything —
+#    including this round's modified queries, when both can't fit
+#    (the r5 amendment; before r4's +95-query burst the window always
+#    had room for every new-or-modified query);
+# 2. anything NEW or MODIFIED this round (query body, oracle SQL, the
+#    operator it calls, or a fixture/golden it reads) takes the
+#    remaining window slots, oldest-signature first; modified queries
+#    that still don't fit LEAD the tail (next round's window starts
+#    there) and must be strict-local-oracle green post-modification;
+# 3. the rest of the tail orders oldest-signature-first so staleness
+#    drains in registry order over subsequent rounds.
 #
 # The full set still runs in pytest (tests/test_driver_shape.py) and
 # scripts/check_oracle.py regardless of position.

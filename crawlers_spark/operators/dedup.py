@@ -27,7 +27,6 @@ rows (SURVEY §4.3.2).
 
 from __future__ import annotations
 
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
